@@ -1,0 +1,391 @@
+"""Aggregations (SURVEY.md §2.5): monthly counts, KPI MoM, LOT alert,
+lag stats, null profile, top-N, mode, histogram.
+
+Float discipline for the oracle gate: money sums go through
+DECIMAL(18,2) (exact, order-independent); averages/stddevs are rounded
+to a fixed scale in BOTH engines so shuffle-order ulp drift can't flip
+the value hash.
+
+Scale notes: everything is one hash-aggregate exchange on the group
+key; partial (map-side) aggregation is automatic. The month-level
+rollups group on low-cardinality keys — at 100 TB the combine step
+reduces each partition to a few thousand rows before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from claim_analysis_engine_spark.registry import OpRegistry
+from claim_analysis_engine_spark.tables import load
+
+REG = OpRegistry()
+
+
+@REG.op(
+    "agg_monthly_count",
+    oracle="""
+    SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_claims
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def agg_monthly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly group count — the substrate of every reference dashboard
+    (groupby([...,'접수월_str']).size(); app.py:281,
+    core/storage.py:558-560)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderstatus", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(F.count(F.lit(1)).alias("n_claims"))
+    )
+
+
+@REG.op(
+    "agg_distinct_keys",
+    oracle="""
+    SELECT DISTINCT o_orderstatus AS status,
+           year(o_orderdate) AS y, month(o_orderdate) AS m
+    FROM orders
+    """,
+)
+def agg_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct key combos (reference [플랜트,접수년,접수월]
+    drop_duplicates, core/storage.py:331-351)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .distinct()
+    )
+
+
+@REG.op(
+    "agg_multi",
+    oracle="""
+    SELECT o_custkey, strftime(max(o_orderdate), '%Y-%m-%d') AS last_receipt,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate per group (reference agg(last_receipt=max,
+    count=size), app.py:467-470)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_receipt"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@REG.op(
+    "agg_sum_mean",
+    oracle="""
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_amt,
+           round(avg(o_totalprice), 4) AS avg_amt,
+           count(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def agg_sum_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group sum/mean (reference monthly totals & share ratios,
+    core/engine/trainer.py:71-73,103-108). Sum is decimal-exact."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_amt"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_amt"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@REG.op(
+    "agg_topn_freq",
+    oracle="""
+    WITH freq AS (
+      SELECT o_orderpriority AS category, count(*) AS n FROM orders GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM freq)
+    SELECT category, n, round(100.0 * n / total, 2) AS pct
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY n DESC, category ASC) AS rn FROM freq, tot
+    ) WHERE rn <= 2
+    """,
+)
+def agg_topn_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N categories by frequency with share pct (reference
+    value_counts().head(2) + percentage, app.py:40-64).
+    Ties broken by category name for determinism."""
+    freq = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("category"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("category").asc())
+    return (
+        freq.withColumn("total", F.sum("n").over(W.partitionBy()))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select(
+            "category", "n", F.round(F.lit(100.0) * F.col("n") / F.col("total"), 2).alias("pct")
+        )
+    )
+
+
+@REG.op(
+    "agg_mode",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority FROM (
+      SELECT o_orderstatus, o_orderpriority,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with pinned tie-break (reference 등급기준.mode()
+    for the LOT card, app.py:495-498 — pandas mode tie is positional;
+    here ties break on the value itself, SURVEY §7 determinism note)."""
+    counted = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+
+
+@REG.op(
+    "agg_null_profile",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dup_keys,
+           CAST(count(*) - count(nullif(o_orderstatus, 'P')) AS BIGINT) AS n_null_status,
+           round(100.0 * (count(*) - count(nullif(o_orderstatus, 'P'))) / count(*), 2)
+             AS pct_null_status
+    FROM orders
+    """,
+)
+def agg_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile: rows, dup keys, per-column null counts
+    (reference upload quality report, core/etl.py:74-102). Nulls
+    synthesized via nullif since testdata is null-free."""
+    df = load(spark, sf_dir, "orders").withColumn(
+        "status_n", F.nullif("o_orderstatus", F.lit("P"))
+    )
+    n = F.count(F.lit(1))
+    nulls = n - F.count("status_n")
+    return df.agg(
+        n.alias("n_rows"),
+        (n - F.countDistinct("o_orderkey")).alias("n_dup_keys"),
+        nulls.alias("n_null_status"),
+        F.round(F.lit(100.0) * nulls / n, 2).alias("pct_null_status"),
+    )
+
+
+@REG.op(
+    "agg_minmax_date",
+    oracle="""
+    SELECT strftime(min(o_orderdate), '%Y-%m') AS min_month,
+           strftime(max(o_orderdate), '%Y-%m') AS max_month
+    FROM orders
+    """,
+)
+def agg_minmax_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global min/max month — the series-mart spine bounds
+    (core/storage.py:476-483)."""
+    return load(spark, sf_dir, "orders").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM").alias("min_month"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM").alias("max_month"),
+    )
+
+
+@REG.op(
+    "agg_kpi_mom",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS month,
+             count(*) AS n FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, lag(n) OVER (PARTITION BY o_orderstatus ORDER BY month) AS prev_n,
+             max(month) OVER () AS max_month
+      FROM monthly
+    )
+    SELECT o_orderstatus, month, n, prev_n,
+           round(100.0 * (n - prev_n) / prev_n, 2) AS mom_pct
+    FROM ranked WHERE month = max_month
+    """,
+)
+def agg_kpi_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI + MoM delta: latest-month count per group vs prior month
+    (reference MTD KPI w/ MoM pct, app.py:351-374)."""
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderstatus", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = monthly.withColumn(
+        "prev_n", F.lag("n").over(W.partitionBy("o_orderstatus").orderBy("month"))
+    ).withColumn("max_month", F.max("month").over(W.partitionBy()))
+    return ranked.where(F.col("month") == F.col("max_month")).select(
+        "o_orderstatus",
+        "month",
+        "n",
+        "prev_n",
+        F.round(F.lit(100.0) * (F.col("n") - F.col("prev_n")) / F.col("prev_n"), 2).alias(
+            "mom_pct"
+        ),
+    )
+
+
+@REG.op(
+    "flt_partial_period",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('month', max(o_orderdate)) AS cur_start,
+             max(o_orderdate) AS mx,
+             day(max(o_orderdate)) AS cutoff_day
+      FROM orders
+    )
+    SELECT count(*) FILTER (
+             o_orderdate >= cur_start AND o_orderdate <= mx) AS cur_mtd,
+           count(*) FILTER (
+             o_orderdate >= cur_start - INTERVAL 1 MONTH
+             AND o_orderdate < cur_start
+             AND day(o_orderdate) <= cutoff_day) AS prev_same_window
+    FROM orders, bounds
+    """,
+)
+def flt_partial_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-period compare: current MTD vs prior-month same-day window
+    (reference app.py:343-353, clamped to month length)."""
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_trunc("month", F.max("o_orderdate")).alias("cur_start"),
+        F.max("o_orderdate").alias("mx"),
+        F.dayofmonth(F.max("o_orderdate")).alias("cutoff_day"),
+    )
+    joined = orders.join(F.broadcast(bounds))
+    cur = (F.col("o_orderdate") >= F.col("cur_start")) & (
+        F.col("o_orderdate") <= F.col("mx")
+    )
+    prev = (
+        (F.col("o_orderdate") >= F.add_months(F.col("cur_start"), -1))
+        & (F.col("o_orderdate") < F.col("cur_start"))
+        & (F.dayofmonth("o_orderdate") <= F.col("cutoff_day"))
+    )
+    return joined.agg(
+        F.count(F.when(cur, 1)).alias("cur_mtd"),
+        F.count(F.when(prev, 1)).alias("prev_same_window"),
+    )
+
+
+@REG.op(
+    "agg_lot_alert",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey, l_suppkey, CAST(l_shipdate AS DATE) AS ship_date
+      FROM lineitem
+    ), mx AS (SELECT max(ship_date) AS mx FROM li)
+    SELECT l_partkey, l_suppkey, count(*) AS n_hits,
+           strftime(max(ship_date), '%Y-%m-%d') AS last_ship
+    FROM li, mx
+    WHERE ship_date >= mx.mx - INTERVAL 30 DAY
+    GROUP BY l_partkey, l_suppkey
+    HAVING count(*) >= 3
+    """,
+)
+def agg_lot_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOT-style alert: ≥3 hits on the same (part, supplier) within the
+    trailing 30 days, with last occurrence (reference LOT alert
+    groupby count>=3 in last 30d, app.py:446-472)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("ship_date")
+    )
+    mx = li.agg(F.date_sub(F.max("ship_date"), 30).alias("cutoff"))
+    return (
+        li.join(F.broadcast(mx))
+        .where(F.col("ship_date") >= F.col("cutoff"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_hits"),
+             F.date_format(F.max("ship_date"), "yyyy-MM-dd").alias("last_ship"))
+        .where(F.col("n_hits") >= 3)
+    )
+
+
+@REG.op(
+    "agg_lag_stats",
+    oracle="""
+    WITH lag AS (
+      SELECT date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT count(*) AS n, round(avg(lag_days), 4) AS mean_lag,
+           round(median(lag_days), 1) AS median_lag,
+           CAST(min(lag_days) AS BIGINT) AS min_lag,
+           CAST(max(lag_days) AS BIGINT) AS max_lag,
+           round(stddev_samp(lag_days), 4) AS std_lag
+    FROM lag WHERE lag_days >= 0
+    """,
+)
+def agg_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag distribution stats: count/mean/median/min/max/std of
+    ship-minus-order days where valid (reference Lag_Days stats,
+    core/analytics.py:391-408; lag derivation core/etl.py:259-265).
+    Exact median (not percentile_approx) so the oracle matches."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lag_days"))
+        .where(F.col("lag_days") >= 0)
+    )
+    return lag.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("lag_days"), 4).alias("mean_lag"),
+        F.round(F.median("lag_days"), 1).alias("median_lag"),
+        F.min("lag_days").alias("min_lag"),
+        F.max("lag_days").alias("max_lag"),
+        F.round(F.stddev_samp("lag_days"), 4).alias("std_lag"),
+    )
+
+
+@REG.op(
+    "agg_hist",
+    oracle="""
+    SELECT CAST(floor(l_quantity) AS INT) AS bucket, count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram via bucketed group-count (reference 50-bin lag
+    histogram, pages/3_플랜트_분석.py:639-641). Bucketing is a pure
+    projection, so the exchange carries ≤ n_buckets rows/partition."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.floor("l_quantity").cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

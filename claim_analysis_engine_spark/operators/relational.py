@@ -1,0 +1,579 @@
+"""Relational core: scans, projections, filters, dedup flavors, joins,
+unions, sorts/limits (SURVEY.md §2.1–2.4, §2.7).
+
+Each op mirrors a reference behavior (file:line cited per op) on the
+driver's TPC-H-ish tables. Spark side is DataFrame API so Catalyst gets
+pushdown/pruning; the oracle is ANSI SQL for DuckDB.
+
+Scale notes (100 TB): every query here is a narrow scan + pushed filter
+or a single hash exchange. Joins against small dims use broadcast();
+keep-last dedup is a window over the natural key, which shuffles once
+on that key — the same strategy holds at cluster scale (AQE handles
+skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from claim_analysis_engine_spark.registry import OpRegistry
+from claim_analysis_engine_spark.tables import load
+
+REG = OpRegistry()
+
+
+# ---------------------------------------------------------------- scans
+
+@REG.op(
+    "src_parquet_part",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+    FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def src_parquet_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition/predicate-pushed parquet scan.
+
+    Reference: pyarrow dataset filtered on 접수년/접수월
+    (core/storage.py:171-193). Spark pushes year(o_orderdate)=1996 into
+    the parquet scan (PushedFilters); on a hub partitioned by
+    (year, month) this prunes directories.
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1996)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+@REG.op(
+    "src_parquet_cols",
+    oracle="SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+)
+def src_parquet_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan (reference core/storage.py:327-331 reads only
+    [플랜트,접수년,접수월]). Catalyst prunes ReadSchema to 3 columns."""
+    return load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+
+
+@REG.op(
+    "src_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with explicit schema (reference core/etl.py:37-38,
+    pd.read_csv utf-8-sig). Writes a temp CSV from the nation table,
+    reads it back with spark.read.csv — no schema inference, canonical
+    layer always declares types."""
+    import os
+    import tempfile
+
+    src = load(spark, sf_dir, "nation")
+    tmp = os.path.join(tempfile.gettempdir(), "cae_spark_nation_csv")
+    src.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    return spark.read.csv(
+        tmp, header=True, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+
+
+@REG.op(
+    "meta_rowcount",
+    oracle="SELECT count(*) AS n_rows FROM lineitem",
+)
+def meta_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only row count (reference sums parquet footer num_rows,
+    core/storage.py:248-262). Spark's count(*) over parquet is answered
+    from footer stats via aggregate pushdown."""
+    return load(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ---------------------------------------------- projection / filters
+
+@REG.op(
+    "proj_canon54",
+    oracle="""
+    SELECT o_orderkey AS claim_id, o_orderstatus AS status,
+           o_totalprice AS total_cost,
+           CAST(NULL AS VARCHAR) AS grade, CAST(NULL AS INT) AS reception_day
+    FROM orders
+    """,
+)
+def proj_canon54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalizing projection: reindex input to a fixed schema —
+    missing columns null-filled with declared types, extras dropped
+    (reference core/etl.py:50-71 reindex to TARGET_54_COLS).
+    The full 54-col version lives in etl.canonicalize()."""
+    df = load(spark, sf_dir, "orders")
+    canon = [
+        ("claim_id", "bigint", "o_orderkey"),
+        ("status", "string", "o_orderstatus"),
+        ("total_cost", "double", "o_totalprice"),
+        ("grade", "string", None),  # absent in input → typed null
+        ("reception_day", "int", None),
+    ]
+    return df.select(
+        *[
+            (F.col(src).cast(typ) if src else F.lit(None).cast(typ)).alias(name)
+            for name, typ, src in canon
+        ]
+    )
+
+
+@REG.op(
+    "flt_notnull",
+    oracle="""
+    SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status
+    FROM orders WHERE nullif(o_orderstatus, 'P') IS NOT NULL
+    """,
+)
+def flt_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-drop on key column (reference dropna(subset=['상담번호']),
+    core/etl.py:197-201). Testdata has no nulls, so nullif synthesizes
+    them first — semantics under test are isNotNull pushdown."""
+    df = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status")
+    )
+    return df.where(F.col("status").isNotNull())
+
+
+@REG.op(
+    "flt_isin",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'
+    """,
+)
+def flt_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list predicate (reference 사업부문.isin(['식품','B2B식품']) mode
+    filters, pages/3_플랜트_분석.py:117-156)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_orderstatus") == "F")
+        )
+        .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+    )
+
+
+@REG.op(
+    "flt_eq",
+    oracle="SELECT event_id, event_type, user_id FROM events WHERE event_type = 'purchase'",
+)
+def flt_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality filter (reference plant filter, pages/4_예측_시뮬레이션.py:60)."""
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "event_type", "user_id")
+    )
+
+
+@REG.op(
+    "flt_range_date",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-06-30'
+    """,
+)
+def flt_range_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range predicate (reference 접수일자 between start/end,
+    pages/3_플랜트_분석.py:82-86)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .withColumn("ship_date_d", F.col("l_shipdate").cast("date"))
+        .where(F.col("ship_date_d").between("1997-01-01", "1997-06-30"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("ship_date_d", "yyyy-MM-dd").alias("ship_date"),
+        )
+    )
+
+
+@REG.op(
+    "flt_rolling_30d",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(l_shipdate AS DATE)) AS mx FROM lineitem)
+    SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+    FROM lineitem, mx WHERE CAST(l_shipdate AS DATE) >= mx.mx - INTERVAL 30 DAY
+    """,
+)
+def flt_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day window off the data's max date (reference LOT
+    alert window `>= max_date-30d`, app.py:443-446). max() is computed
+    as a 1-row subquery and broadcast into the filter — no collect."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "ship_date", F.col("l_shipdate").cast("date")
+    )
+    mx = li.agg(F.date_sub(F.max("ship_date"), 30).alias("cutoff"))
+    return (
+        li.join(F.broadcast(mx))
+        .where(F.col("ship_date") >= F.col("cutoff"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("ship_date", "yyyy-MM-dd").alias("ship_date"),
+        )
+    )
+
+
+@REG.op(
+    "fill_na_label",
+    oracle="""
+    SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'P'), '미지정') AS status_label
+    FROM orders
+    """,
+)
+def fill_na_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null → '미지정' label on pivot dims (reference fillna('미지정'),
+    pages/3_플랜트_분석.py:260-263)."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("미지정")).alias(
+            "status_label"
+        ),
+    )
+
+
+@REG.op(
+    "num_coerce",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS priority_num,
+           TRY_CAST(o_orderstatus AS INTEGER) AS bogus_num
+    FROM orders
+    """,
+)
+def num_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant numeric coercion: non-numeric → null, never error
+    (reference pd.to_numeric(errors='coerce'), core/etl.py:217-219).
+    try_cast keeps this ANSI-safe on Spark 4."""
+    df = load(spark, sf_dir, "orders")
+    return df.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("priority_num"),
+        F.col("o_orderstatus").try_cast("int").alias("bogus_num"),
+    )
+
+
+# ------------------------------------------------------------- dedup
+
+@REG.op(
+    "dedup_fullrow",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem",
+)
+def dedup_fullrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-row distinct (reference drop_duplicates() post-load,
+    core/etl.py:134-136). One hash exchange on all columns."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    ).distinct()
+
+
+@REG.op(
+    "dedup_keylast",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS last_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS last_order_date
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keylast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-dedup keep-last (reference dedups 상담번호 keep='last' on
+    upload order, core/etl.py:203-209). pandas relies on implicit row
+    order; here the order is an explicit, deterministic sort key
+    (date desc, id desc) — the SURVEY §7 'hard parts' fix."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_order_date"),
+        )
+    )
+
+
+@REG.op(
+    "dedup_merge",
+    oracle="""
+    WITH existing AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS load_seq
+      FROM orders WHERE year(o_orderdate) <= 1997
+    ), incoming AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS load_seq
+      FROM orders WHERE year(o_orderdate) >= 1997
+    ), unioned AS (
+      SELECT * FROM existing UNION ALL SELECT * FROM incoming
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice AS total_price
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY load_seq DESC) AS rn
+      FROM unioned
+    ) WHERE rn = 1
+    """,
+)
+def dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-upsert: union(existing, incoming) → keep-last by key with
+    explicit load_seq (reference hub merge concat+dedup,
+    core/storage.py:102-127). 1997 rows overlap both sides, so the
+    incoming copy must win. At scale this is storage.merge_upsert with
+    dynamic partition overwrite instead of a full rewrite."""
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    existing = orders.where(F.year("o_orderdate") <= 1997).select(*cols).withColumn(
+        "load_seq", F.lit(0)
+    )
+    incoming = orders.where(F.year("o_orderdate") >= 1997).select(*cols).withColumn(
+        "load_seq", F.lit(1)
+    )
+    unioned = existing.unionByName(incoming)
+    w = W.partitionBy("o_orderkey").orderBy(F.col("load_seq").desc())
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@REG.op(
+    "dedup_audit",
+    oracle="""
+    SELECT o_custkey AS dup_key, count(*) AS n_rows
+    FROM orders GROUP BY o_custkey HAVING count(*) > 1
+    """,
+)
+def dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness audit: keys appearing more than once
+    (reference check_duplication.py:44-77 lists duplicate 상담번호)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("dup_key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") > 1)
+    )
+
+
+# -------------------------------------------------------------- joins
+
+@REG.op(
+    "join_claims_sales",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_claims_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left equi-join fact → small dim (reference claims⟕sales on
+    [플랜트,년,월], pages/2_매출수량_관리.py:88). Dim side broadcast —
+    no shuffle of the 100 TB fact table."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+    ).select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+
+
+@REG.op(
+    "join_latest_id",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey, o_orderkey AS latest_orderkey FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name, l.latest_orderkey
+    FROM customer c LEFT JOIN latest l ON c.c_custkey = l.o_custkey
+    """,
+)
+def join_latest_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key latest-row pick then left join back (reference latest
+    sales ID per plant, pages/2_매출수량_관리.py:81-85)."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("latest_orderkey"))
+    )
+    customer = load(spark, sf_dir, "customer")
+    return customer.join(latest, customer.c_custkey == latest.o_custkey, "left").select(
+        "c_custkey", "c_name", "latest_orderkey"
+    )
+
+
+@REG.op(
+    "join_anti_sync",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: keys on one side missing from the other — the idiomatic
+    form of the reference's Smart Sync 'claim periods missing from
+    sales' (pages/2_매출수량_관리.py:66-99; SURVEY §2.4 note)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@REG.op(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join: customers having ≥1 urgent order (EXISTS). Completes
+    the set-membership family next to join_anti_sync."""
+    customer = load(spark, sf_dir, "customer")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@REG.op(
+    "union_schema_align",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_name AS entity_name,
+           c_acctbal AS balance, CAST(NULL AS VARCHAR) AS priority
+    FROM customer
+    UNION ALL
+    SELECT o_orderkey AS entity_key, CAST(NULL AS VARCHAR) AS entity_name,
+           CAST(NULL AS DOUBLE) AS balance, o_orderpriority AS priority
+    FROM orders
+    """,
+)
+def union_schema_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned union: both sides gain each other's missing columns
+    as typed nulls (reference concat with add-missing-cols,
+    core/storage.py:107-119) — unionByName(allowMissingColumns=True)."""
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("entity_key"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return customer.unionByName(orders, allowMissingColumns=True)
+
+
+@REG.op(
+    "union_append",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE year(o_orderdate) = 1995
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain row append (reference CSV merge of new sales rows,
+    pages/2_매출수량_관리.py:190-202)."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.where(F.year("o_orderdate") == 1995).select("o_orderkey", "o_orderstatus")
+    b = orders.where(F.year("o_orderdate") == 1996).select("o_orderkey", "o_orderstatus")
+    return a.union(b)
+
+
+# ------------------------------------------------------ sort / limit
+
+@REG.op(
+    "sort_multi",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           o_totalprice AS total_price
+    FROM orders
+    ORDER BY o_orderstatus ASC, total_price DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort + limit (reference sort [플랜트,년,월] / score desc,
+    core/storage.py:267, app.py:322). Tie-broken by key so the LIMIT
+    is deterministic. Spark executes this as TakeOrderedAndProject —
+    no global sort materialization."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.col("o_totalprice").alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc(),
+            F.col("total_price").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@REG.op(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, o_totalprice AS total_price
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderstatus
+        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranked window (reference top-2 categories /
+    champion pick, app.py:53, core/engine/trainer.py:536-542)."""
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.col("o_totalprice").alias("total_price"),
+        )
+    )

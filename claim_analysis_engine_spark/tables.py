@@ -1,0 +1,54 @@
+"""Access to the driver-generated synthetic tables (TESTDATA.md).
+
+All operator queries registered for the DuckDB-oracle gate read these
+parquet tables. Reads are plain `spark.read.parquet` so Catalyst gets
+full pushdown/pruning; never cache here — each query owns its plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+    vectorized parquet reader rejects. Read nanos as long and convert
+    with integer division (ts div 1000 → micros) — truncation matches
+    how micro-precision engines (DuckDB) read the same column. Double
+    division would be wrong: 1.7e18 ns exceeds 2^53."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for spark.sql-style ops)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
