@@ -42,10 +42,13 @@ def main() -> None:
     reg = registry()
     queries = {}
     total = 0.0
+    missing = [name for name in HEADLINE if name not in reg]
+    if missing:
+        # a typo'd or unregistered headline op must be an error, not a
+        # silent shrink of headline_total_runtime
+        raise KeyError(f"headline ops not in registry: {missing}")
     for name in HEADLINE:
-        op = reg.get(name)
-        if op is None:
-            continue
+        op = reg[name]
         t0 = time.perf_counter()
         op.query(spark, sf_dir).write.mode("overwrite").format("noop").save()
         dt = round(time.perf_counter() - t0, 3)

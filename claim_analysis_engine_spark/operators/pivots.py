@@ -141,10 +141,10 @@ def unpvt_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1, 2, 3
     )
     SELECT l_returnflag,
-           CAST(concat(CAST(sum(n) FILTER (y = 1995) AS BIGINT), '(',
-                  round(avg(n) FILTER (y = 1995), 1), ')') AS VARCHAR) AS y1995,
-           CAST(concat(CAST(sum(n) FILTER (y = 1996) AS BIGINT), '(',
-                  round(avg(n) FILTER (y = 1996), 1), ')') AS VARCHAR) AS y1996,
+           CAST(concat(coalesce(CAST(sum(n) FILTER (y = 1995) AS BIGINT), 0), '(',
+                  coalesce(round(avg(n) FILTER (y = 1995), 1), 0.0), ')') AS VARCHAR) AS y1995,
+           CAST(concat(coalesce(CAST(sum(n) FILTER (y = 1996) AS BIGINT), 0), '(',
+                  coalesce(round(avg(n) FILTER (y = 1996), 1), 0.0), ')') AS VARCHAR) AS y1996,
            CAST(sum(n) FILTER (y = 1997 AND m = 1) AS BIGINT) AS m1997_01,
            CAST(sum(n) FILTER (y = 1997 AND m = 2) AS BIGINT) AS m1997_02,
            CAST(sum(n) FILTER (y = 1997 AND m = 3) AS BIGINT) AS m1997_03
@@ -165,9 +165,12 @@ def pvt_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def year_text(y: int):
+        # coalesce before concat: an empty year bucket must render as
+        # "0(0.0)" — bare concat would yield NULL on Spark but not on
+        # engines that treat NULL as '' (oracle mirrors the coalesce)
         cond = F.col("y") == y
-        s = F.sum(F.when(cond, F.col("n"))).cast("bigint")
-        a = F.round(F.avg(F.when(cond, F.col("n"))), 1)
+        s = F.coalesce(F.sum(F.when(cond, F.col("n"))).cast("bigint"), F.lit(0))
+        a = F.coalesce(F.round(F.avg(F.when(cond, F.col("n"))), 1), F.lit(0.0))
         return F.concat(s.cast("string"), F.lit("("), a.cast("string"), F.lit(")"))
 
     def month_raw(y: int, m: int):

@@ -70,12 +70,13 @@ def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV scan with explicit schema (reference core/etl.py:37-38,
     pd.read_csv utf-8-sig). Writes a temp CSV from the nation table,
     reads it back with spark.read.csv — no schema inference, canonical
-    layer always declares types."""
-    import os
+    layer always declares types. The temp dir is unique per invocation
+    so concurrent sessions (driver + pytest) can't race on a shared
+    path, and only the 3 read-back columns are written."""
     import tempfile
 
-    src = load(spark, sf_dir, "nation")
-    tmp = os.path.join(tempfile.gettempdir(), "cae_spark_nation_csv")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="cae_spark_nation_csv_")
     src.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
     return spark.read.csv(
         tmp, header=True, schema="n_nationkey int, n_name string, n_regionkey int"

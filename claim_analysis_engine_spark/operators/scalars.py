@@ -97,8 +97,8 @@ def f_date_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH raw AS (
       SELECT o_orderkey,
              CASE WHEN o_orderkey % 2 = 0
-                  THEN CAST(date_diff('day', DATE '1970-01-01',
-                            CAST(o_orderdate AS DATE)) AS BIGINT) * 86400000
+                  THEN (CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) + 5000) * 86400000
                   ELSE NULL END AS ms_val,
              CASE WHEN o_orderkey % 2 = 1
                   THEN strftime(o_orderdate, '%Y-%m-%d') ELSE NULL END AS str_val
@@ -116,14 +116,17 @@ def f_date_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-ms heuristic: numeric > 1e12 → ms timestamp, else parse
     string (reference app.py:449-461 LOT 제조일 handling). Decoding is
     pure integer day arithmetic — timezone-independent, so driver
-    session TZ can't skew the oracle compare."""
+    session TZ can't skew the oracle compare. Synthesized ms values get
+    a +5000-day offset so every even-key row crosses the 1e12 heuristic
+    threshold and the ms-decode branch is actually exercised (testdata
+    dates alone top out below 1e12 ms)."""
     df = load(spark, sf_dir, "orders")
     epoch_days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
     raw = df.select(
         "o_orderkey",
-        F.when(F.col("o_orderkey") % 2 == 0, epoch_days.cast("bigint") * 86400000).alias(
-            "ms_val"
-        ),
+        F.when(
+            F.col("o_orderkey") % 2 == 0, (epoch_days.cast("bigint") + 5000) * 86400000
+        ).alias("ms_val"),
         F.when(F.col("o_orderkey") % 2 == 1, F.date_format("o_orderdate", "yyyy-MM-dd")).alias(
             "str_val"
         ),
@@ -302,16 +305,24 @@ def f_str_parse_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """round / pct share / clip via greatest-least (reference score
-    clipping max(0,·) min(100,·), core/analytics.py:127, app.py:361)."""
-    from pyspark.sql import Window as W
+    clipping max(0,·) min(100,·), core/analytics.py:127, app.py:361).
 
-    total = F.sum("o_totalprice").over(W.partitionBy())
-    return load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.round("o_totalprice", 1).alias("rounded"),
-        F.round(F.lit(100.0) * F.col("o_totalprice") / total, 4).alias("share_pct"),
-        F.greatest(F.col("o_totalprice") - 100000, F.lit(0.0)).alias("clipped_low"),
-        F.least(F.col("o_totalprice"), F.lit(200000.0)).alias("clipped_high"),
+    The global total is a 1-row aggregate broadcast back into the scan
+    (never an unpartitioned window, which would funnel the whole fact
+    table through a single partition)."""
+    df = load(spark, sf_dir, "orders")
+    total = df.agg(F.sum("o_totalprice").alias("_grand_total"))
+    return (
+        df.crossJoin(F.broadcast(total))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 1).alias("rounded"),
+            F.round(F.lit(100.0) * F.col("o_totalprice") / F.col("_grand_total"), 4).alias(
+                "share_pct"
+            ),
+            F.greatest(F.col("o_totalprice") - 100000, F.lit(0.0)).alias("clipped_low"),
+            F.least(F.col("o_totalprice"), F.lit(200000.0)).alias("clipped_high"),
+        )
     )
 
 

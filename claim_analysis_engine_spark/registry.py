@@ -43,8 +43,11 @@ class OpRegistry:
 
 
 def registry() -> dict[str, Op]:
-    """Merge all operator modules' registries (import lazily so a broken
-    optional module doesn't take down the whole surface)."""
+    """Merge all operator modules' registries. Imports happen here (not
+    at package import) so the module list stays in one place; a failure
+    in any module is FATAL by design — the correctness gate must see
+    every registered op, and silently dropping a module would shrink
+    the surface without any visible error."""
     from claim_analysis_engine_spark.operators import (
         aggregates,
         dedup_text,

@@ -35,6 +35,10 @@ def get_spark(
         # dynamic partition overwrite: hub merge-upsert rewrites only
         # touched (year, month) partitions, not the whole hub
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # events.parquet stores TIMESTAMP(NANOS); read nanos as long
+        # (tables._load_events converts). Set here so it never has to
+        # flip mid-session.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

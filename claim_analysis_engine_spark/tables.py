@@ -39,7 +39,12 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     division would be wrong: 1.7e18 ns exceeds 2^53."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # set-once guard: sessions built by session.get_spark already carry
+    # this conf; external sessions (the driver's) get it on first events
+    # read. The value only ever goes false→true, never flips back, so
+    # no other query's plan changes mid-session.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
