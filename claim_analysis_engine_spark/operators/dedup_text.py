@@ -1,5 +1,432 @@
-"""Placeholder module — operators land in a later milestone."""
+"""Text / embedding deduplication for training-data pipelines:
+exact-hash dedup, single-probe MinHash blocking, banded MinHash-LSH,
+SimHash, and hyperplane-LSH embedding near-dup — all over the driver's
+`documents` / `embeddings` tables.
+
+Determinism contract: every hash is md5 over an explicit seed string,
+so the DuckDB oracle replicates the EXACT algorithm (signatures, bands,
+buckets, candidate pairs) — the correctness gate checks algorithmic
+parity, while tests/test_dedup_recall.py checks recall against exact
+all-pairs ground truth. MinHash ranks shingles by the md5 hex string
+itself (lexicographic min of lowercase hex == numeric min of the
+128-bit value), so no hex→int conversion is ever needed.
+
+Scale notes (100 TB):
+* Signature computation is per-row JVM column math (shingle → md5 →
+  array_min) — embarrassingly parallel, no shuffle, no Python.
+* Candidate generation NEVER does all-pairs: pairs only materialize
+  inside an LSH band bucket (banded join) or a single-probe block.
+  The self-join shuffles on (band, signature) — uniform md5 keys, so
+  no skew; bucket sizes stay tiny unless documents truly collide.
+* Exact-verify (Jaccard / cosine) runs only on the candidate set.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from claim_analysis_engine_spark.registry import OpRegistry
+from claim_analysis_engine_spark.tables import load
 
 REG = OpRegistry()
+
+# MinHash configuration: 16 hashes in 4 bands of 4 rows; 5-char shingles
+N_HASH = 16
+N_BANDS = 4
+BAND_ROWS = 4
+SHINGLE_K = 5
+JACCARD_T = 0.8
+
+# SimHash: 16 bits over distinct word tokens, bucketed by the first 8
+SIMHASH_BITS = 16
+SIMHASH_BUCKET = 8
+HAMMING_T = 3
+
+# Embedding LSH: 8 bands of 4 random-hyperplane bits over all 64 dims
+EMB_DIM = 64
+EMB_BANDS = 8
+EMB_BAND_BITS = 4
+COSINE_T = 0.4
+
+
+# ------------------------------------------------------------ helpers
+
+def _plane_sign(bit: int, dim: int) -> int:
+    """Deterministic ±1 hyperplane component from md5 — reproduced
+    verbatim in the oracle SQL as literals."""
+    return 1 if hashlib.md5(f"{bit}:{dim}".encode()).hexdigest()[0] in "89abcdef" else -1
+
+
+_PLANES = [
+    [_plane_sign(b, d) for d in range(EMB_DIM)] for b in range(EMB_BANDS * EMB_BAND_BITS)
+]
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    f"generate_series(1, greatest(1, length(text) - {SHINGLE_K - 1})), "
+    f"i -> substr(text, i, {SHINGLE_K})))"
+)
+
+_MINHASH_SQL = ", ".join(
+    f"list_aggregate(list_transform(sh, s -> md5('{j}:' || s)), 'min') AS mh{j}"
+    for j in range(N_HASH)
+)
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+    + ", ".join(f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+    + ")) AS sig FROM sigs"
+    for b in range(N_BANDS)
+)
+
+
+def _shingles_col() -> F.Column:
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - (SHINGLE_K - 1))),
+            lambda i: F.col("text").substr(i, F.lit(SHINGLE_K)),
+        )
+    )
+
+
+def _minhash_cols() -> list[F.Column]:
+    # NB: the per-seed closure must keep the transform lambda UNARY —
+    # a `lambda s, j=j` would be interpreted by PySpark as the binary
+    # (element, index) form and bind j to the array index column
+    def mh(seed: str) -> F.Column:
+        return F.array_min(
+            F.transform("sh", lambda s: F.md5(F.concat(F.lit(seed), s)))
+        )
+
+    return [mh(f"{j}:").alias(f"mh{j}") for j in range(N_HASH)]
+
+
+def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _shingles_col().alias("sh"))
+        .select("doc_id", "sh", *_minhash_cols())
+    )
+
+
+def _jaccard(a: str, b: str) -> F.Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+# --------------------------------------------------------- dedup_exact
+
+@REG.op(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM corpus GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate grouping by content hash, keep-lowest-id — the
+    hash-groupBy analog of the reference's full-row dedup
+    (core/etl.py:134-136). The corpus plants one duplicate per 10 docs
+    (id-offset copies) so the keep/count semantics are exercised; one
+    map-side-combined hash aggregate, scale-safe at any corpus size."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return (
+        docs.unionByName(planted)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# -------------------------------------------------- dedup_minhash_block
+
+@REG.op(
+    "dedup_minhash_block",
+    oracle=f"""
+    WITH sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    sigs AS (SELECT doc_id, sh, {_MINHASH_SQL} FROM sh0),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
+      FROM sigs a JOIN sigs b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sha, shb)) * 1.0
+                 / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 4)
+             AS jaccard
+    FROM pairs
+    WHERE len(list_intersect(sha, shb)) * 1.0
+          / (len(sha) + len(shb) - len(list_intersect(sha, shb))) >= 0.5
+    """,
+)
+def dedup_minhash_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-probe MinHash blocking: docs sharing minhash #0 become
+    candidates (collision probability = their true Jaccard), then exact
+    5-gram Jaccard ≥ 0.5 verifies. The cheapest near-dup pass — one
+    equi-join on the block key, no all-pairs."""
+    sigs = _sigs(spark, sf_dir)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"), F.col("mh0").alias("k")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"), F.col("mh0").alias("k")
+    )
+    jac = _jaccard("sha", "shb")
+    return (
+        a.join(b, "k")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------- dedup_minhash_lsh
+
+@REG.op(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    sigs AS (SELECT doc_id, sh, {_MINHASH_SQL} FROM sh0),
+    bands AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(x.sh, y.sh)) * 1.0
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4)
+             AS jaccard
+    FROM cand c
+    JOIN sh0 x ON x.doc_id = c.doc_a
+    JOIN sh0 y ON y.doc_id = c.doc_b
+    WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+          / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+          >= {JACCARD_T}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup detection: 16 minhashes → 4 bands of
+    4 → docs sharing any band signature become candidates → exact
+    Jaccard ≥ 0.8 verifies. Candidate pairs exist ONLY within band
+    buckets (for J=0.8 the any-band hit rate is 1-(1-0.8^4)^4 ≈ 0.88;
+    ≈ 1.0 at J≥0.95 — recall asserted in tests/test_dedup_recall.py).
+    The band self-join shuffles on uniformly distributed md5 keys."""
+    sigs = _sigs(spark, sf_dir).cache()
+    bands = None
+    for b in range(N_BANDS):
+        cols = [f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS)]
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("sig"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _sigs(spark, sf_dir).select("doc_id", "sh")
+    jac = _jaccard("sha", "shb")
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
+        .where(jac >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# -------------------------------------------------------- dedup_simhash
+
+_TOKENS_SQL = "list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))"
+
+_SIMHASH_SQL = (
+    "concat("
+    + ", ".join(
+        f"CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN "
+        f"substr(md5('{b}:' || t), 1, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+        f"THEN '1' ELSE '0' END"
+        for b in range(SIMHASH_BITS)
+    )
+    + ")"
+)
+
+
+@REG.op(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks0 AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    sigs AS (SELECT doc_id, {_SIMHASH_SQL} AS sig FROM toks0),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS siga, b.sig AS sigb
+      FROM sigs a JOIN sigs b
+        ON substr(a.sig, 1, {SIMHASH_BUCKET}) = substr(b.sig, 1, {SIMHASH_BUCKET})
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           {SIMHASH_BITS} - list_sum(list_transform(
+             generate_series(1, {SIMHASH_BITS}),
+             i -> CASE WHEN substr(siga, i, 1) = substr(sigb, i, 1)
+                       THEN 1 ELSE 0 END)) AS hamming
+    FROM cand
+    WHERE {SIMHASH_BITS} - list_sum(list_transform(
+            generate_series(1, {SIMHASH_BITS}),
+            i -> CASE WHEN substr(siga, i, 1) = substr(sigb, i, 1)
+                      THEN 1 ELSE 0 END)) <= {HAMMING_T}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit signature (per-bit majority vote of
+    md5-hashed distinct word tokens), candidates bucketed on the first
+    8 bits (docs within Hamming ≤ 3 of each other agree on the prefix
+    unless a flipped bit lands there — the classic rotate-and-probe
+    tradeoff), verified by full Hamming distance ≤ 3."""
+    toks = F.array_distinct(F.array_remove(F.split("text", " "), ""))
+    docs = load(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
+
+    def bit(b: int) -> F.Column:
+        vote = F.aggregate(
+            "toks",
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.substring(F.md5(F.concat(F.lit(f"{b}:"), t)), 1, 1) >= "8", 1).otherwise(
+                -1
+            ),
+        )
+        return F.when(vote > 0, "1").otherwise("0")
+
+    sigs = docs.select(
+        "doc_id", F.concat(*[bit(b) for b in range(SIMHASH_BITS)]).alias("sig")
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sigb"))
+    matches = F.aggregate(
+        F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(F.col("siga").substr(i, F.lit(1)) == F.col("sigb").substr(i, F.lit(1)), 1).otherwise(0),
+    )
+    hamming = F.lit(SIMHASH_BITS) - matches
+    return (
+        a.join(
+            b,
+            (
+                F.col("siga").substr(1, SIMHASH_BUCKET)
+                == F.col("sigb").substr(1, SIMHASH_BUCKET)
+            )
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .where(hamming <= HAMMING_T)
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+    )
+
+
+# -------------------------------------------------- dedup_embed_cosine
+
+def _plane_sql(p: list[int]) -> str:
+    return "[" + ", ".join(str(v) for v in p) + "]"
+
+
+_EMB_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, concat("
+    + ", ".join(
+        "CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+        f"d -> CAST(embedding[d] AS DOUBLE) * ({_plane_sql(_PLANES[b * EMB_BAND_BITS + r])})[d])) > 0 "
+        "THEN '1' ELSE '0' END"
+        for r in range(EMB_BAND_BITS)
+    )
+    + ") AS sig FROM embeddings"
+    for b in range(EMB_BANDS)
+)
+
+_COS_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "d -> CAST(x.embedding[d] AS DOUBLE) * CAST(y.embedding[d] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "d -> CAST(x.embedding[d] AS DOUBLE) * CAST(x.embedding[d] AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "d -> CAST(y.embedding[d] AS DOUBLE) * CAST(y.embedding[d] AS DOUBLE)))))"
+)
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@REG.op(
+    "dedup_embed_cosine",
+    oracle=f"""
+    WITH bands AS ({_EMB_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, round({_COS_SQL}, 4) AS cosine
+    FROM cand c
+    JOIN embeddings x ON x.vec_id = c.vec_a
+    JOIN embeddings y ON y.vec_id = c.vec_b
+    WHERE {_COS_SQL} >= {COSINE_T}
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH: 32 deterministic
+    ±1 hyperplanes (md5-seeded, embedded as literals in BOTH engines)
+    → 8 bands of 4 sign-bits → candidates share a band signature →
+    exact cosine ≥ 0.4 verifies. All-pairs never materializes; the
+    verify join runs on the candidate set only. Dot products are
+    JVM-side zip_with/aggregate folds in double precision."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    def bit(plane: list[int]) -> F.Column:
+        lits = F.array(*[F.lit(float(v)) for v in plane])
+        return F.when(_dot("embedding", lits) > 0, "1").otherwise("0")  # type: ignore[arg-type]
+
+    bands = None
+    for b in range(EMB_BANDS):
+        sig = F.concat(*[bit(_PLANES[b * EMB_BAND_BITS + r]) for r in range(EMB_BAND_BITS)])
+        part = emb.select("vec_id", F.lit(b).alias("band"), sig.alias("sig"))
+        bands = part if bands is None else bands.unionByName(part)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    x = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    y = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = _dot("ea", "eb") / (
+        F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))
+    )
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .where(cos >= COSINE_T)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+    )

@@ -1,0 +1,75 @@
+"""Recall checks for the LSH-based near-dup operators: the oracle
+parity gate proves algorithmic parity; these tests prove the
+algorithms actually FIND the planted near-duplicates, against exact
+all-pairs ground truth computed in DuckDB (test-only — the operators
+themselves never do all-pairs)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from claim_analysis_engine_spark.operators.dedup_text import (
+    dedup_embed_cosine,
+    dedup_minhash_lsh,
+)
+from tests.conftest import SF_ORACLE
+from tests.oracle_harness import duck_connection
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_ORACLE)
+    yield con
+    con.close()
+
+
+def test_minhash_lsh_recall_at_high_jaccard(spark, duck):
+    truth = {
+        (a, b)
+        for a, b in duck.execute(
+            """
+            WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(1, length(text) - 4)),
+                       i -> substr(text, i, 5))) AS s
+              FROM documents)
+            SELECT a.doc_id, b.doc_id
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 1.0
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+            """
+        ).fetchall()
+    }
+    assert truth, "testdata should contain planted near-duplicates"
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, SF_ORACLE).collect()
+    }
+    # at J ≥ 0.9 the any-of-4-bands hit probability is 1-(1-0.9^4)^4 ≈ 0.98
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_embed_lsh_recall(spark, duck):
+    truth = {
+        (a, b)
+        for a, b in duck.execute(
+            """
+            SELECT a.vec_id, b.vec_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+            """
+        ).fetchall()
+    }
+    assert truth
+    found = {
+        (r.vec_a, r.vec_b) for r in dedup_embed_cosine(spark, SF_ORACLE).collect()
+    }
+    # 8 bands × 4 hyperplane bits: P(hit) at cos 0.45 is
+    # 1-(1-(1-acos(0.45)/π)^4)^8 ≈ 0.79 — assert a loose floor
+    p_bit = 1 - math.acos(0.45) / math.pi
+    expected = 1 - (1 - p_bit**4) ** 8
+    recall = len(truth & found) / len(truth)
+    assert recall >= expected / 2, f"embed-LSH recall {recall:.2f}, expected ≈{expected:.2f}"
