@@ -1,5 +1,305 @@
-"""Placeholder module — operators land in a later milestone."""
+"""Similarity search over the `embeddings` table (array<float> column):
+brute-force cosine top-k (the exactness baseline), random-hyperplane
+LSH ANN and IVF cell-probing (the scale paths), and threshold pairs.
 
+Query set: vec_id % 50 == 0 — a deterministic, data-independent sample.
+Ranking determinism: neighbors order by (round(cosine, 6) DESC, vec_id)
+so FP ulp drift between engines can't flip a rank boundary.
+
+Scale notes (100 TB of vectors):
+* Brute-force top-k broadcasts the (small) query set against the big
+  vector side — one pass, per-query top-k via window on the candidate
+  slice; exact, O(|Q|·N) — the baseline, not the scale path.
+* LSH ANN: vectors hash into 8×4-bit hyperplane band buckets (reusing
+  dedup_text's deterministic planes); a query only meets vectors
+  sharing a bucket. The join shuffles on uniform band keys.
+* IVF: vectors assign to their nearest of 8 deterministic centroids
+  (argmax cosine); queries probe the 2 nearest cells. Centroids are
+  broadcast; the fine search touches only probed cells' vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from claim_analysis_engine_spark.operators.dedup_text import (
+    EMB_BAND_BITS,
+    EMB_BANDS,
+    _EMB_BANDS_SQL,
+    _dot,
+)
 from claim_analysis_engine_spark.registry import OpRegistry
+from claim_analysis_engine_spark.tables import load
 
 REG = OpRegistry()
+
+TOP_K = 5
+ANN_K = 3
+PAIR_T = 0.45
+N_CELLS = 8
+N_PROBE = 2
+QUERY_MOD = 50
+
+
+def _cos_sql(x: str, y: str) -> str:
+    """Double-precision cosine between two FLOAT[] columns — identical
+    fold order to the Spark zip_with/aggregate implementation."""
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, 64), "
+            f"d -> CAST({a}.embedding[d] AS DOUBLE) * CAST({b}.embedding[d] AS DOUBLE)))"
+        )
+
+    return f"({dot(x, y)} / (sqrt({dot(x, x)}) * sqrt({dot(y, y)})))"
+
+
+def _cos(ea: str, eb: str) -> F.Column:
+    return _dot(ea, eb) / (F.sqrt(_dot(ea, ea)) * F.sqrt(_dot(eb, eb)))
+
+
+def _queries_and_corpus(spark: SparkSession, sf_dir: str):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"))
+    return q, c
+
+
+# ------------------------------------------------------- sim_topk_brute
+
+@REG.op(
+    "sim_topk_brute",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id % {QUERY_MOD} = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_cos_sql('q', 'c')} AS cos
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k per query: broadcast the query
+    set against every vector, rank per query. The correctness baseline
+    for the ANN variants (their recall is measured against this)."""
+    q, c = _queries_and_corpus(spark, sf_dir)
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cos("eq", "ec").alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank")
+    )
+
+
+# --------------------------------------------------------- sim_ann_lsh
+
+@REG.op(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH bands AS ({_EMB_BANDS_SQL}),
+    qb AS (SELECT * FROM bands WHERE vec_id % {QUERY_MOD} = 0),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id
+      FROM qb q JOIN bands v
+        ON v.band = q.band AND v.sig = q.sig AND v.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, {_cos_sql('x', 'y')} AS cos
+      FROM cand c
+      JOIN embeddings x ON x.vec_id = c.query_id
+      JOIN embeddings y ON y.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
+    FROM ranked WHERE rank <= {ANN_K}
+    """,
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH: a query only scores
+    vectors that share one of its 8 band signatures (4 sign-bits each,
+    deterministic md5-seeded planes shared with dedup_embed_cosine).
+    Candidate generation is a band-key equi-join — the big vector side
+    never sees a cross join."""
+    from claim_analysis_engine_spark.operators.dedup_text import _PLANES
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def bit(plane: list[int]) -> F.Column:
+        lits = F.array(*[F.lit(float(v)) for v in plane])
+        return F.when(_dot("embedding", lits) > 0, "1").otherwise("0")
+
+    bands = None
+    for b in range(EMB_BANDS):
+        sig = F.concat(
+            *[bit(_PLANES[b * EMB_BAND_BITS + r]) for r in range(EMB_BAND_BITS)]
+        )
+        part = emb.select("vec_id", F.lit(b).alias("band"), sig.alias("sig"))
+        bands = part if bands is None else bands.unionByName(part)
+    qb = bands.where(F.col("vec_id") % QUERY_MOD == 0)
+    cand = (
+        qb.alias("q")
+        .join(
+            bands.alias("v"),
+            (F.col("v.band") == F.col("q.band"))
+            & (F.col("v.sig") == F.col("q.sig"))
+            & (F.col("v.vec_id") != F.col("q.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"), F.col("v.vec_id").alias("neighbor_id")
+        )
+        .distinct()
+    )
+    x = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
+    y = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"))
+    scored = cand.join(x, "query_id").join(y, "neighbor_id").select(
+        "query_id", "neighbor_id", _cos("eq", "ec").alias("cos")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank")
+    )
+
+
+# ------------------------------------------------------------- sim_ivf
+
+@REG.op(
+    "sim_ivf",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cell_id, embedding FROM embeddings
+                  WHERE vec_id < {N_CELLS}),
+    assign0 AS (
+      SELECT v.vec_id, c.cell_id, {_cos_sql('v', 'c')} AS cos,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY round({_cos_sql('v', 'c')}, 6) DESC,
+                                         c.cell_id) AS rk
+      FROM embeddings v CROSS JOIN cent c
+    ),
+    assigned AS (SELECT vec_id, cell_id FROM assign0 WHERE rk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cell_id FROM assign0
+      WHERE vec_id % {QUERY_MOD} = 0 AND rk <= {N_PROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, p.cell_id
+      FROM probes p JOIN assigned a
+        ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, c.cell_id, {_cos_sql('x', 'y')} AS cos
+      FROM cand c
+      JOIN embeddings x ON x.vec_id = c.query_id
+      JOIN embeddings y ON y.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cell_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cell_id, round(cos, 4) AS cosine, rank
+    FROM ranked WHERE rank <= {ANN_K}
+    """,
+)
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: every vector assigns to its nearest of
+    8 deterministic centroids (the first 8 vectors — a stand-in for a
+    trained coarse quantizer); a query probes its 2 nearest cells and
+    scores only those cells' members. Centroids broadcast to both the
+    assignment and probe steps; the fine search is an equi-join on
+    cell_id — cost scales with cell size, not corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("ecent")
+    )
+    assign0 = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cell_id", _cos("embedding", "ecent").alias("cos"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(
+                    F.round("cos", 6).desc(), F.col("cell_id")
+                )
+            ),
+        )
+    )
+    assigned = assign0.where(F.col("rk") == 1).select("vec_id", "cell_id")
+    probes = assign0.where(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("rk") <= N_PROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cell_id")
+    cand = probes.join(
+        assigned.withColumnRenamed("vec_id", "neighbor_id"), "cell_id"
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    x = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
+    y = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"))
+    scored = cand.join(x, "query_id").join(y, "neighbor_id").select(
+        "query_id", "neighbor_id", "cell_id", _cos("eq", "ec").alias("cos")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell_id",
+            F.round("cos", 4).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+# --------------------------------------------------- sim_pairs_threshold
+
+@REG.op(
+    "sim_pairs_threshold",
+    oracle=f"""
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           round({_cos_sql('x', 'y')}, 4) AS cosine
+    FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+    WHERE {_cos_sql('x', 'y')} >= {PAIR_T}
+    """,
+)
+def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine-threshold pairs — the ground-truth generator the
+    LSH/IVF recall is measured against. Deliberately all-pairs: use
+    dedup_embed_cosine (LSH-bucketed) as the at-scale variant."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    y = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = _cos("ea", "eb")
+    return (
+        x.join(y, F.col("vec_a") < F.col("vec_b"))
+        .where(cos >= PAIR_T)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+    )
