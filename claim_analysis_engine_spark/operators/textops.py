@@ -1,5 +1,246 @@
-"""Placeholder module — operators land in a later milestone."""
+"""Text analysis for training-data pipelines over the `documents`
+table: token statistics, quality scoring, stopword-list language ID,
+content fingerprinting, and a corpus n-gram profile.
+
+Everything is built-in JVM column functions (split / filter /
+aggregate / regexp / md5) — no Python in the row path; the corpus
+profile is the only op with a shuffle (one hash aggregate on tokens).
+
+Oracle parity notes: DuckDB regexp_replace needs the 'g' flag to match
+Spark's replace-all default; token arrays drop empty strings on both
+sides; sort orders are plain ASCII lexicographic in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from claim_analysis_engine_spark.registry import OpRegistry
+from claim_analysis_engine_spark.tables import load
 
 REG = OpRegistry()
+
+_TOKENS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+# small per-language stopword lists for the language-ID heuristic
+_LANG_WORDS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "por"),
+    "fr": ("le", "les", "et", "des", "une"),
+}
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def _tokens_col() -> F.Column:
+    return F.array_remove(F.split("text", " "), "")
+
+
+# ---------------------------------------------------------- txt_tokens
+
+@REG.op(
+    "txt_tokens",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id, len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+                 / len(toks), 4) AS avg_token_len
+    FROM t
+    """,
+)
+def txt_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting: total, distinct, mean token length —
+    the unit economics of a text corpus (tokens-per-doc drives both
+    dedup shingling and LLM token budgeting)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", _tokens_col().alias("toks"))
+    total_len = F.aggregate("toks", F.lit(0), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.round(total_len.cast("double") / F.size("toks"), 4).alias("avg_token_len"),
+    )
+
+
+# --------------------------------------------------------- txt_quality
+
+@REG.op(
+    "txt_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           round(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+                 / length(text), 4) AS alpha_ratio,
+           round(len(list_filter(toks,
+                   x -> x IN {_STOPWORDS!r})) * 1.0 / len(toks), 4)
+             AS stopword_ratio,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS distinct_ratio,
+           (length(text) BETWEEN 20 AND 10000
+            AND len(list_filter(toks, x -> x IN {_STOPWORDS!r})) * 1.0
+                / len(toks) >= 0.02) AS passes_quality
+    FROM t
+    """,
+)
+def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length bounds, alphabetic ratio,
+    stopword ratio, lexical diversity) — the cheap pre-filter stage of
+    a training-data pipeline; the boolean gate mirrors C4-style
+    rule-based filtering."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", _tokens_col().alias("toks")
+    )
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double") / n_chars
+    stop_hits = F.size(F.filter("toks", lambda t: t.isin(*_STOPWORDS)))
+    stop_ratio = stop_hits.cast("double") / F.size("toks")
+    distinct_ratio = F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        F.round(alpha, 4).alias("alpha_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        (n_chars.between(20, 10000) & (stop_ratio >= 0.02)).alias("passes_quality"),
+    )
+
+
+# ---------------------------------------------------------- txt_langid
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    return f"len(list_filter(toks, x -> x IN {words!r}))"
+
+
+@REG.op(
+    "txt_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+             {_hits_sql(_LANG_WORDS["en"])} AS hits_en,
+             {_hits_sql(_LANG_WORDS["de"])} AS hits_de,
+             {_hits_sql(_LANG_WORDS["es"])} AS hits_es,
+             {_hits_sql(_LANG_WORDS["fr"])} AS hits_fr
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang, hits_en, hits_de, hits_es, hits_fr,
+           CASE WHEN hits_en + hits_de + hits_es + hits_fr = 0 THEN 'unknown'
+                WHEN hits_en >= greatest(hits_de, hits_es, hits_fr) THEN 'en'
+                WHEN hits_de >= greatest(hits_es, hits_fr) THEN 'de'
+                WHEN hits_es >= hits_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM h
+    """,
+)
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID: score each doc against per-language
+    function-word lists, argmax with a fixed tie-break order — the
+    classic cheap n-gram/stopword heuristic (fasttext-style LID is the
+    heavyweight alternative; this one is pure column math)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("labeled_lang"), _tokens_col().alias("toks")
+    )
+
+    def hits(words: tuple[str, ...]) -> F.Column:
+        return F.size(F.filter("toks", lambda t: t.isin(*words)))
+
+    h = docs.select(
+        "doc_id",
+        "labeled_lang",
+        hits(_LANG_WORDS["en"]).alias("hits_en"),
+        hits(_LANG_WORDS["de"]).alias("hits_de"),
+        hits(_LANG_WORDS["es"]).alias("hits_es"),
+        hits(_LANG_WORDS["fr"]).alias("hits_fr"),
+    )
+    total = F.col("hits_en") + F.col("hits_de") + F.col("hits_es") + F.col("hits_fr")
+    pred = (
+        F.when(total == 0, "unknown")
+        .when(
+            F.col("hits_en") >= F.greatest("hits_de", "hits_es", "hits_fr"), "en"
+        )
+        .when(F.col("hits_de") >= F.greatest("hits_es", "hits_fr"), "de")
+        .when(F.col("hits_es") >= F.col("hits_fr"), "es")
+        .otherwise("fr")
+    )
+    return h.select(
+        "doc_id", "labeled_lang", "hits_en", "hits_de", "hits_es", "hits_fr",
+        pred.alias("pred_lang"),
+    )
+
+
+# ----------------------------------------------------- txt_fingerprint
+
+@REG.op(
+    "txt_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_norm,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_bag,
+           list_aggregate(list_transform(
+             generate_series(1, greatest(1, length(text) - 7)),
+             i -> md5(substr(text, i, 8))), 'min') AS fp_min_shingle
+    FROM t
+    """,
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the whitespace-normalized text
+    (exact-dup key), md5 of the sorted distinct-token bag (word-order-
+    insensitive key), and the minimum 8-gram shingle hash (MOSS-style
+    winnowing representative — survives local edits)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", _tokens_col().alias("toks")
+    )
+    fp_norm = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    fp_bag = F.md5(F.array_join(F.array_sort(F.array_distinct("toks")), " "))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 7)),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(8))),
+    )
+    return docs.select(
+        "doc_id",
+        fp_norm.alias("fp_norm"),
+        fp_bag.alias("fp_bag"),
+        F.array_min(shingles).alias("fp_min_shingle"),
+    )
+
+
+# -------------------------------------------------- txt_corpus_ngrams
+
+@REG.op(
+    "txt_corpus_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    tok AS (SELECT unnest(toks) AS token FROM t),
+    counted AS (
+      SELECT token, count(*) AS n, count(*) * 1.0
+               / (SELECT count(*) FROM tok) AS freq
+      FROM tok GROUP BY token
+    )
+    SELECT token, n, round(freq, 6) AS freq
+    FROM counted ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def txt_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level unigram profile: explode tokens → one hash
+    aggregate → top-20 by frequency (TakeOrderedAndProject — the limit
+    is pushed into the sort, nothing global materializes). The total
+    count joins back as a broadcast 1-row aggregate."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(_tokens_col()).alias("token"))
+    )
+    counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counted.agg(F.sum("n").alias("_total"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("freq"),
+        )
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
