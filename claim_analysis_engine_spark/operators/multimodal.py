@@ -1,5 +1,250 @@
-"""Placeholder module — operators land in a later milestone."""
+"""Multimodal-column handling for training-data pipelines: opaque
+binary payloads with typed metadata, deterministic decode stubs behind
+`mapInPandas` (real Arrow plumbing, fake decoder — the image/audio
+libraries are not in this environment), frame sampling, and the
+document⋈embedding assembly join.
+
+The `documents.text` column stands in for the binary payload
+(`encode(text, 'UTF-8')` → the opaque blob); at 100 TB the same
+operators run over real image/audio bytes — only the decode stub's
+body changes (swap the md5-derived fake for PIL/ffmpeg inside the
+same mapInPandas signature).
+
+Scale notes: blob metadata is per-row column math; the decode stub is
+Arrow-batched Python with a fixed output schema (no shuffle — runs
+wherever the scan runs); the assembly join is a 1:1 key join that
+AQE plans as broadcast when one side is small.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from claim_analysis_engine_spark.registry import OpRegistry
+from claim_analysis_engine_spark.tables import load
 
 REG = OpRegistry()
+
+N_FRAMES = 8
+
+
+# --------------------------------------------------------- mm_blob_meta
+
+@REG.op(
+    "mm_blob_meta",
+    oracle="""
+    -- DuckDB's md5/substring are VARCHAR-only: for UTF-8 payloads
+    -- md5(text) is byte-identical to md5 over the encoded blob, and
+    -- the 4-byte magic prefix re-encodes the first 4 characters
+    SELECT d.doc_id, d.lang, d.source,
+           octet_length(encode(d.text)) AS n_bytes,
+           md5(d.text) AS blob_md5,
+           lower(hex(encode(substring(d.text, 1, 4)))) AS magic_prefix,
+           e.label, len(e.embedding) AS emb_dim
+    FROM documents d
+    LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    """,
+)
+def mm_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata profile: byte length, content hash, and
+    magic-byte prefix of the payload, joined 1:1 with the embedding
+    row's typed metadata — the schema pattern for multimodal lakehouse
+    tables (binary column + typed sidecar columns)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.encode("text", "UTF-8").alias("blob")
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        "label",
+        F.size("embedding").alias("emb_dim"),
+    )
+    return d.join(e, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.octet_length("blob").alias("n_bytes"),
+        F.md5("blob").alias("blob_md5"),
+        F.lower(F.hex(F.substring("blob", 1, 4))).alias("magic_prefix"),
+        "label",
+        "emb_dim",
+    )
+
+
+# ------------------------------------------------------- mm_decode_stub
+
+_DECODE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_frames int, mean_intensity double"
+)
+
+
+def _fake_decode(blob: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in for an image/video decoder. A real
+    deployment replaces THIS function body (PIL / ffmpeg / torchcodec)
+    — the mapInPandas plumbing, schema and batch shape stay identical.
+    Raises NotImplementedError for payloads that would need a real
+    codec (none in the synthetic corpus)."""
+    if blob[:4] in (b"\x89PNG", b"RIFF", b"\x00\x00\x00\x1c"):
+        raise NotImplementedError("real codecs are not available in this environment")
+    h = hashlib.md5(blob).digest()
+    width = 16 + h[0] % 240
+    height = 16 + h[1] % 240
+    n_frames = 1 + h[2] % 16
+    mean_intensity = round(sum(h[3:11]) / (8 * 255.0), 6)
+    return width, height, n_frames, mean_intensity
+
+
+@REG.op("mm_decode_stub")  # Python decode stage — rows-only check
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode / feature-extract stage over binary payloads via
+    `mapInPandas`: Arrow-batched, fixed output schema, no shuffle —
+    the stage runs wherever the scan runs and scales with input
+    splits. The decoder itself is a deterministic fake (see
+    _fake_decode); tests/test_multimodal.py pins its determinism and
+    batch behavior."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                w, h, nf, mi = _fake_decode(bytes(blob))
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "n_frames": nf,
+                        "mean_intensity": mi,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(decode, _DECODE_SCHEMA)
+
+
+# ------------------------------------------------------ mm_frame_sample
+
+@REG.op(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text, length(text) AS n,
+             unnest(generate_series(0, {N_FRAMES - 1})) AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id, frame_idx,
+           1 + frame_idx * (n // {N_FRAMES}) AS at_offset,
+           ascii(substr(text, CAST(1 + frame_idx * (n // {N_FRAMES}) AS INT), 1))
+             AS sample_value
+    FROM f
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling: take N_FRAMES evenly-strided
+    samples from each payload (byte value at offset) — the video
+    frame-subsampling access pattern, expressed as explode(sequence)
+    + offset arithmetic so it stays JVM-side."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    stride = F.floor(F.col("n") / N_FRAMES)
+    exploded = d.select(
+        "doc_id",
+        "text",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(N_FRAMES - 1))).alias("frame_idx"),
+    )
+    offset = (1 + F.col("frame_idx") * stride).cast("int")
+    return exploded.select(
+        "doc_id",
+        "frame_idx",
+        offset.cast("bigint").alias("at_offset"),
+        F.ascii(F.col("text").substr(offset, F.lit(1))).alias("sample_value"),
+    )
+
+
+# ------------------------------------------------- mm_assembly_profile
+
+@REG.op(
+    "mm_assembly_profile",
+    oracle="""
+    SELECT d.lang, e.label, count(*) AS n_docs,
+           round(avg(d.n_chars), 4) AS avg_chars,
+           round(avg(sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                      * CAST(e.embedding[i] AS DOUBLE))))), 4) AS avg_norm
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def mm_assembly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal dataset assembly: join text metadata with the
+    embedding sidecar 1:1 on id, profile per (lang, label) cell —
+    the coverage matrix a curriculum/mixture designer reads. One key
+    join + one hash aggregate."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label", norm.alias("norm")
+    )
+    return (
+        d.join(e, "doc_id")
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------- mm_bytes_histogram
+
+@REG.op(
+    "mm_bytes_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT source, octet_length(encode(text)) AS n_bytes FROM documents
+    ),
+    bounds AS (SELECT min(n_bytes) AS lo, max(n_bytes) + 1 AS hi FROM b)
+    SELECT source,
+           CAST(least(9, floor((n_bytes - lo) * 10.0 / (hi - lo))) AS BIGINT)
+             AS bucket,
+           count(*) AS n, sum(n_bytes) AS total_bytes
+    FROM b, bounds
+    GROUP BY 1, 2
+    """,
+)
+def mm_bytes_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-size histogram per source: 10 equal-width byte-length
+    buckets (bounds from a broadcast 1-row min/max aggregate) — the
+    skew diagnostic run before choosing file split sizes for a
+    binary-heavy table."""
+    b = load(spark, sf_dir, "documents").select(
+        "source", F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes")
+    )
+    bounds = b.agg(
+        F.min("n_bytes").alias("lo"), (F.max("n_bytes") + 1).alias("hi")
+    )
+    bucket = F.least(
+        F.lit(9),
+        F.floor((F.col("n_bytes") - F.col("lo")) * 10.0 / (F.col("hi") - F.col("lo"))),
+    )
+    return (
+        b.crossJoin(F.broadcast(bounds))
+        .groupBy("source", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_bytes").alias("total_bytes"))
+    )
