@@ -96,33 +96,156 @@ def meta_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------- projection / filters
 
+_CANON_SRC_SQL = {
+    "reception_year": "CAST(year(o_orderdate) AS VARCHAR)",
+    "reception_month": "CAST(month(o_orderdate) AS VARCHAR)",
+    "reception_day": "CAST(day(o_orderdate) AS VARCHAR)",
+    "business_unit": "CAST(o_custkey AS VARCHAR)",
+    "claim_id": "CAST(o_orderkey AS VARCHAR)",
+    "grade": "o_orderpriority",
+    "plant": "o_orderstatus",
+    "major_category": "o_orderpriority",
+}
+
+
+def _canon54_oracle() -> str:
+    from claim_analysis_engine_spark.config import CANONICAL_COLS
+
+    cols = ", ".join(
+        f"{_CANON_SRC_SQL.get(c, 'CAST(NULL AS VARCHAR)')} AS \"{c}\""
+        for c in CANONICAL_COLS
+    )
+    return f"SELECT {cols} FROM orders"
+
+
+@REG.op("proj_canon54", oracle=_canon54_oracle())
+def proj_canon54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalizing projection to the FULL 54-field contract via
+    etl.canonicalize (reference core/etl.py:50-71 reindex to
+    TARGET_54_COLS): the synthesized raw frame carries Korean source
+    names (exercising the alias map) plus an extra column that must be
+    dropped; the other 46 canonical fields materialize as typed nulls."""
+    from claim_analysis_engine_spark import etl
+
+    o = load(spark, sf_dir, "orders")
+    raw = o.select(
+        F.year("o_orderdate").cast("string").alias("접수년"),
+        F.month("o_orderdate").cast("string").alias("접수월"),
+        F.dayofmonth("o_orderdate").cast("string").alias("접수일"),
+        F.col("o_custkey").cast("string").alias("사업부문"),
+        F.col("o_orderkey").cast("string").alias("상담번호"),
+        F.col("o_orderpriority").alias("등급기준"),
+        F.col("o_orderstatus").alias("플랜트"),
+        F.col("o_orderpriority").alias("대분류"),
+        F.col("o_totalprice").cast("string").alias("비고"),  # extra — must be dropped
+    )
+    return etl.canonicalize(raw)
+
+
 @REG.op(
-    "proj_canon54",
+    "etl_preprocess",
     oracle="""
-    SELECT o_orderkey AS claim_id, o_orderstatus AS status,
-           o_totalprice AS total_cost,
-           CAST(NULL AS VARCHAR) AS grade, CAST(NULL AS INT) AS reception_day
-    FROM orders
+    WITH base AS (
+      SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                  ELSE concat('  ', CAST(o_orderkey AS VARCHAR), ' ') END AS claim_id,
+             CAST(year(o_orderdate) AS VARCHAR) AS ry,
+             CAST(month(o_orderdate) AS VARCHAR) AS rm,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                  ELSE CAST(day(o_orderdate) AS VARCHAR) END AS rd,
+             CASE o_orderkey % 4
+               WHEN 0 THEN strftime(CAST(o_orderdate AS DATE) - 30, '%Y/%m/%d')
+               WHEN 1 THEN strftime(CAST(o_orderdate AS DATE) - 30, '%Y-%m-%d')
+               WHEN 2 THEN strftime(CAST(o_orderdate AS DATE) - 30, '%Y.%m.%d')
+               ELSE 'unknown' END AS mfg,
+             0 AS load_seq
+      FROM orders
+      UNION ALL
+      SELECT concat('  ', CAST(o_orderkey AS VARCHAR), ' '),
+             CAST(year(o_orderdate) AS VARCHAR),
+             CAST(month(o_orderdate) AS VARCHAR),
+             '1', NULL, 1
+      FROM orders WHERE o_orderkey % 50 = 0
+    ),
+    trimmed AS (
+      SELECT trim(claim_id) AS claim_id, ry, rm, rd, mfg, load_seq
+      FROM base WHERE claim_id IS NOT NULL AND trim(claim_id) <> ''
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY claim_id
+                                     ORDER BY load_seq DESC) AS rn
+        FROM trimmed
+      ) WHERE rn = 1
+    ),
+    derived AS (
+      SELECT claim_id,
+             CASE WHEN ry IS NOT NULL AND rm IS NOT NULL AND rd IS NOT NULL
+                  THEN make_date(CAST(ry AS INT), CAST(rm AS INT), CAST(rd AS INT))
+             END AS reception_date,
+             CAST(coalesce(try_strptime(mfg, '%Y/%m/%d'),
+                           try_strptime(mfg, '%Y-%m-%d'),
+                           try_strptime(mfg, '%Y.%m.%d')) AS DATE)
+               AS manufacture_date,
+             CAST(ry AS INT) AS reception_year, CAST(rm AS INT) AS reception_month
+      FROM dedup
+    )
+    SELECT claim_id,
+           strftime(reception_date, '%Y-%m-%d') AS reception_date,
+           strftime(manufacture_date, '%Y-%m-%d') AS manufacture_date,
+           CAST(date_diff('day', manufacture_date, reception_date) AS INT) AS lag_days,
+           (reception_date IS NOT NULL AND manufacture_date IS NOT NULL
+            AND date_diff('day', manufacture_date, reception_date) >= 0) AS lag_valid,
+           reception_year, reception_month
+    FROM derived
     """,
 )
-def proj_canon54(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonicalizing projection: reindex input to a fixed schema —
-    missing columns null-filled with declared types, extras dropped
-    (reference core/etl.py:50-71 reindex to TARGET_54_COLS).
-    The full 54-col version lives in etl.canonicalize()."""
-    df = load(spark, sf_dir, "orders")
-    canon = [
-        ("claim_id", "bigint", "o_orderkey"),
-        ("status", "string", "o_orderstatus"),
-        ("total_cost", "double", "o_totalprice"),
-        ("grade", "string", None),  # absent in input → typed null
-        ("reception_day", "int", None),
-    ]
-    return df.select(
-        *[
-            (F.col(src).cast(typ) if src else F.lit(None).cast(typ)).alias(name)
-            for name, typ, src in canon
-        ]
+def etl_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed EP1 preprocess chain (reference core/etl.py:181-280
+    via etl.preprocess): trim + null-drop claim ids, keep-LAST dedup on
+    an explicit load_seq (a second upload of every 50th claim wins),
+    y/m/d reception assembly with a missing-day path, 3-format cascade
+    manufacture parse with an unparseable path, lag derivation
+    (flagged, never dropped), partition-int coercion."""
+    from claim_analysis_engine_spark import etl
+
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    mfg_date = F.date_sub("o_orderdate", 30)
+    base = o.select(
+        F.when(k % 97 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("  "), k.cast("string"), F.lit(" "))
+        ).alias("상담번호"),
+        F.year("o_orderdate").cast("string").alias("접수년"),
+        F.month("o_orderdate").cast("string").alias("접수월"),
+        F.when(k % 13 == 0, F.lit(None)).otherwise(
+            F.dayofmonth("o_orderdate").cast("string")
+        ).alias("접수일"),
+        F.when(k % 4 == 0, F.date_format(mfg_date, "yyyy/MM/dd"))
+        .when(k % 4 == 1, F.date_format(mfg_date, "yyyy-MM-dd"))
+        .when(k % 4 == 2, F.date_format(mfg_date, "yyyy.MM.dd"))
+        .otherwise("unknown")
+        .alias("제조일자"),
+        F.lit(0).alias("load_seq"),
+    )
+    second_upload = o.where(k % 50 == 0).select(
+        F.concat(F.lit("  "), k.cast("string"), F.lit(" ")).alias("상담번호"),
+        F.year("o_orderdate").cast("string").alias("접수년"),
+        F.month("o_orderdate").cast("string").alias("접수월"),
+        F.lit("1").alias("접수일"),
+        F.lit(None).cast("string").alias("제조일자"),
+        F.lit(1).alias("load_seq"),
+    )
+    raw = base.unionByName(second_upload)
+    canon = etl.canonicalize(raw, keep=("load_seq",))
+    pre = etl.preprocess(canon, load_seq="load_seq")
+    return pre.select(
+        "claim_id",
+        F.date_format("reception_date", "yyyy-MM-dd").alias("reception_date"),
+        F.date_format("manufacture_date_parsed", "yyyy-MM-dd").alias("manufacture_date"),
+        "lag_days",
+        "lag_valid",
+        "reception_year",
+        "reception_month",
     )
 
 

@@ -1,0 +1,68 @@
+"""Canonical-layer invariants (SURVEY §5 rebuild plan): 54-col arity,
+alias mapping, keep-last dedup determinism, lag validity implication —
+the reference's inline assertions (core/config.py:112) and phase-report
+rules (Lag flagged never dropped) as pytest."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from claim_analysis_engine_spark import etl
+from claim_analysis_engine_spark.config import (
+    CANONICAL_COLS,
+    CANONICAL_SCHEMA,
+    KOREAN_TO_ASCII,
+)
+from claim_analysis_engine_spark.operators.relational import etl_preprocess, proj_canon54
+from tests.conftest import SF_SMALL
+
+
+def test_schema_arity_and_uniqueness():
+    assert len(CANONICAL_COLS) == 54
+    assert len(set(CANONICAL_COLS)) == 54
+    assert len(CANONICAL_SCHEMA.fields) == 54
+    assert len(KOREAN_TO_ASCII) == 54
+
+
+def test_canonicalize_is_exactly_54_cols(spark):
+    out = proj_canon54(spark, SF_SMALL)
+    assert out.columns == CANONICAL_COLS
+    # 1 row in = 1 row out (reference core/etl.py:54-63 rule)
+    n_in = spark.read.parquet(f"{SF_SMALL}/orders.parquet").count()
+    assert out.count() == n_in
+
+
+def test_canonicalize_maps_aliases_and_drops_extras(spark):
+    raw = spark.createDataFrame(
+        [("C1", "PLANT_A", "garbage")], ["상담번호", "플랜트", "not_a_field"]
+    )
+    out = etl.canonicalize(raw)
+    row = out.collect()[0]
+    assert row["claim_id"] == "C1"
+    assert row["plant"] == "PLANT_A"
+    assert "not_a_field" not in out.columns
+    assert row["grade"] is None  # missing → typed null
+
+
+def test_keep_last_dedup_uses_load_seq(spark):
+    raw = spark.createDataFrame(
+        [
+            ("C1", "old", 0),
+            ("C1", "new", 1),
+            ("C2", "only", 0),
+        ],
+        ["상담번호", "플랜트", "load_seq"],
+    )
+    out = etl.preprocess(etl.canonicalize(raw, keep=("load_seq",)), load_seq="load_seq")
+    got = {r["claim_id"]: r["plant"] for r in out.collect()}
+    assert got == {"C1": "new", "C2": "only"}
+
+
+def test_lag_valid_implies_nonnegative_lag(spark):
+    out = etl_preprocess(spark, SF_SMALL)
+    bad = out.where(F.col("lag_valid") & (F.col("lag_days") < 0)).count()
+    assert bad == 0
+    # invalid rows are flagged, never dropped: unparseable manufacture
+    # dates (orderkey % 4 == 3) must still be present with lag_valid=False
+    flagged = out.where(~F.col("lag_valid")).count()
+    assert flagged > 0
