@@ -1,0 +1,268 @@
+"""Sink/source round-trip operators (SURVEY.md §2.1): partitioned hub
+write + pruned read-back, flat parquet write, nested series-mart JSON
+sink, and the settings-JSON source. Each op performs the REAL write to
+a unique temp dir, reads its own output back, and returns a frame the
+DuckDB oracle reproduces from the source tables — proving the
+round-trip preserved values, not just that a write succeeded.
+
+Scale notes: hub writes go through partitionBy + dynamic partition
+overwrite (only touched year/month dirs rewritten); the series mart is
+one aggregation job writing JSON documents distributed — the
+reference's 4,774-file driver loop (core/storage.py:642-650) never
+appears here.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from claim_analysis_engine_spark import storage
+from claim_analysis_engine_spark.registry import OpRegistry
+from claim_analysis_engine_spark.tables import load
+
+REG = OpRegistry()
+
+
+def _claims_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders → canonical-ish claims frame shared by the sink ops."""
+    o = load(spark, sf_dir, "orders")
+    lag = (F.col("o_orderkey") % 40 - 5).cast("int")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("claim_id"),
+        F.col("o_orderstatus").alias("plant"),
+        F.lit("ALL").alias("product_category2"),
+        F.col("o_orderpriority").alias("major_category"),
+        (F.col("o_custkey") % 3).cast("string").alias("middle_category"),
+        F.col("o_orderdate").cast("date").alias("reception_date"),
+        F.year("o_orderdate").cast("int").alias("reception_year"),
+        F.month("o_orderdate").cast("int").alias("reception_month"),
+        lag.alias("lag_days"),
+        (lag >= 0).alias("lag_valid"),
+    )
+
+
+_CLAIMS_SQL = """
+    claims AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS claim_id,
+             o_orderstatus AS plant,
+             'ALL' AS product_category2,
+             o_orderpriority AS major_category,
+             CAST(o_custkey % 3 AS VARCHAR) AS middle_category,
+             CAST(o_orderdate AS DATE) AS reception_date,
+             year(o_orderdate) AS reception_year,
+             month(o_orderdate) AS reception_month,
+             CAST(o_orderkey % 40 - 5 AS INT) AS lag_days,
+             (o_orderkey % 40 - 5) >= 0 AS lag_valid
+      FROM orders
+    )
+"""
+
+
+# ------------------------------------------------------ snk_parquet_part
+
+@REG.op(
+    "snk_parquet_part",
+    oracle="WITH " + _CLAIMS_SQL + """
+    SELECT reception_year, reception_month, count(*) AS n_rows
+    FROM claims WHERE reception_year = 1996
+    GROUP BY 1, 2
+    """,
+)
+def snk_parquet_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned hub sink round-trip (reference core/storage.py:47-69):
+    write partitionBy(year, month) parquet, read back WITH a partition
+    filter — the read-back plan prunes to the 1996 directories — and
+    count per partition. Values must match the pre-write aggregation."""
+    hub = tempfile.mkdtemp(prefix="cae_spark_hub_")
+    storage.write_hub(_claims_from_orders(spark, sf_dir), hub)
+    back = storage.read_hub(spark, hub, year=1996)
+    return (
+        back.groupBy(
+            F.col("reception_year").cast("int").alias("reception_year"),
+            F.col("reception_month").cast("int").alias("reception_month"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ------------------------------------------------------ snk_parquet_flat
+
+@REG.op(
+    "snk_parquet_flat",
+    oracle="WITH " + _CLAIMS_SQL + """
+    SELECT plant, reception_year AS year, reception_month AS month,
+           count(*) AS claim_count
+    FROM claims GROUP BY 1, 2, 3
+    """,
+)
+def snk_parquet_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat parquet sink round-trip with a fixed column order
+    (reference sales save, pages/2_매출수량_관리.py:53-64): aggregate,
+    write one flat file layout, read back verbatim."""
+    out = tempfile.mkdtemp(prefix="cae_spark_flat_")
+    monthly = (
+        _claims_from_orders(spark, sf_dir)
+        .groupBy(
+            "plant",
+            F.col("reception_year").alias("year"),
+            F.col("reception_month").alias("month"),
+        )
+        .agg(F.count(F.lit(1)).alias("claim_count"))
+        .select("plant", "year", "month", "claim_count")
+    )
+    monthly.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+# ------------------------------------------------------- snk_json_series
+
+@REG.op(
+    "snk_json_series",
+    oracle="WITH " + _CLAIMS_SQL + """
+    , months AS (
+      SELECT strftime(reception_date, '%Y-%m') AS month, plant,
+             major_category, lag_days, lag_valid
+      FROM claims
+    ),
+    bounds AS (
+      SELECT min(date_trunc('month', reception_date)) AS lo,
+             max(date_trunc('month', reception_date)) AS hi
+      FROM claims
+    ),
+    spine AS (
+      SELECT strftime(CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+                                   INTERVAL 1 MONTH)) AS DATE), '%Y-%m') AS month
+      FROM bounds
+    ),
+    keys AS (SELECT DISTINCT plant, major_category FROM months),
+    counts AS (
+      SELECT plant, major_category, month,
+             count(*) AS n_all,
+             count(*) FILTER (lag_valid) AS n_valid
+      FROM months GROUP BY 1, 2, 3
+    ),
+    zf AS (
+      SELECT k.plant, k.major_category, s.month,
+             coalesce(c.n_all, 0) AS n_all, coalesce(c.n_valid, 0) AS n_valid,
+             row_number() OVER (PARTITION BY k.plant, k.major_category
+                                ORDER BY s.month) AS idx,
+             count(*) OVER (PARTITION BY k.plant, k.major_category) AS n_months
+      FROM keys k CROSS JOIN spine s
+      LEFT JOIN counts c ON c.plant = k.plant
+         AND c.major_category = k.major_category AND c.month = s.month
+    ),
+    stats AS (
+      SELECT plant, major_category,
+             count(*) AS n_months, sum(n_all) AS total_count,
+             round(avg(n_valid), 6) AS mean,
+             round(coalesce(stddev_samp(n_valid), 0.0), 6) AS std,
+             round(coalesce(regr_slope(
+               CASE WHEN idx > n_months - 3 THEN CAST(n_valid AS DOUBLE) END,
+               CASE WHEN idx > n_months - 3 THEN CAST(idx AS DOUBLE) END), 0.0), 6)
+               AS slope
+      FROM zf GROUP BY 1, 2
+    ),
+    lag AS (
+      SELECT plant, major_category,
+             round(coalesce(avg(CASE WHEN lag_valid THEN lag_days END), 0.0), 1)
+               AS avg_lag_days
+      FROM months GROUP BY 1, 2
+    ),
+    kids AS (
+      SELECT plant, major_category, count(DISTINCT middle_category) AS n_children
+      FROM claims GROUP BY 1, 2
+    )
+    SELECT concat(s.plant, '_ALL_', s.major_category) AS key,
+           s.n_months, s.total_count, s.mean, s.std, s.slope,
+           l.avg_lag_days, k.n_children
+    FROM stats s
+    JOIN lag l ON l.plant = s.plant AND l.major_category = s.major_category
+    JOIN kids k ON k.plant = s.plant AND k.major_category = s.major_category
+    """,
+)
+def snk_json_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series-mart JSON sink round-trip (reference
+    core/storage.py:504-653): build the nested documents, write them as
+    JSON, read them BACK with an explicit schema, and flatten to
+    verifiable scalars (spine length, total history count, parent
+    stats, child count). The oracle recomputes the same numbers from
+    the source table — proving zero-fill, stats, and the nested write
+    all survived the round trip."""
+    docs = storage.build_series_mart(
+        _claims_from_orders(spark, sf_dir), as_of="2026-08-13"
+    )
+    out = tempfile.mkdtemp(prefix="cae_spark_series_")
+    storage.write_series_docs(docs, out)
+    stats_t = "struct<mean:double,std:double,slope:double,avg_lag_days:double>"
+    hist_t = "array<struct<date:string,count:bigint>>"
+    schema = (
+        "key string, "
+        f"meta struct<last_updated:string,warning_level:int,champion_model:string,parent_stats:{stats_t}>, "
+        f"data struct<history:{hist_t},forecast:{hist_t}>, "
+        f"children array<struct<sub_key:string,stats:{stats_t},history:{hist_t}>>"
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.select(
+        "key",
+        F.size("data.history").cast("bigint").alias("n_months"),
+        F.aggregate(
+            "data.history", F.lit(0).cast("bigint"), lambda acc, h: acc + h["count"]
+        ).alias("total_count"),
+        F.col("meta.parent_stats.mean").alias("mean"),
+        F.col("meta.parent_stats.std").alias("std"),
+        F.col("meta.parent_stats.slope").alias("slope"),
+        F.col("meta.parent_stats.avg_lag_days").alias("avg_lag_days"),
+        F.size("children").cast("bigint").alias("n_children"),
+    )
+
+
+# ---------------------------------------------------- src_json_settings
+
+_SETTINGS = [
+    {
+        "plant": "PLANT_A",
+        "filter_business": ["food", "b2b_food"],
+        "filter_grade": ["critical"],
+        "saved_pivot_rows": 25,
+    },
+    {
+        "plant": "PLANT_B",
+        "filter_business": ["food"],
+        "filter_grade": ["critical", "general"],
+        "saved_pivot_rows": 50,
+    },
+]
+
+
+@REG.op(
+    "src_json_settings",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('PLANT_A', 2, 'b2b_food', 1, 25),
+      ('PLANT_B', 1, 'food', 2, 50)
+    ) AS t(plant, n_business_filters, first_business, n_grade_filters,
+           saved_pivot_rows)
+    """,
+)
+def src_json_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Settings-document source (reference data/plant_settings.json,
+    consumed by the docs-only rule engine): write the per-plant filter
+    presets as JSON, read back with spark.read.json + explicit schema,
+    flatten array fields to verifiable scalars."""
+    out = tempfile.mkdtemp(prefix="cae_spark_settings_")
+    spark.createDataFrame(_SETTINGS).write.mode("overwrite").json(out)
+    schema = (
+        "plant string, filter_business array<string>, "
+        "filter_grade array<string>, saved_pivot_rows int"
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.select(
+        "plant",
+        F.size("filter_business").alias("n_business_filters"),
+        F.element_at(F.array_sort("filter_business"), 1).alias("first_business"),
+        F.size("filter_grade").alias("n_grade_filters"),
+        "saved_pivot_rows",
+    )

@@ -57,6 +57,7 @@ def registry() -> dict[str, Op]:
         risk,
         scalars,
         similarity,
+        storage_ops,
         textops,
         tsforecast,
     )
@@ -68,6 +69,7 @@ def registry() -> dict[str, Op]:
         pivots,
         scalars,
         risk,
+        storage_ops,
         tsforecast,
         dedup_text,
         similarity,

@@ -1,0 +1,280 @@
+"""Storage layer (reference core/storage.py re-expressed Spark-first):
+partitioned parquet hub with merge-upsert, partition-pruned reads,
+the nested series mart, JSON/Excel sinks, and guarded store cleanup.
+
+Key scalability inversion vs the reference: the reference rewrites the
+ENTIRE hub on every upload (core/storage.py:94-130 full-load → concat
+→ rewrite — its documented cliff). Here the merge-upsert unions only
+against the hub partitions the new batch touches, and the write uses
+dynamic partition overwrite (session conf) so untouched (year, month)
+directories are never rewritten. The series mart is one aggregation
+job writing docs distributed — never a driver-side per-group loop.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from claim_analysis_engine_spark.config import PARTITION_COLS
+
+HUB_PARTITIONS = list(PARTITION_COLS)
+
+
+# ------------------------------------------------------------------ hub
+
+def write_hub(df: DataFrame, hub_path: str) -> None:
+    """Partitioned hub write → <hub>/reception_year=YYYY/reception_month=MM/
+    (reference ds.write_dataset with DirectoryPartitioning,
+    core/storage.py:47-69). With partitionOverwriteMode=dynamic only
+    partitions present in ``df`` are replaced."""
+    df.write.partitionBy(*HUB_PARTITIONS).mode("overwrite").parquet(hub_path)
+
+
+def read_hub(
+    spark: SparkSession,
+    hub_path: str,
+    year: int | None = None,
+    month: int | None = None,
+) -> DataFrame:
+    """Hub read with optional partition pruning (reference filtered
+    dataset scan, core/storage.py:171-193) — filters on the partition
+    columns prune directories before any file is opened."""
+    df = spark.read.parquet(hub_path)
+    if year is not None:
+        df = df.where(F.col("reception_year") == year)
+    if month is not None:
+        df = df.where(F.col("reception_month") == month)
+    return df
+
+
+def merge_upsert(
+    spark: SparkSession, hub_path: str, new_batch: DataFrame, load_seq: str = "load_seq"
+) -> None:
+    """Hub merge-upsert with keep-last semantics (reference
+    core/storage.py:94-130): union the new batch against ONLY the hub
+    partitions it touches, window-dedup per claim_id ordered by
+    ``load_seq`` (new batch must carry a higher seq than stored rows),
+    rewrite just those partitions via dynamic overwrite."""
+    if Path(hub_path).exists():
+        touched = F.broadcast(new_batch.select(*HUB_PARTITIONS).distinct())
+        # left-semi on the partition keys: dynamic partition pruning
+        # restricts the hub scan to touched directories — no collect
+        existing = spark.read.parquet(hub_path).join(
+            touched, HUB_PARTITIONS, "left_semi"
+        )
+        merged = existing.unionByName(new_batch, allowMissingColumns=True)
+    else:
+        merged = new_batch
+    w = W.partitionBy("claim_id").orderBy(F.col(load_seq).desc())
+    deduped = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    deduped.write.partitionBy(*HUB_PARTITIONS).mode("overwrite").parquet(hub_path)
+
+
+def available_periods(spark: SparkSession, hub_path: str) -> DataFrame:
+    """(year, month, n_rows) inventory (reference get_available_periods
+    + footer counts, core/storage.py:218-262) — a metadata-only
+    aggregate over partition columns."""
+    return (
+        spark.read.parquet(hub_path)
+        .groupBy(*HUB_PARTITIONS)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(*HUB_PARTITIONS)
+    )
+
+
+# ---------------------------------------------------------- series mart
+
+def sanitize_filename(col: F.Column) -> F.Column:
+    """Reference _sanitize_filename (core/storage.py:465-469)."""
+    return F.regexp_replace(col, r'[\\/:\*\?"<>\|]', "-")
+
+
+def build_series_mart(
+    claims: DataFrame,
+    as_of: str,
+    plant_col: str = "plant",
+    cat2_col: str = "product_category2",
+    major_col: str = "major_category",
+    middle_col: str = "middle_category",
+    date_col: str = "reception_date",
+) -> DataFrame:
+    """Nested monthly series documents, one row per (plant, cat2,
+    major) — the reference's generate_nested_series
+    (core/storage.py:504-653) as ONE distributed aggregation:
+
+    * month spine = global min..max month of the dataset (zero-fill
+      substrate, core/storage.py:472-483) via a broadcast 1-row agg;
+    * history counts ALL rows; stats (mean, ddof-1 std, last-3-month
+      regr_slope) count only Lag_Valid rows (core/storage.py:557-573);
+    * avg_lag_days = mean of valid lag days rounded to 1dp;
+    * children = same series per middle category, nested as an array;
+    * `last_updated` is the injected ``as_of`` (never datetime.now()).
+
+    Stats are rounded to 6dp at build time so doc round-trips are
+    value-stable. Output schema: key, meta{...}, data{history[],
+    forecast[]}, children[] — exactly the reference JSON shape.
+    """
+    base = claims.select(
+        F.col(plant_col).alias("plant"),
+        F.col(cat2_col).alias("cat2"),
+        F.col(major_col).alias("major"),
+        F.col(middle_col).alias("middle"),
+        F.date_format(F.col(date_col), "yyyy-MM").alias("month"),
+        F.col("lag_days"),
+        F.col("lag_valid"),
+    ).where(F.col("month").isNotNull())
+
+    bounds = base.agg(
+        F.min(F.to_date(F.concat(F.col("month"), F.lit("-01")))).alias("lo"),
+        F.max(F.to_date(F.concat(F.col("month"), F.lit("-01")))).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("m")
+    ).select(F.date_format("m", "yyyy-MM").alias("month"))
+
+    def zero_filled(keys: list[str]) -> DataFrame:
+        counts = base.groupBy(*keys, "month").agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(F.when(F.col("lag_valid"), 1)).alias("n_valid"),
+        )
+        grid = base.select(*keys).distinct().crossJoin(F.broadcast(spine))
+        return grid.join(counts, [*keys, "month"], "left").select(
+            *keys,
+            "month",
+            F.coalesce("n_all", F.lit(0)).alias("n_all"),
+            F.coalesce("n_valid", F.lit(0)).alias("n_valid"),
+        )
+
+    def series_agg(zf: DataFrame, keys: list[str]) -> DataFrame:
+        w = W.partitionBy(*keys).orderBy("month")
+        wcnt = W.partitionBy(*keys)
+        zf = zf.withColumn("idx", F.row_number().over(w)).withColumn(
+            "n_months", F.count(F.lit(1)).over(wcnt)
+        )
+        last3 = F.col("idx") > F.col("n_months") - 3
+        return zf.groupBy(*keys).agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("month").alias("date"), F.col("n_all").alias("count")))
+            ).alias("history"),
+            F.round(F.avg("n_valid"), 6).alias("mean"),
+            F.round(F.coalesce(F.stddev_samp("n_valid"), F.lit(0.0)), 6).alias("std"),
+            F.round(
+                F.coalesce(
+                    F.regr_slope(
+                        F.when(last3, F.col("n_valid")).cast("double"),
+                        F.when(last3, F.col("idx")).cast("double"),
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("slope"),
+        )
+
+    def lag_agg(keys: list[str]) -> DataFrame:
+        return base.groupBy(*keys).agg(
+            F.round(
+                F.coalesce(F.avg(F.when(F.col("lag_valid"), F.col("lag_days"))), F.lit(0.0)),
+                1,
+            ).alias("avg_lag_days")
+        )
+
+    pkeys = ["plant", "cat2", "major"]
+    parent = series_agg(zero_filled(pkeys), pkeys).join(lag_agg(pkeys), pkeys)
+
+    ckeys = [*pkeys, "middle"]
+    child = (
+        series_agg(zero_filled(ckeys), ckeys)
+        .join(lag_agg(ckeys), ckeys)
+        .groupBy(*pkeys)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.coalesce(F.col("middle"), F.lit("")).alias("sub_key"),
+                        F.struct("mean", "std", "slope", "avg_lag_days").alias("stats"),
+                        F.col("history").alias("history"),
+                    )
+                )
+            ).alias("children")
+        )
+    )
+
+    return parent.join(child, pkeys).select(
+        F.concat_ws("_", "plant", "cat2", "major").alias("key"),
+        F.struct(
+            F.lit(as_of).alias("last_updated"),
+            F.lit(0).alias("warning_level"),
+            F.lit(None).cast("string").alias("champion_model"),
+            F.struct("mean", "std", "slope", "avg_lag_days").alias("parent_stats"),
+        ).alias("meta"),
+        F.struct(
+            F.col("history"),
+            F.array().cast("array<struct<date:string,count:long>>").alias("forecast"),
+        ).alias("data"),
+        F.col("children"),
+    )
+
+
+def write_series_docs(docs: DataFrame, out_dir: str) -> None:
+    """Series-mart sink: one JSON document per line, written
+    distributed (reference writes 4,774 files in a driver loop,
+    core/storage.py:642-650 — a scale anti-pattern replaced here by a
+    parallel JSON write)."""
+    docs.write.mode("overwrite").json(out_dir)
+
+
+# ------------------------------------------------------------- cleanup
+
+def util_clear(path: str, *, confirm: bool = False) -> bool:
+    """Guarded recursive store delete (reference clear_all_data,
+    core/storage.py:274-293): refuses without confirm=True, refuses
+    obviously-wrong targets (root/short paths)."""
+    p = Path(path).resolve()
+    if not confirm:
+        return False
+    if len(p.parts) < 3:
+        raise ValueError(f"refusing to delete suspicious path {p}")
+    if p.exists():
+        shutil.rmtree(p)
+        return True
+    return False
+
+
+# ------------------------------------------------------ excel (gated)
+
+def read_excel(spark: SparkSession, path: str, sheet_name: int | str = 0) -> DataFrame:
+    """Excel source via the pandas bridge (reference core/etl.py:39-40
+    pd.read_excel → here createDataFrame). Requires openpyxl, which is
+    not installed in this environment — gated behind import-try; the
+    canonical layer treats the result like any other untyped source."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "openpyxl is required for Excel ingestion; install it or "
+            "convert the workbook to CSV/parquet"
+        ) from e
+    import pandas as pd
+
+    pdf = pd.read_excel(path, sheet_name=sheet_name, dtype=str)
+    return spark.createDataFrame(pdf)
+
+
+def write_excel(df: DataFrame, path: str) -> None:
+    """Excel export (reference app.py:509-516 download cards): collect
+    to pandas (driver-side, small result sets only) and write via
+    openpyxl — gated like read_excel."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError("openpyxl is required for Excel export") from e
+    df.toPandas().to_excel(path, index=False)

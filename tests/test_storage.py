@@ -1,0 +1,133 @@
+"""Storage-layer behavior tests: hub merge-upsert keep-last semantics
+with partition-scoped rewrite, the series-mart golden document
+(reference scripts/run_phase1_verification.py fixture style), guarded
+cleanup, and the gated Excel bridge."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from claim_analysis_engine_spark import storage
+
+
+def _claims(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "claim_id string, plant string, reception_year int, reception_month int, "
+        "load_seq int",
+    )
+
+
+def test_merge_upsert_keep_last_and_partition_scope(spark):
+    hub = tempfile.mkdtemp(prefix="cae_test_hub_")
+    first = _claims(
+        spark,
+        [
+            ("C1", "OLD", 2024, 1, 0),
+            ("C2", "KEEP", 2024, 2, 0),
+            ("C3", "KEEP", 2023, 12, 0),
+        ],
+    )
+    storage.write_hub(first, hub)
+
+    # second upload: updates C1 (same partition) and adds C4
+    batch = _claims(spark, [("C1", "NEW", 2024, 1, 1), ("C4", "ADD", 2024, 1, 1)])
+    storage.merge_upsert(spark, hub, batch)
+
+    got = {
+        r["claim_id"]: r["plant"] for r in spark.read.parquet(hub).collect()
+    }
+    assert got == {"C1": "NEW", "C2": "KEEP", "C3": "KEEP", "C4": "ADD"}
+
+    periods = {
+        (r["reception_year"], r["reception_month"]): r["n_rows"]
+        for r in storage.available_periods(spark, hub).collect()
+    }
+    assert periods == {(2023, 12): 1, (2024, 1): 2, (2024, 2): 1}
+
+
+def test_series_mart_golden(spark):
+    # the reference dummy-fixture scenario: one group, 3-month spine,
+    # mixed valid/invalid lag, two middle categories
+    rows = [
+        ("PLANT_A", "CAT2_X", "MAJOR_P", "M1", datetime.date(2024, 1, 5), 5, True),
+        ("PLANT_A", "CAT2_X", "MAJOR_P", "M1", datetime.date(2024, 1, 9), -1, False),
+        ("PLANT_A", "CAT2_X", "MAJOR_P", "M2", datetime.date(2024, 2, 2), 10, True),
+        ("PLANT_A", "CAT2_X", "MAJOR_P", "M1", datetime.date(2024, 3, 7), 3, True),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "plant string, product_category2 string, major_category string, "
+        "middle_category string, reception_date date, lag_days int, lag_valid boolean",
+    )
+    docs = storage.build_series_mart(df, as_of="2024-03-15").collect()
+    assert len(docs) == 1
+    doc = docs[0]
+    assert doc["key"] == "PLANT_A_CAT2_X_MAJOR_P"
+    assert doc["meta"]["last_updated"] == "2024-03-15"
+    assert doc["meta"]["champion_model"] is None
+
+    # zero-filled parent history: all-row counts [2, 1, 1]
+    hist = [(h["date"], h["count"]) for h in doc["data"]["history"]]
+    assert hist == [("2024-01", 2), ("2024-02", 1), ("2024-03", 1)]
+    assert doc["data"]["forecast"] == []
+
+    # stats over VALID counts [1, 1, 1]: mean 1, std 0, slope 0;
+    # avg_lag = (5 + 10 + 3) / 3 = 6.0
+    ps = doc["meta"]["parent_stats"]
+    assert ps["mean"] == pytest.approx(1.0)
+    assert ps["std"] == pytest.approx(0.0)
+    assert ps["slope"] == pytest.approx(0.0)
+    assert ps["avg_lag_days"] == pytest.approx(6.0)
+
+    # children sorted by sub_key; M1 all-counts [2,0,1], valid [1,0,1]
+    kids = {c["sub_key"]: c for c in doc["children"]}
+    assert list(kids) == ["M1", "M2"]
+    m1 = kids["M1"]
+    assert [(h["date"], h["count"]) for h in m1["history"]] == [
+        ("2024-01", 2),
+        ("2024-02", 0),
+        ("2024-03", 1),
+    ]
+    assert m1["stats"]["mean"] == pytest.approx(round(2 / 3, 6))
+    assert m1["stats"]["std"] == pytest.approx(0.57735)
+    assert m1["stats"]["slope"] == pytest.approx(0.0)
+    assert m1["stats"]["avg_lag_days"] == pytest.approx(4.0)
+    m2 = kids["M2"]
+    assert m2["stats"]["avg_lag_days"] == pytest.approx(10.0)
+
+
+def test_util_clear_guards(tmp_path):
+    target = tmp_path / "data" / "store"
+    target.mkdir(parents=True)
+    (target / "f.txt").write_text("x")
+    # refuses without confirm
+    assert storage.util_clear(str(target)) is False
+    assert target.exists()
+    assert storage.util_clear(str(target), confirm=True) is True
+    assert not target.exists()
+    # refuses suspicious short paths even with confirm
+    with pytest.raises(ValueError):
+        storage.util_clear("/tmp", confirm=True)
+
+
+def test_excel_bridge_gated(spark):
+    try:
+        import openpyxl  # noqa: F401
+
+        have_openpyxl = True
+    except ImportError:
+        have_openpyxl = False
+    if not have_openpyxl:
+        with pytest.raises(ImportError, match="openpyxl"):
+            storage.read_excel(spark, "/nonexistent.xlsx")
+        return
+    # environment with openpyxl: full round trip
+    out = os.path.join(tempfile.mkdtemp(), "t.xlsx")
+    storage.write_excel(spark.range(3).select(F.col("id").cast("string")), out)
+    assert storage.read_excel(spark, out).count() == 3
