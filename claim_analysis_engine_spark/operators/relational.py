@@ -701,3 +701,41 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("total_price"),
         )
     )
+
+
+@REG.op(
+    "limit_head",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderstatus AS status, year(o_orderdate) AS y,
+             month(o_orderdate) AS m, count(*) AS n
+      FROM orders GROUP BY 1, 2, 3
+    )
+    SELECT status, y, m, n FROM (
+      SELECT *, row_number() OVER (PARTITION BY status
+                                   ORDER BY y DESC, m DESC) AS rk
+      FROM monthly
+    ) WHERE rk <= 3
+    """,
+)
+def limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group tail-k slice (reference .tail(3)/.tail(12) recent-
+    month windows, app.py:303, pages/4_예측_시뮬레이션.py:232): the last 3
+    months of every series via a rank window — the distributed form of
+    positional tail slicing; head/limit is TakeOrderedAndProject in
+    sort_multi."""
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("status").orderBy(F.col("y").desc(), F.col("m").desc())
+    return (
+        monthly.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("status", "y", "m", "n")
+    )

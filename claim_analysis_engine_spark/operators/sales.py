@@ -1,0 +1,197 @@
+"""Sales-table operators: trailing-3-month gap estimation, the PPM
+quality metric, Smart-Sync style exog alignment (SURVEY.md §1.3, §2.4
+join_exog_align, and the documented-but-absent PPM from SURVEY §0).
+
+The sales stand-in derives from the driver tables: monthly order
+counts per plant (o_orderstatus) play the claims side; lineitem
+quantity sums play the sales/exog side. Money/quantity sums go through
+DECIMAL so they are exact and shuffle-order-independent.
+
+Scale notes: gap fill is one window per plant ordered by month (rows
+between -3 and -1) over an already-aggregated frame; PPM and exog
+alignment are (year, month) key joins — the dimension side is months
+(tiny) and broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from claim_analysis_engine_spark.registry import OpRegistry
+from claim_analysis_engine_spark.tables import load
+
+REG = OpRegistry()
+
+_SALES_CTE = """
+    sales AS (
+      SELECT o_orderstatus AS plant,
+             year(o_orderdate) AS y, month(o_orderdate) AS m,
+             CASE WHEN (year(o_orderdate) * 12 + month(o_orderdate)) % 7 = 0
+                  THEN NULL
+                  ELSE count(*) END AS qty
+      FROM orders GROUP BY 1, 2, 3
+    )
+"""
+
+
+# ------------------------------------------------------ sales_gap_fill
+
+@REG.op(
+    "sales_gap_fill",
+    oracle="WITH " + _SALES_CTE + """
+    SELECT plant, y, m,
+           round(coalesce(CAST(qty AS DOUBLE),
+                 avg(CAST(qty AS DOUBLE)) OVER (
+                   PARTITION BY plant ORDER BY y * 12 + m
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)), 4) AS qty_filled,
+           (qty IS NULL AND avg(CAST(qty AS DOUBLE)) OVER (
+              PARTITION BY plant ORDER BY y * 12 + m
+              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) IS NOT NULL)
+             AS is_estimated
+    FROM sales
+    """,
+)
+def sales_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sales gap estimation (reference core/storage.py:364-458): rows
+    with missing quantity are filled with the SAME plant's trailing
+    3-calendar-month mean (month arithmetic with year wrap — here the
+    y*12+m ordering over a gap-free monthly frame) and flagged
+    is_estimated. Nulls in the lookback window are skipped, exactly
+    like the reference's collect-found-values loop. Every 7th month is
+    nulled in the stand-in so the fill path is genuinely exercised."""
+    o = load(spark, sf_dir, "orders")
+    sales = (
+        o.groupBy(
+            F.col("o_orderstatus").alias("plant"),
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "plant",
+            "y",
+            "m",
+            F.when((F.col("y") * 12 + F.col("m")) % 7 == 0, None)
+            .otherwise(F.col("cnt"))
+            .alias("qty"),
+        )
+    )
+    w = (
+        W.partitionBy("plant")
+        .orderBy(F.col("y") * 12 + F.col("m"))
+        .rowsBetween(-3, -1)
+    )
+    trailing = F.avg(F.col("qty").cast("double")).over(w)
+    return sales.select(
+        "plant",
+        "y",
+        "m",
+        F.round(F.coalesce(F.col("qty").cast("double"), trailing), 4).alias("qty_filled"),
+        (F.col("qty").isNull() & trailing.isNotNull()).alias("is_estimated"),
+    )
+
+
+# ---------------------------------------------------------------- ppm
+
+@REG.op(
+    "ppm",
+    oracle="""
+    WITH claims AS (
+      SELECT o_orderstatus AS plant,
+             year(o_orderdate) AS y, month(o_orderdate) AS m,
+             count(*) AS n_claims
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    qty AS (
+      SELECT year(l_shipdate) AS y, month(l_shipdate) AS m,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sales_qty
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT c.plant, c.y, c.m, c.n_claims, q.sales_qty,
+           round(c.n_claims * 1000000.0 / CAST(q.sales_qty AS DOUBLE), 4) AS ppm
+    FROM claims c JOIN qty q ON q.y = c.y AND q.m = c.m
+    """,
+)
+def ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPM = claims / sales_qty × 1,000,000 — the reference's
+    documented-but-never-implemented headline metric (SURVEY §0;
+    reports/phase2_adaptive_report.md:150-180): monthly claim counts
+    joined to monthly sales quantity on the (year, month) key. The
+    month-level quantity side is tiny and broadcasts."""
+    claims = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("plant"),
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_claims"))
+    )
+    qty = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.year("l_shipdate").alias("y"), F.month("l_shipdate").alias("m"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sales_qty"))
+    )
+    return claims.join(F.broadcast(qty), ["y", "m"]).select(
+        "plant",
+        "y",
+        "m",
+        "n_claims",
+        "sales_qty",
+        F.round(
+            F.col("n_claims") * 1_000_000.0 / F.col("sales_qty").cast("double"), 4
+        ).alias("ppm"),
+    )
+
+
+# ------------------------------------------------------ join_exog_align
+
+@REG.op(
+    "join_exog_align",
+    oracle="""
+    WITH claims AS (
+      SELECT o_orderstatus AS plant,
+             year(o_orderdate) AS y, month(o_orderdate) AS m,
+             count(*) AS n_claims
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    exog AS (
+      SELECT year(l_shipdate) AS y, month(l_shipdate) AS m,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS exog_qty
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT c.plant, c.y, c.m, c.n_claims,
+           coalesce(e.exog_qty, 0) AS exog_qty
+    FROM claims c LEFT JOIN exog e ON e.y = c.y AND e.m = c.m
+    """,
+)
+def join_exog_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exogenous-series alignment as a PROPER (year, month) key join —
+    a deliberate, documented improvement over the reference's
+    positional .iloc alignment (pages/4_예측_시뮬레이션.py:88-101,
+    models.py:242-244), which silently misaligns when either series
+    has a gap. Missing exog months coalesce to 0 (the reference pads
+    with zeros)."""
+    claims = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("plant"),
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_claims"))
+    )
+    exog = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.year("l_shipdate").alias("y"), F.month("l_shipdate").alias("m"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("exog_qty"))
+    )
+    return claims.join(F.broadcast(exog), ["y", "m"], "left").select(
+        "plant",
+        "y",
+        "m",
+        "n_claims",
+        F.coalesce("exog_qty", F.lit(0).cast("decimal(18,2)")).alias("exog_qty"),
+    )

@@ -55,6 +55,7 @@ def registry() -> dict[str, Op]:
         pivots,
         relational,
         risk,
+        sales,
         scalars,
         similarity,
         storage_ops,
@@ -69,6 +70,7 @@ def registry() -> dict[str, Op]:
         pivots,
         scalars,
         risk,
+        sales,
         storage_ops,
         tsforecast,
         dedup_text,
