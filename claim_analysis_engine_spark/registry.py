@@ -51,6 +51,7 @@ def registry() -> dict[str, Op]:
     from claim_analysis_engine_spark.operators import (
         aggregates,
         dedup_text,
+        events,
         multimodal,
         pivots,
         relational,
@@ -68,6 +69,7 @@ def registry() -> dict[str, Op]:
         relational,
         aggregates,
         pivots,
+        events,
         scalars,
         risk,
         sales,
