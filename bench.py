@@ -21,7 +21,8 @@ from claim_analysis_engine_spark.session import get_spark  # noqa: E402
 
 # Headline set: the shapes that dominate real workloads — wide scans,
 # the monthly-count substrate, window dedup, fact-fact join, rollup,
-# spine join, per-series scoring / text ops as they land.
+# spine join. Kept IDENTICAL (members and order) to round 1 so
+# headline_total_runtime compares cleanly across rounds.
 HEADLINE = [
     "agg_monthly_count",
     "dedup_merge",
@@ -33,6 +34,20 @@ HEADLINE = [
     "pvt_months",
 ]
 
+# Round-2 surface, timed and reported separately (NOT in the headline
+# total): risk tree, seasonal-decomposition z, LSH near-dup, ANN,
+# champion selection, series-mart sink, sessionization, corpus profile.
+EXTRA = [
+    "rs_wrapper",
+    "rs_stl_z",
+    "dedup_minhash_lsh",
+    "sim_topk_brute",
+    "ml_champion",
+    "snk_json_series",
+    "evt_sessionize",
+    "txt_corpus_ngrams",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,18 +57,21 @@ def main() -> None:
     reg = registry()
     queries = {}
     total = 0.0
-    missing = [name for name in HEADLINE if name not in reg]
+    missing = [name for name in HEADLINE + EXTRA if name not in reg]
     if missing:
-        # a typo'd or unregistered headline op must be an error, not a
-        # silent shrink of headline_total_runtime
-        raise KeyError(f"headline ops not in registry: {missing}")
-    for name in HEADLINE:
-        op = reg[name]
+        # a typo'd or unregistered bench op must be an error, not a
+        # silent shrink of the metric
+        raise KeyError(f"bench ops not in registry: {missing}")
+
+    def run(name: str) -> float:
         t0 = time.perf_counter()
-        op.query(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        dt = round(time.perf_counter() - t0, 3)
-        queries[name] = dt
-        total += dt
+        reg[name].query(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 3)
+
+    for name in HEADLINE:
+        queries[name] = run(name)
+        total += queries[name]
+    extra = {name: run(name) for name in EXTRA}
 
     print(
         json.dumps(
@@ -62,6 +80,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": queries,
+                "extra_queries": extra,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -128,15 +128,18 @@ def agg_sum_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_topn_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N categories by frequency with share pct (reference
     value_counts().head(2) + percentage, app.py:40-64).
-    Ties broken by category name for determinism."""
+    Ties broken by category name for determinism. The grand total is a
+    broadcast 1-row aggregate (uniform scale-safe pattern — the rank
+    window runs on the 5-row category frame only)."""
     freq = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderpriority").alias("category"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    total = freq.agg(F.sum("n").alias("total"))
     w = W.orderBy(F.col("n").desc(), F.col("category").asc())
     return (
-        freq.withColumn("total", F.sum("n").over(W.partitionBy()))
+        freq.crossJoin(F.broadcast(total))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 2)
         .select(
@@ -239,7 +242,9 @@ def agg_minmax_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_kpi_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KPI + MoM delta: latest-month count per group vs prior month
-    (reference MTD KPI w/ MoM pct, app.py:351-374)."""
+    (reference MTD KPI w/ MoM pct, app.py:351-374). The global max
+    month joins in as a broadcast 1-row aggregate — the per-group lag
+    window stays partitioned by status."""
     monthly = (
         load(spark, sf_dir, "orders")
         .groupBy(
@@ -247,9 +252,10 @@ def agg_kpi_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    max_month = monthly.agg(F.max("month").alias("max_month"))
     ranked = monthly.withColumn(
         "prev_n", F.lag("n").over(W.partitionBy("o_orderstatus").orderBy("month"))
-    ).withColumn("max_month", F.max("month").over(W.partitionBy()))
+    ).crossJoin(F.broadcast(max_month))
     return ranked.where(F.col("month") == F.col("max_month")).select(
         "o_orderstatus",
         "month",
