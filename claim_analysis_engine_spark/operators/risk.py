@@ -431,9 +431,13 @@ def rs_stl_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely with per-key windows — distributes by series key, no UDF."""
     key = ["status", "priority"]
     kw = W.partitionBy(*key).orderBy("month")
+    # the zero-filled series is |keys|×|months| rows; cache it so the
+    # decomposition's many self-references (trend, seasonal, residual,
+    # current) reuse one materialization instead of re-scanning the
+    # fact table per branch
+    base = _with_target(spark, sf_dir).cache()
     hist = (
-        _with_target(spark, sf_dir)
-        .where(F.col("month") < F.col("target"))
+        base.where(F.col("month") < F.col("target"))
         .withColumn("idx", F.row_number().over(kw) - 1)
         .withColumn("moy", F.month("month"))
     )
@@ -459,8 +463,7 @@ def rs_stl_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     cur = (
-        _with_target(spark, sf_dir)
-        .where(F.col("month") == F.col("target"))
+        base.where(F.col("month") == F.col("target"))
         .groupBy(*key)
         .agg(F.max("n").alias("x"), F.max(F.month("month")).alias("tmoy"))
     )
