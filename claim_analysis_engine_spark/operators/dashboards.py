@@ -1,0 +1,168 @@
+"""Composed dashboard entry points (SURVEY §3): the reference's three
+top-level query lifecycles as single registered queries, so a user of
+the reference can run their whole dashboard — not just its pieces —
+against this engine.
+
+* ep2_risk_radar — the risk dashboard (app.py:262-324): monthly
+  series → per-series decision-tree score → alert rows with a 6-month
+  trend string, sorted by severity.
+* ep2_trend_3yr — the 3-year overlay trend (app.py:381-434): month-of-
+  year rows × last-3-years columns, expressed through the spark.sql
+  surface over registered views (the engine's SQL API, same Catalyst
+  plan as the DataFrame form).
+* ep3_forecast_e2e — the forecast simulation (pages/4_예측_시뮬레이션.py:
+  179-247): series prep → exog key-join → champion selection →
+  horizon forecast with CI bands, per series in one applyInPandas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from claim_analysis_engine_spark import forecast_models as fm
+from claim_analysis_engine_spark.operators.risk import (
+    AS_OF_DAY,
+    _CRIT,
+    _series,
+    _with_target,
+    rs_wrapper,
+)
+from claim_analysis_engine_spark.registry import OpRegistry
+from claim_analysis_engine_spark.tables import load
+
+REG = OpRegistry()
+
+
+# ------------------------------------------------------ ep2_risk_radar
+
+@REG.op("ep2_risk_radar")  # composes the applyInPandas tree — rows-only
+def ep2_risk_radar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executive risk radar (reference load_and_scan_risks,
+    app.py:262-324): score every series with the full decision tree,
+    keep score > 0 rows, attach the 6-month trend string
+    ("n₁ → n₂ → …", app.py:303-304), sort by score descending.
+    The trend string builds from the SAME zero-filled series frame the
+    scorer consumes — one substrate, two consumers."""
+    scored = rs_wrapper(spark, sf_dir)
+    s = _with_target(spark, sf_dir)
+    key = W.partitionBy("status", "priority")
+    last6 = (
+        s.withColumn(
+            "r", F.row_number().over(key.orderBy(F.col("month").desc()))
+        )
+        .where(F.col("r") <= 6)
+        .groupBy("status", "priority")
+        .agg(
+            F.concat_ws(
+                " → ",
+                # collect_list has no ordering guarantee — sort by the
+                # rank field, then reverse to oldest→latest
+                F.reverse(
+                    F.array_sort(F.collect_list(F.struct("r", "n"))).getField("n")
+                ),
+            ).alias("trend_6m")
+        )
+    )
+    return (
+        scored.where(F.col("score") > 0)
+        .join(last6, ["status", "priority"])
+        .orderBy(F.col("score").desc(), "status", "priority")
+    )
+
+
+# ------------------------------------------------------ ep2_trend_3yr
+
+@REG.op(
+    "ep2_trend_3yr",
+    oracle="""
+    WITH monthly AS (
+      SELECT year(o_orderdate) AS y, month(o_orderdate) AS moy, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), mx AS (SELECT max(y) AS max_y FROM monthly)
+    SELECT moy,
+           coalesce(sum(n) FILTER (y = max_y - 2), 0) AS y_minus_2,
+           coalesce(sum(n) FILTER (y = max_y - 1), 0) AS y_minus_1,
+           coalesce(sum(n) FILTER (y = max_y), 0) AS y_current
+    FROM monthly, mx GROUP BY moy
+    """,
+)
+def ep2_trend_3yr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-year overlay trend (reference app.py:381-434): month-of-year
+    rows against the last three years as columns. Expressed through
+    the spark.sql surface over registered views — the engine's SQL API
+    produces the same Catalyst plan as the DataFrame form."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_ep2_orders")
+    return spark.sql(
+        """
+        WITH monthly AS (
+          SELECT year(o_orderdate) AS y, month(o_orderdate) AS moy,
+                 count(*) AS n
+          FROM _ep2_orders GROUP BY 1, 2
+        ), mx AS (SELECT max(y) AS max_y FROM monthly)
+        SELECT moy,
+               coalesce(sum(CASE WHEN y = max_y - 2 THEN n END), 0) AS y_minus_2,
+               coalesce(sum(CASE WHEN y = max_y - 1 THEN n END), 0) AS y_minus_1,
+               coalesce(sum(CASE WHEN y = max_y THEN n END), 0) AS y_current
+        FROM monthly, mx GROUP BY moy
+        """
+    )
+
+
+# --------------------------------------------------- ep3_forecast_e2e
+
+@REG.op("ep3_forecast_e2e")  # composes model fitting — rows-only
+def ep3_forecast_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forecast-simulation lifecycle end-to-end (reference
+    pages/4_예측_시뮬레이션.py:179-247): per-series monthly counts with
+    a (year, month) key-joined sales exog column → champion selection
+    over the model family → 3-month forecast with ±1.96·RMSE bands.
+    The reference runs this for ONE user-picked series; here every
+    series trains in parallel — the embarrassingly-parallel shape
+    called out in SURVEY §3/EP3."""
+    s = _series(spark, sf_dir)
+    exog = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.trunc("l_shipdate", "month").alias("month"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("exog_qty"))
+    )
+    joined = s.join(F.broadcast(exog), "month", "left").select(
+        "status",
+        "priority",
+        "month",
+        "n",
+        F.coalesce(F.col("exog_qty").cast("double"), F.lit(0.0)).alias("exog"),
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month")
+        y = pdf["n"].to_numpy(dtype=float)
+        # min-12-months guard (reference pages/4:72-73)
+        if len(y) < 12:
+            return pd.DataFrame(
+                columns=[
+                    "status", "priority", "h", "yhat", "ci_lo", "ci_hi", "model"
+                ]
+            )
+        model, params, fc, test_rmse = fm.forecast_with_champion(y, steps=3)
+        lo, hi = fm.confidence_interval(fc, test_rmse)
+        return pd.DataFrame(
+            {
+                "status": pdf["status"].iloc[0],
+                "priority": pdf["priority"].iloc[0],
+                "h": np.arange(1, 4),
+                "yhat": np.round(fc, 4),
+                "ci_lo": np.round(lo, 4),
+                "ci_hi": np.round(hi, 4),
+                "model": model,
+            }
+        )
+
+    return joined.groupBy("status", "priority").applyInPandas(
+        run,
+        "status string, priority string, h int, yhat double, ci_lo double, "
+        "ci_hi double, model string",
+    )

@@ -50,6 +50,7 @@ def registry() -> dict[str, Op]:
     the surface without any visible error."""
     from claim_analysis_engine_spark.operators import (
         aggregates,
+        dashboards,
         dedup_text,
         events,
         multimodal,
@@ -79,6 +80,7 @@ def registry() -> dict[str, Op]:
         similarity,
         textops,
         multimodal,
+        dashboards,
     ):
         for op_id, op in mod.REG.ops.items():
             if op_id in merged:
