@@ -266,3 +266,96 @@ def src_json_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("filter_grade").alias("n_grade_filters"),
         "saved_pivot_rows",
     )
+
+
+# ------------------------------------------------------ src_parquet_flat
+
+@REG.op(
+    "src_parquet_flat",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def src_parquet_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table flat parquet scan (reference sales file read,
+    core/storage.py:391, pages/2_매출수량_관리.py:45) — the unpartitioned
+    single-file layout small dimension tables live in."""
+    return load(spark, sf_dir, "supplier")
+
+
+# ------------------------------------------------------------ src_excel
+
+@REG.op(
+    "src_excel",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def src_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel scan (reference pd.read_excel, core/etl.py:39-40): write
+    the nation table to a real .xlsx (zip-of-XML, built-in writer —
+    no openpyxl in this environment), read it back through the Excel
+    source, and re-type the string columns. Values must round-trip."""
+    import os
+
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = os.path.join(tempfile.mkdtemp(prefix="cae_spark_xlsx_"), "nation.xlsx")
+    storage.write_excel(src, path)
+    back = storage.read_excel(spark, path)
+    return back.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
+# ------------------------------------------------------------ snk_excel
+
+@REG.op(
+    "snk_excel",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1
+    """,
+)
+def snk_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel export round trip (reference download cards,
+    app.py:509-516): aggregate, export the small result to .xlsx,
+    read it back and re-type — export is driver-side by design
+    (alert cards are tiny; raw facts never go through Excel)."""
+    import os
+
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cae_spark_xlsx_"), "report.xlsx")
+    storage.write_excel(agg, path)
+    back = storage.read_excel(spark, path)
+    return back.select(
+        "o_orderpriority", F.col("n").cast("bigint").alias("n")
+    )
+
+
+# ----------------------------------------------------------- util_clear
+
+@REG.op(
+    "util_clear",
+    oracle="""
+    SELECT * FROM (VALUES (false, true, false))
+      AS t(cleared_without_confirm, cleared_with_confirm, exists_after)
+    """,
+)
+def util_clear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guarded store cleanup (reference clear_all_data,
+    core/storage.py:274-293): a populated temp store must survive the
+    unconfirmed call and disappear on the confirmed one."""
+    import os
+    from pathlib import Path
+
+    store = Path(tempfile.mkdtemp(prefix="cae_spark_clear_")) / "hub"
+    store.mkdir()
+    (store / "part-000.parquet").write_bytes(b"x")
+    refused = storage.util_clear(str(store))  # no confirm → False
+    cleared = storage.util_clear(str(store), confirm=True)
+    return spark.createDataFrame(
+        [(bool(refused), bool(cleared), os.path.exists(store))],
+        "cleared_without_confirm boolean, cleared_with_confirm boolean, "
+        "exists_after boolean",
+    )

@@ -249,32 +249,123 @@ def util_clear(path: str, *, confirm: bool = False) -> bool:
     return False
 
 
-# ------------------------------------------------------ excel (gated)
+# ------------------------------------------------------------- excel
+
+# Minimal dependency-free xlsx support: an .xlsx file is a zip of XML
+# parts; a single sheet with inline strings needs four fixed parts plus
+# the sheet. Enough for the reference's ingestion (core/etl.py:39-40)
+# and download-card export (app.py:509-516) surfaces — both small,
+# driver-side datasets. When openpyxl/pandas-excel IS available the
+# same functions prefer it (richer type handling).
+
+_XLSX_STATIC = {
+    "[Content_Types].xml": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    ),
+    "_rels/.rels": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    ),
+    "xl/workbook.xml": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    ),
+    "xl/_rels/workbook.xml.rels": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    ),
+}
+
+
+def xlsx_write_rows(path: str, header: list[str], rows: list[tuple]) -> None:
+    """Write a single-sheet .xlsx with inline strings (stdlib only)."""
+    import xml.sax.saxutils as sx
+    import zipfile
+
+    def row_xml(cells) -> str:
+        return (
+            "<row>"
+            + "".join(
+                f'<c t="inlineStr"><is><t>{sx.escape("" if v is None else str(v))}</t></is></c>'
+                for v in cells
+            )
+            + "</row>"
+        )
+
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        + row_xml(header)
+        + "".join(row_xml(r) for r in rows)
+        + "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, content in _XLSX_STATIC.items():
+            z.writestr(name, content)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def xlsx_read_rows(path: str) -> tuple[list[str], list[tuple]]:
+    """Read the first sheet of an .xlsx (inline or shared strings)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = ["".join(t.text or "" for t in si.iter(f"{ns}t")) for si in root]
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        out: list[tuple] = []
+        for row in sheet.iter(f"{ns}row"):
+            cells = []
+            for c in row.iter(f"{ns}c"):
+                if c.get("t") == "inlineStr":
+                    cells.append("".join(t.text or "" for t in c.iter(f"{ns}t")))
+                elif c.get("t") == "s":
+                    v = c.find(f"{ns}v")
+                    cells.append(shared[int(v.text)] if v is not None else "")
+                else:
+                    v = c.find(f"{ns}v")
+                    cells.append(v.text if v is not None else None)
+            out.append(tuple(cells))
+    header = [str(h) for h in out[0]] if out else []
+    return header, out[1:]
+
 
 def read_excel(spark: SparkSession, path: str, sheet_name: int | str = 0) -> DataFrame:
-    """Excel source via the pandas bridge (reference core/etl.py:39-40
-    pd.read_excel → here createDataFrame). Requires openpyxl, which is
-    not installed in this environment — gated behind import-try; the
-    canonical layer treats the result like any other untyped source."""
+    """Excel source (reference pd.read_excel, core/etl.py:39-40):
+    pandas/openpyxl bridge when available, else the built-in minimal
+    xlsx reader. All columns land as strings — the canonical layer
+    types them (same contract as CSV)."""
     try:
         import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise ImportError(
-            "openpyxl is required for Excel ingestion; install it or "
-            "convert the workbook to CSV/parquet"
-        ) from e
-    import pandas as pd
+        import pandas as pd
 
-    pdf = pd.read_excel(path, sheet_name=sheet_name, dtype=str)
-    return spark.createDataFrame(pdf)
+        pdf = pd.read_excel(path, sheet_name=sheet_name, dtype=str)
+        return spark.createDataFrame(pdf)
+    except ImportError:
+        header, rows = xlsx_read_rows(path)
+        return spark.createDataFrame(rows, schema=", ".join(f"`{h}` string" for h in header))
 
 
 def write_excel(df: DataFrame, path: str) -> None:
-    """Excel export (reference app.py:509-516 download cards): collect
-    to pandas (driver-side, small result sets only) and write via
-    openpyxl — gated like read_excel."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise ImportError("openpyxl is required for Excel export") from e
-    df.toPandas().to_excel(path, index=False)
+    """Excel export (reference app.py:509-516 download cards):
+    driver-side, small result sets only — the reference exports
+    filtered alert cards, never raw facts."""
+    rows = [tuple(r) for r in df.collect()]
+    xlsx_write_rows(path, list(df.columns), rows)

@@ -116,18 +116,26 @@ def test_util_clear_guards(tmp_path):
         storage.util_clear("/tmp", confirm=True)
 
 
-def test_excel_bridge_gated(spark):
-    try:
-        import openpyxl  # noqa: F401
-
-        have_openpyxl = True
-    except ImportError:
-        have_openpyxl = False
-    if not have_openpyxl:
-        with pytest.raises(ImportError, match="openpyxl"):
-            storage.read_excel(spark, "/nonexistent.xlsx")
-        return
-    # environment with openpyxl: full round trip
+def test_excel_round_trip(spark):
+    # built-in zip-of-XML xlsx path (no openpyxl in this environment);
+    # values — including special XML characters — must round-trip
     out = os.path.join(tempfile.mkdtemp(), "t.xlsx")
-    storage.write_excel(spark.range(3).select(F.col("id").cast("string")), out)
-    assert storage.read_excel(spark, out).count() == 3
+    df = spark.createDataFrame(
+        [("a", "1"), ("b & <c>", "2"), ("유형", "3")], "name string, v string"
+    )
+    storage.write_excel(df, out)
+    back = storage.read_excel(spark, out)
+    assert back.columns == ["name", "v"]
+    assert sorted((r.name, r.v) for r in back.collect()) == [
+        ("a", "1"),
+        ("b & <c>", "2"),
+        ("유형", "3"),
+    ]
+
+
+def test_xlsx_helpers_low_level(tmp_path):
+    p = str(tmp_path / "x.xlsx")
+    storage.xlsx_write_rows(p, ["h1", "h2"], [("r1", None), ("r2", "v")])
+    header, rows = storage.xlsx_read_rows(p)
+    assert header == ["h1", "h2"]
+    assert rows == [("r1", ""), ("r2", "v")]
