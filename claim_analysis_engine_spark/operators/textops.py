@@ -244,3 +244,46 @@ def txt_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------- txt_tokens_bpe
+
+# GPT-2-style coarse pretokenizer classes, restricted to constructs
+# Java regex (Spark) and RE2 (DuckDB) interpret identically
+_BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+
+@REG.op(
+    "txt_tokens_bpe",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '{_BPE_PATTERN}') AS toks
+      FROM documents
+    )
+    SELECT doc_id, len(toks) AS n_bpe_tokens,
+           len(list_filter(toks, x -> x ~ '^[0-9]+$')) AS n_numeric,
+           len(list_filter(toks, x -> x ~ '^[^a-zA-Z0-9]+$')) AS n_punct,
+           round(length(text) * 1.0 / len(toks), 4) AS chars_per_token
+    FROM t
+    """,
+)
+def txt_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pretokenization counting: split on GPT-2-style character
+    classes (letter runs / digit runs / punctuation runs) with
+    regexp_extract_all — the cheap proxy for LLM token budgeting
+    (chars-per-token is the metric data teams watch). Pure JVM regex,
+    no UDF; the pattern sticks to constructs Java regex and RE2 agree
+    on."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    t = docs.select("doc_id", F.length("text").alias("n_chars"), toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_bpe_tokens"),
+        F.size(F.filter("toks", lambda x: x.rlike("^[0-9]+$"))).alias("n_numeric"),
+        F.size(F.filter("toks", lambda x: x.rlike("^[^a-zA-Z0-9]+$"))).alias("n_punct"),
+        F.round(F.col("n_chars").cast("double") / F.size("toks"), 4).alias(
+            "chars_per_token"
+        ),
+    )
