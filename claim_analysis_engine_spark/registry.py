@@ -57,6 +57,7 @@ def registry() -> dict[str, Op]:
         pivots,
         relational,
         risk,
+        risk_tree,
         sales,
         scalars,
         similarity,
@@ -73,6 +74,7 @@ def registry() -> dict[str, Op]:
         events,
         scalars,
         risk,
+        risk_tree,
         sales,
         storage_ops,
         tsforecast,
