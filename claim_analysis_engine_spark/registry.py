@@ -60,6 +60,7 @@ def registry() -> dict[str, Op]:
         risk_tree,
         sales,
         scalars,
+        scale_patterns,
         similarity,
         storage_ops,
         textops,
@@ -76,6 +77,7 @@ def registry() -> dict[str, Op]:
         risk,
         risk_tree,
         sales,
+        scale_patterns,
         storage_ops,
         tsforecast,
         dedup_text,

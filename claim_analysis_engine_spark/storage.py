@@ -224,6 +224,29 @@ def build_series_mart(
     )
 
 
+def refresh_series_incremental(
+    claims: DataFrame, batch: DataFrame, as_of: str, **mart_kwargs
+) -> DataFrame:
+    """Incremental series-mart refresh (the reference's designed-but-
+    unimplemented P6 item, docs/project_master.md:24): rebuild ONLY the
+    (plant, cat2, major) groups the new batch touches, instead of all
+    4,774 documents on every upload.
+
+    ``claims`` is the full post-merge hub frame; ``batch`` the newly
+    ingested rows. The touched-group set broadcasts into a left-semi
+    join, so the mart aggregation reads only affected groups' rows —
+    at 100 TB an upload touching 3 plants recomputes 3 plants.
+    NOTE: the zero-fill spine derives from the filtered frame; when an
+    upload extends the global min/max month range, callers should run
+    the full build instead (spine changes affect every document)."""
+    plant = mart_kwargs.get("plant_col", "plant")
+    cat2 = mart_kwargs.get("cat2_col", "product_category2")
+    major = mart_kwargs.get("major_col", "major_category")
+    touched = batch.select(plant, cat2, major).distinct()
+    affected = claims.join(F.broadcast(touched), [plant, cat2, major], "left_semi")
+    return build_series_mart(affected, as_of, **mart_kwargs)
+
+
 def write_series_docs(docs: DataFrame, out_dir: str) -> None:
     """Series-mart sink: one JSON document per line, written
     distributed (reference writes 4,774 files in a driver loop,

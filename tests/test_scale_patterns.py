@@ -1,0 +1,48 @@
+"""Plan-level assertions for the scale-pattern operators: results are
+oracle-checked elsewhere; HERE we assert the physical plans actually
+have the promised shape (no shuffle before a bucketed join, partition
+filters on the pruned scan)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from claim_analysis_engine_spark.operators.scale_patterns import (
+    join_bucketed,
+    prune_partition,
+)
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_join_side_shuffle(spark):
+    # force a sort-merge join: at tiny SF the small side would broadcast
+    # and the bucket layout would never be consulted
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(join_bucketed(spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    join_part = plan.split("HashAggregate")[0]
+    # the join consumes bucketed scans directly: any Exchange in the
+    # pre-aggregate section would mean the bucket layout was ignored
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in join_part, join_part
+    assert "Bucketed: true" in plan
+
+
+def test_partition_pruned_scan_carries_partition_filters(spark):
+    plan = _plan(prune_partition(spark, SF_SMALL))
+    assert "PartitionFilters" in plan
+    # both predicates must appear as partition (directory) filters
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "y" in pf_line and "m" in pf_line
+    assert "1997" in pf_line and "6" in pf_line

@@ -102,6 +102,31 @@ def test_series_mart_golden(spark):
     assert m2["stats"]["avg_lag_days"] == pytest.approx(10.0)
 
 
+def test_incremental_refresh_rebuilds_only_touched_groups(spark):
+    rows = [
+        ("PLANT_A", "C", "M1", "S1", datetime.date(2024, 1, 5), 5, True),
+        ("PLANT_A", "C", "M1", "S1", datetime.date(2024, 2, 5), 4, True),
+        ("PLANT_B", "C", "M2", "S1", datetime.date(2024, 1, 9), 3, True),
+        ("PLANT_B", "C", "M2", "S1", datetime.date(2024, 2, 9), 2, True),
+    ]
+    schema = (
+        "plant string, product_category2 string, major_category string, "
+        "middle_category string, reception_date date, lag_days int, lag_valid boolean"
+    )
+    full = spark.createDataFrame(rows, schema)
+    # upload touches only PLANT_A/C/M1 (a new claim within the spine)
+    batch = spark.createDataFrame(
+        [("PLANT_A", "C", "M1", "S1", datetime.date(2024, 2, 20), 7, True)], schema
+    )
+    merged = full.unionByName(batch)
+    docs = storage.refresh_series_incremental(merged, batch, as_of="2024-02-28")
+    keys = sorted(d["key"] for d in docs.collect())
+    assert keys == ["PLANT_A_C_M1"]  # PLANT_B untouched → not rebuilt
+    doc = docs.collect()[0]
+    hist = [(h["date"], h["count"]) for h in doc["data"]["history"]]
+    assert hist == [("2024-01", 1), ("2024-02", 2)]  # batch row included
+
+
 def test_util_clear_guards(tmp_path):
     target = tmp_path / "data" / "store"
     target.mkdir(parents=True)
