@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) for the pure engines — the
+robustness layer the reference never had (SURVEY §5): for ANY series
+the risk engine must return a well-formed verdict, the tail CDFs must
+behave like CDFs, and the forecasting family must stay finite and
+non-negative."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from claim_analysis_engine_spark import forecast_models as fm
+from claim_analysis_engine_spark.risk_engine import (
+    nbinom_cdf,
+    poisson_cdf,
+    score_series,
+)
+
+series_strategy = st.lists(st.integers(min_value=0, max_value=200), min_size=0, max_size=60)
+grade_strategy = st.sampled_from([None, "중대", "위험", "사고", "일반", "기타"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    values=series_strategy,
+    grade=grade_strategy,
+    progress=st.floats(min_value=0.01, max_value=1.0),
+    partial=st.booleans(),
+)
+def test_risk_engine_total(values, grade, progress, partial):
+    months = [(i % 12) + 1 for i in range(len(values))]
+    r = score_series(
+        values, months, grade=grade, progress_ratio=progress, is_partial_month=partial
+    )
+    assert 0 <= r["score"] <= 100
+    assert r["status"] in {"", "⚪", "🟡", "🔴"}
+    assert isinstance(r["reason"], str) and r["reason"]
+    # no occurrence ⇒ always the quiet verdict
+    if values and values[-1] == 0:
+        assert (r["score"], r["reason"]) == (0, "발생 없음")
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    mu=st.floats(min_value=1e-6, max_value=50),
+    k=st.integers(min_value=-1, max_value=80),
+)
+def test_poisson_cdf_is_a_cdf(mu, k):
+    v = poisson_cdf(k, mu)
+    assert -1e-9 <= v <= 1 + 1e-9
+    if k >= 0:
+        assert v >= poisson_cdf(k - 1, mu) - 1e-12  # monotone in k
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    r=st.floats(min_value=0.1, max_value=20),
+    p=st.floats(min_value=0.05, max_value=0.95),
+    k=st.integers(min_value=-1, max_value=60),
+)
+def test_nbinom_cdf_is_a_cdf(r, p, k):
+    v = nbinom_cdf(k, r, p)
+    assert -1e-9 <= v <= 1 + 1e-9
+    if k >= 0:
+        assert v >= nbinom_cdf(k - 1, r, p) - 1e-12
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    values=st.lists(
+        st.floats(min_value=0, max_value=1000, allow_nan=False), min_size=6, max_size=48
+    ),
+    steps=st.integers(min_value=1, max_value=6),
+)
+def test_models_finite_and_nonnegative(values, steps):
+    y = np.asarray(values)
+    for name, cls in fm._FACTORY.items():
+        fc = cls().fit(y).predict(steps)
+        assert len(fc) == steps, name
+        assert np.isfinite(fc).all(), name
+        assert (fc >= 0).all(), name
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    values=st.lists(
+        st.floats(min_value=0, max_value=1000, allow_nan=False), min_size=8, max_size=48
+    )
+)
+def test_champion_leaderboard_well_formed(values):
+    res = fm.select_champion(np.asarray(values))
+    assert [r["rank"] for r in res.leaderboard] == [1, 2, 3]
+    rmses = [r["rmse"] for r in res.leaderboard]
+    assert all(
+        a <= b or (math.isinf(a) and math.isinf(b))
+        for a, b in zip(rmses, rmses[1:])
+    )
+    assert res.champion == res.leaderboard[0]["model"]
