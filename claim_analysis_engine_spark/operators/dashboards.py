@@ -84,9 +84,9 @@ def ep2_risk_radar(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1, 2
     ), mx AS (SELECT max(y) AS max_y FROM monthly)
     SELECT moy,
-           coalesce(sum(n) FILTER (y = max_y - 2), 0) AS y_minus_2,
-           coalesce(sum(n) FILTER (y = max_y - 1), 0) AS y_minus_1,
-           coalesce(sum(n) FILTER (y = max_y), 0) AS y_current
+           CAST(coalesce(sum(n) FILTER (y = max_y - 2), 0) AS BIGINT) AS y_minus_2,
+           CAST(coalesce(sum(n) FILTER (y = max_y - 1), 0) AS BIGINT) AS y_minus_1,
+           CAST(coalesce(sum(n) FILTER (y = max_y), 0) AS BIGINT) AS y_current
     FROM monthly, mx GROUP BY moy
     """,
 )

@@ -48,9 +48,16 @@ BAND_ROWS = 4
 SHINGLE_K = 5
 JACCARD_T = 0.8
 
-# SimHash: 16 bits over distinct word tokens, bucketed by the first 8
-SIMHASH_BITS = 16
-SIMHASH_BUCKET = 8
+# SimHash: 32 bits over distinct word tokens — one md5 per token, bit b
+# is hex digit b of the digest (standard simhash practice: hash once,
+# consume the digest's bits).  Candidates come from PIGEONHOLE blocking:
+# the signature splits into 4 disjoint 8-bit blocks and a pair within
+# Hamming ≤ 3 differs in at most 3 blocks, so at least one block is
+# IDENTICAL — 4 block-keyed tables give guaranteed recall with bounded
+# buckets (256 keys per table over uniform md5 bits).
+SIMHASH_BITS = 32
+SIMHASH_BLOCKS = 4
+SIMHASH_BLOCK_BITS = 8  # SIMHASH_BITS / SIMHASH_BLOCKS
 HAMMING_T = 3
 
 # Embedding LSH: 8 bands of 4 random-hyperplane bits over all 64 dims
@@ -341,15 +348,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKENS_SQL = "list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))"
 
+# One md5 per token; bit b of the signature is the majority vote of hex
+# digit b across token digests (md5 hex has 32 digits = 32 independent
+# bits at the >= '8' threshold).
 _SIMHASH_SQL = (
     "concat("
     + ", ".join(
-        f"CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN "
-        f"substr(md5('{b}:' || t), 1, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+        f"CASE WHEN list_sum(list_transform(hashes, h -> CASE WHEN "
+        f"substr(h, {b + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
         f"THEN '1' ELSE '0' END"
         for b in range(SIMHASH_BITS)
     )
     + ")"
+)
+
+_HAMMING_SQL = (
+    f"{SIMHASH_BITS} - list_sum(list_transform("
+    f"generate_series(1, {SIMHASH_BITS}), "
+    "i -> CASE WHEN substr(siga, i, 1) = substr(sigb, i, 1) "
+    "THEN 1 ELSE 0 END))"
+)
+
+_BLOCKS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, sig, {k} AS k, "
+    f"substr(sig, {1 + k * SIMHASH_BLOCK_BITS}, {SIMHASH_BLOCK_BITS}) AS blk "
+    "FROM sigs"
+    for k in range(SIMHASH_BLOCKS)
 )
 
 
@@ -357,50 +381,71 @@ _SIMHASH_SQL = (
     "dedup_simhash",
     oracle=f"""
     WITH toks0 AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
-    sigs AS (SELECT doc_id, {_SIMHASH_SQL} AS sig FROM toks0),
+    hashed AS (
+      SELECT doc_id, list_transform(toks, t -> md5(t)) AS hashes FROM toks0
+    ),
+    sigs AS (SELECT doc_id, {_SIMHASH_SQL} AS sig FROM hashed),
+    blocks AS ({_BLOCKS_SQL}),
     cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS siga, b.sig AS sigb
-      FROM sigs a JOIN sigs b
-        ON substr(a.sig, 1, {SIMHASH_BUCKET}) = substr(b.sig, 1, {SIMHASH_BUCKET})
-       AND a.doc_id < b.doc_id
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS siga, b.sig AS sigb
+      FROM blocks a JOIN blocks b
+        ON a.k = b.k AND a.blk = b.blk AND a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b,
-           {SIMHASH_BITS} - list_sum(list_transform(
-             generate_series(1, {SIMHASH_BITS}),
-             i -> CASE WHEN substr(siga, i, 1) = substr(sigb, i, 1)
-                       THEN 1 ELSE 0 END)) AS hamming
+    SELECT doc_a, doc_b, CAST({_HAMMING_SQL} AS BIGINT) AS hamming
     FROM cand
-    WHERE {SIMHASH_BITS} - list_sum(list_transform(
-            generate_series(1, {SIMHASH_BITS}),
-            i -> CASE WHEN substr(siga, i, 1) = substr(sigb, i, 1)
-                      THEN 1 ELSE 0 END)) <= {HAMMING_T}
+    WHERE {_HAMMING_SQL} <= {HAMMING_T}
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 16-bit signature (per-bit majority vote of
-    md5-hashed distinct word tokens), candidates bucketed on the first
-    8 bits (docs within Hamming ≤ 3 of each other agree on the prefix
-    unless a flipped bit lands there — the classic rotate-and-probe
-    tradeoff), verified by full Hamming distance ≤ 3."""
+    """SimHash near-dup with PIGEONHOLE multi-block LSH: a 32-bit
+    signature (per-bit majority vote over one md5 digest per distinct
+    word token) splits into 4 disjoint 8-bit blocks; a pair within
+    Hamming ≤ 3 differs in at most 3 blocks, so at least one block
+    matches exactly — candidates are the union of 4 block-keyed
+    equi-joins (guaranteed recall, no prefix-flip hole), then verified
+    by full Hamming ≤ 3.
+
+    Scale: each block table has ≤ 256 keys of near-uniform occupancy
+    (md5 bits), so within-bucket pairing is bounded and the join
+    shuffles on (k, blk) — no all-pairs stage anywhere.  A production
+    deployment swaps md5 for xxhash64 and widens to 64-bit signatures
+    with 16-bit blocks (65 536 buckets/table) without changing the
+    plan shape; md5/32-bit is kept so DuckDB replicates bit-for-bit."""
     toks = F.array_distinct(F.array_remove(F.split("text", " "), ""))
     docs = load(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
+    hashed = docs.select("doc_id", F.transform("toks", F.md5).alias("hashes"))
 
     def bit(b: int) -> F.Column:
-        vote = F.aggregate(
-            "toks",
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.substring(F.md5(F.concat(F.lit(f"{b}:"), t)), 1, 1) >= "8", 1).otherwise(
-                -1
-            ),
-        )
+        def vote_step(acc: F.Column, h: F.Column) -> F.Column:
+            return acc + F.when(F.substring(h, b + 1, 1) >= "8", 1).otherwise(-1)
+
+        vote = F.aggregate("hashes", F.lit(0), vote_step)
         return F.when(vote > 0, "1").otherwise("0")
 
-    sigs = docs.select(
+    sigs = hashed.select(
         "doc_id", F.concat(*[bit(b) for b in range(SIMHASH_BITS)]).alias("sig")
     )
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sigb"))
+    blocks = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.col("sig").substr(1 + k * SIMHASH_BLOCK_BITS, SIMHASH_BLOCK_BITS)
+                    for k in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("k", "blk"),
+    )
+    a = blocks.select("k", "blk", F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga"))
+    b = blocks.select("k", "blk", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sigb"))
+    cand = (
+        a.join(b, ["k", "blk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "siga", "sigb")
+        .distinct()
+    )
     matches = F.aggregate(
         F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
         F.lit(0),
@@ -409,15 +454,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hamming = F.lit(SIMHASH_BITS) - matches
     return (
-        a.join(
-            b,
-            (
-                F.col("siga").substr(1, SIMHASH_BUCKET)
-                == F.col("sigb").substr(1, SIMHASH_BUCKET)
-            )
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .where(hamming <= HAMMING_T)
+        cand.where(hamming <= HAMMING_T)
         .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
     )
 

@@ -83,8 +83,12 @@ def evt_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered
     ),
     sess AS (
-      SELECT *, sum(is_start) OVER (PARTITION BY user_id
-                                    ORDER BY ts_s, event_id) AS session_id
+      -- CAST: DuckDB windowed sum() yields HUGEINT, which pandas renders
+      -- as float64 ("3.0") while Spark emits bigint ("3") — same values,
+      -- different canonical text, so the driver's value hash diverges.
+      SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id
+                                         ORDER BY ts_s, event_id)
+                     AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,

@@ -223,7 +223,7 @@ def mm_assembly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(least(9, floor((n_bytes - lo) * 10.0 / (hi - lo))) AS BIGINT)
              AS bucket,
-           count(*) AS n, sum(n_bytes) AS total_bytes
+           count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
     FROM b, bounds
     GROUP BY 1, 2
     """,

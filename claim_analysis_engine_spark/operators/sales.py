@@ -109,7 +109,8 @@ def sales_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(l_quantity AS DECIMAL(18,2))) AS sales_qty
       FROM lineitem GROUP BY 1, 2
     )
-    SELECT c.plant, c.y, c.m, c.n_claims, q.sales_qty,
+    SELECT c.plant, c.y, c.m, c.n_claims,
+           round(CAST(q.sales_qty AS DOUBLE), 2) AS sales_qty,
            round(c.n_claims * 1000000.0 / CAST(q.sales_qty AS DOUBLE), 4) AS ppm
     FROM claims c JOIN qty q ON q.y = c.y AND q.m = c.m
     """,
@@ -139,7 +140,11 @@ def ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         "m",
         "n_claims",
-        "sales_qty",
+        # DECIMAL keeps the sum exact and shuffle-order-independent; the
+        # OUTPUT casts to rounded DOUBLE because Spark decimals render as
+        # "18820.00" vs DuckDB/pandas "18820.0" — a driver hash mismatch
+        # on numerically equal values
+        F.round(F.col("sales_qty").cast("double"), 2).alias("sales_qty"),
         F.round(
             F.col("n_claims") * 1_000_000.0 / F.col("sales_qty").cast("double"), 4
         ).alias("ppm"),
@@ -163,7 +168,7 @@ def ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1, 2
     )
     SELECT c.plant, c.y, c.m, c.n_claims,
-           coalesce(e.exog_qty, 0) AS exog_qty
+           round(CAST(coalesce(e.exog_qty, 0) AS DOUBLE), 2) AS exog_qty
     FROM claims c LEFT JOIN exog e ON e.y = c.y AND e.m = c.m
     """,
 )
@@ -193,5 +198,8 @@ def join_exog_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         "m",
         "n_claims",
-        F.coalesce("exog_qty", F.lit(0).cast("decimal(18,2)")).alias("exog_qty"),
+        # rounded-DOUBLE output for driver-hash parity (see ppm above)
+        F.round(
+            F.coalesce("exog_qty", F.lit(0).cast("decimal(18,2)")).cast("double"), 2
+        ).alias("exog_qty"),
     )

@@ -286,20 +286,27 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
            round({_cos_sql('x', 'y')}, 4) AS cosine
-    FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-    WHERE {_cos_sql('x', 'y')} >= {PAIR_T}
+    FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id
+    WHERE x.vec_id % {QUERY_MOD} = 0 AND {_cos_sql('x', 'y')} >= {PAIR_T}
     """,
 )
 def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine-threshold pairs — the ground-truth generator the
-    LSH/IVF recall is measured against. Deliberately all-pairs: use
-    dedup_embed_cosine (LSH-bucketed) as the at-scale variant."""
+    """Exact cosine-threshold neighbors of the SAMPLED anchor set
+    (vec_id % QUERY_MOD, same deterministic sample as every sim op):
+    for each anchor, every corpus vector above the threshold. The
+    anchor side broadcasts against one corpus pass — O(|Q|·N), never
+    O(N²); the corpus-scale all-pairs variant is dedup_embed_cosine
+    (LSH-bucketed), and exact all-pairs ground truth lives only in the
+    recall TESTS (tests/test_similarity_recall.py), not the registry."""
     emb = load(spark, sf_dir, "embeddings")
-    x = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    x = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
     y = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = _cos("ea", "eb")
     return (
-        x.join(y, F.col("vec_a") < F.col("vec_b"))
+        F.broadcast(x)
+        .join(y, F.col("vec_b") != F.col("vec_a"))
         .where(cos >= PAIR_T)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
     )

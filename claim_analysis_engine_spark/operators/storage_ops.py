@@ -156,7 +156,7 @@ def snk_parquet_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stats AS (
       SELECT plant, major_category,
-             count(*) AS n_months, sum(n_all) AS total_count,
+             count(*) AS n_months, CAST(sum(n_all) AS BIGINT) AS total_count,
              round(avg(n_valid), 6) AS mean,
              round(coalesce(stddev_samp(n_valid), 0.0), 6) AS std,
              round(coalesce(regr_slope(

@@ -12,6 +12,7 @@ import math
 from typing import Any
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from claim_analysis_engine_spark.tables import TABLES
@@ -25,11 +26,24 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v: Any) -> Any:
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    """Canonicalize one cell, PRESERVING the int/float distinction.
+
+    The driver hashes the canonical text rendering of each cell, so a
+    DuckDB HUGEINT that pandas renders as float64 ("3.0") does NOT match
+    a Spark bigint ("3") even though the values are numerically equal.
+    Python's `3.0 == 3` is True, which is exactly how the round-2 harness
+    masked the evt_sessionize red row — tag numeric cells by kind so the
+    local check is as strict as the driver's hash.
+    """
+    if v is None or (isinstance(v, (float, np.floating)) and math.isnan(v)):
         return None
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
         # collapse ulp-level drift; queries already round explicitly
-        return round(v, 9)
+        return ("f", round(float(v), 9))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
     if hasattr(v, "isoformat"):  # date/datetime/timestamp
         return v.isoformat()
     if isinstance(v, bytes):

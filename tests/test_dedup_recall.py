@@ -73,3 +73,43 @@ def test_embed_lsh_recall(spark, duck):
     expected = 1 - (1 - p_bit**4) ** 8
     recall = len(truth & found) / len(truth)
     assert recall >= expected / 2, f"embed-LSH recall {recall:.2f}, expected ≈{expected:.2f}"
+
+
+def test_simhash_pigeonhole_recall_is_exact(spark, duck):
+    """Pigeonhole blocking is a GUARANTEE, not a probability: any pair
+    within Hamming <= 3 differs in at most 3 of the 4 disjoint 8-bit
+    blocks, so at least one block matches and the pair is a candidate.
+    Recall vs exact all-pairs Hamming ground truth must be 1.0."""
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        HAMMING_T,
+        SIMHASH_BITS,
+        _SIMHASH_SQL,
+        _TOKENS_SQL,
+        dedup_simhash,
+    )
+
+    truth = {
+        (a, b)
+        for a, b in duck.execute(
+            f"""
+            WITH toks0 AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+            hashed AS (
+              SELECT doc_id, list_transform(toks, t -> md5(t)) AS hashes
+              FROM toks0
+            ),
+            sigs AS (SELECT doc_id, {_SIMHASH_SQL} AS sig FROM hashed)
+            SELECT a.doc_id, b.doc_id
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE {SIMHASH_BITS} - list_sum(list_transform(
+                    generate_series(1, {SIMHASH_BITS}),
+                    i -> CASE WHEN substr(a.sig, i, 1) = substr(b.sig, i, 1)
+                              THEN 1 ELSE 0 END)) <= {HAMMING_T}
+            """
+        ).fetchall()
+    }
+    assert truth, "testdata should contain simhash-near documents"
+    found = {(r.doc_a, r.doc_b) for r in dedup_simhash(spark, SF_ORACLE).collect()}
+    assert truth == found, (
+        f"pigeonhole recall must be exact: missed {len(truth - found)}, "
+        f"spurious {len(found - truth)}"
+    )
