@@ -41,6 +41,7 @@ EXTRA = [
     "rs_wrapper",
     "rs_stl_z",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
     "sim_topk_brute",
     "ml_champion",
     "snk_json_series",

@@ -60,6 +60,14 @@ def temporal_split(y: np.ndarray, test_months: int = TEST_MONTHS):
     return y[:split], y[split:]
 
 
+def _split_exog(exog, n_train: int):
+    """Split an optional exog series alongside the temporal split."""
+    if exog is None:
+        return None, None
+    exog = np.asarray(exog, float)
+    return exog[:n_train], exog[n_train:]
+
+
 def rmse(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.sqrt(np.mean((np.asarray(a, float) - np.asarray(b, float)) ** 2)))
 
@@ -88,7 +96,7 @@ class HoltWinters:
         self.seasonal: np.ndarray | None = None
         self._t = 0
 
-    def fit(self, y) -> "HoltWinters":
+    def fit(self, y, exog=None) -> "HoltWinters":
         y = np.asarray(y, float)
         m = self.m
         seasonal_ok = len(y) >= 2 * m
@@ -115,7 +123,7 @@ class HoltWinters:
         self._t = len(y)
         return self
 
-    def predict(self, steps: int) -> np.ndarray:
+    def predict(self, steps: int, exog_future=None) -> np.ndarray:
         out = []
         for h in range(1, steps + 1):
             s = (
@@ -142,7 +150,7 @@ class LagLinear:
         self.coef: np.ndarray | None = None
         self._tail: np.ndarray | None = None
 
-    def fit(self, y) -> "LagLinear":
+    def fit(self, y, exog=None) -> "LagLinear":
         y = np.asarray(y, float)
         k = min(self.lags, max(1, len(y) - 1))
         self.lags = k
@@ -155,7 +163,7 @@ class LagLinear:
         self._tail = y[-k:].copy()
         return self
 
-    def predict(self, steps: int) -> np.ndarray:
+    def predict(self, steps: int, exog_future=None) -> np.ndarray:
         tail = list(self._tail)
         out = []
         for _ in range(steps):
@@ -178,11 +186,11 @@ class SeasonalNaiveDrift:
         self.drift_weight, self.m = drift_weight, m
         self._y: np.ndarray | None = None
 
-    def fit(self, y) -> "SeasonalNaiveDrift":
+    def fit(self, y, exog=None) -> "SeasonalNaiveDrift":
         self._y = np.asarray(y, float)
         return self
 
-    def predict(self, steps: int) -> np.ndarray:
+    def predict(self, steps: int, exog_future=None) -> np.ndarray:
         y = self._y
         drift = (y[-1] - y[0]) / max(1, len(y) - 1)
         out = []
@@ -194,6 +202,246 @@ class SeasonalNaiveDrift:
 
     def params(self) -> dict:
         return {"drift_weight": self.drift_weight, "m": self.m}
+
+
+# ------------------------------------------------- upgraded slots
+# Each numpy slot has a real-library twin with the SAME fit/predict/
+# params interface; slot_factory()/slot_grid() below dispatch on the
+# HAVE_* flags so the upgrade engages transparently wherever the libs
+# exist. Library calls live inside methods (import at call time) so the
+# dispatch itself is testable with sys.modules fakes — see
+# tests/test_forecast_upgrade.py.
+
+class SarimaxSlot:
+    """statsmodels SARIMAX twin of the ``hw`` slot (reference
+    core/engine/models.py:95-173): SARIMAX(p,d,q)×(P,D,Q,12) with
+    optional exog, enforce_stationarity/invertibility False,
+    maxiter 200, forecasts clipped at 0."""
+
+    name = "hw"
+
+    def __init__(self, order=(1, 1, 1), seasonal_order=(1, 1, 1, 12)):
+        self.order = tuple(order)
+        self.seasonal_order = tuple(seasonal_order)
+        self._results = None
+
+    def fit(self, y, exog=None) -> "SarimaxSlot":
+        from statsmodels.tsa.statespace.sarimax import SARIMAX
+
+        self._results = SARIMAX(
+            np.asarray(y, float),
+            exog=None if exog is None else np.asarray(exog, float),
+            order=self.order,
+            seasonal_order=self.seasonal_order,
+            enforce_stationarity=False,
+            enforce_invertibility=False,
+        ).fit(disp=False, maxiter=200)
+        self._used_exog = exog is not None
+        return self
+
+    def predict(self, steps: int, exog_future=None) -> np.ndarray:
+        if self._used_exog and exog_future is None:
+            # reference raises when exog was trained but not supplied
+            # for the forecast window (models.py:159-161); we pad zeros
+            # to match join_exog_align's missing-month contract
+            exog_future = np.zeros(steps)
+        fc = self._results.forecast(
+            steps,
+            exog=None if exog_future is None else np.asarray(exog_future, float),
+        )
+        return np.maximum(0.0, np.asarray(fc, float))
+
+    def params(self) -> dict:
+        return {
+            "order": list(self.order),
+            "seasonal_order": list(self.seasonal_order),
+        }
+
+
+class CatBoostSlot:
+    """CatBoost twin of the ``laglin`` slot (reference
+    models.py:190-303): lag-1..k features, CatBoostRegressor with a
+    fixed seed, recursive multi-step prediction feeding its own
+    outputs — identical feature/predict shape to LagLinear."""
+
+    name = "laglin"
+
+    def __init__(self, lag_features: int = 3, iterations: int = 100):
+        self.lag_features = lag_features
+        self.iterations = iterations
+        self._model = None
+        self._tail: np.ndarray | None = None
+
+    def fit(self, y, exog=None) -> "CatBoostSlot":
+        from catboost import CatBoostRegressor
+
+        y = np.asarray(y, float)
+        k = min(self.lag_features, max(1, len(y) - 1))
+        self.lag_features = k
+        X = np.array([y[t - k : t][::-1] for t in range(k, len(y))])
+        self._model = CatBoostRegressor(
+            iterations=self.iterations, random_seed=42, verbose=0
+        )
+        self._model.fit(X, y[k:])
+        self._tail = y[-k:].copy()
+        return self
+
+    def predict(self, steps: int, exog_future=None) -> np.ndarray:
+        tail = list(self._tail)
+        out = []
+        for _ in range(steps):
+            feats = np.array(tail[-self.lag_features :][::-1]).reshape(1, -1)
+            yhat = max(0.0, float(np.asarray(self._model.predict(feats)).ravel()[0]))
+            out.append(yhat)
+            tail.append(yhat)
+        return np.array(out)
+
+    def params(self) -> dict:
+        return {"lag_features": self.lag_features, "iterations": self.iterations}
+
+
+def _lstm_fit_forecast(
+    y: np.ndarray,
+    steps: int,
+    lookback: int = 12,
+    hidden_size: int = 64,
+    epochs: int = 100,
+    batch_size: int = 16,
+) -> np.ndarray:
+    """All torch code for the LSTM slot in one function (reference
+    models.py:310-474): min-max scale, sliding-window dataset,
+    LSTM→Linear head, Adam/MSE training, recursive forecast. Seeded
+    torch.manual_seed(42) for determinism. Kept separate so the slot's
+    dispatch/plumbing is testable without faking torch's autograd."""
+    import torch
+    from torch import nn
+
+    torch.manual_seed(42)
+    y = np.asarray(y, float)
+    lo, hi = float(y.min()), float(y.max())
+    scale = (hi - lo) or 1.0
+    ys = (y - lo) / scale
+    lb = min(lookback, max(1, len(ys) - 1))
+    X = np.array([ys[i : i + lb] for i in range(len(ys) - lb)])
+    t = ys[lb:]
+
+    class Net(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.lstm = nn.LSTM(1, hidden_size, batch_first=True)
+            self.head = nn.Linear(hidden_size, 1)
+
+        def forward(self, x):
+            out, _ = self.lstm(x)
+            return self.head(out[:, -1, :])
+
+    net = Net()
+    opt = torch.optim.Adam(net.parameters(), lr=0.01)
+    loss_fn = nn.MSELoss()
+    Xt = torch.tensor(X, dtype=torch.float32).unsqueeze(-1)
+    tt = torch.tensor(t, dtype=torch.float32).unsqueeze(-1)
+    for _ in range(epochs):
+        for i in range(0, len(Xt), batch_size):
+            opt.zero_grad()
+            loss = loss_fn(net(Xt[i : i + batch_size]), tt[i : i + batch_size])
+            loss.backward()
+            opt.step()
+    window = list(ys[-lb:])
+    out = []
+    with torch.no_grad():
+        for _ in range(steps):
+            x = torch.tensor(window[-lb:], dtype=torch.float32).reshape(1, lb, 1)
+            yhat = float(net(x).ravel()[0])
+            out.append(yhat)
+            window.append(yhat)
+    return np.maximum(0.0, np.array(out) * scale + lo)
+
+
+class LSTMSlot:
+    """torch-LSTM twin of the ``snaive`` slot (reference
+    models.py:310-474). fit() stores the series; predict() trains and
+    forecasts via _lstm_fit_forecast (fit-at-predict is fine for the
+    per-series applyInPandas shape — each series trains exactly once)."""
+
+    name = "snaive"
+
+    def __init__(self, lookback: int = 12, hidden_size: int = 64, epochs: int = 100, batch_size: int = 16):
+        self.lookback = lookback
+        self.hidden_size = hidden_size
+        self.epochs = epochs
+        self.batch_size = batch_size
+        self._y: np.ndarray | None = None
+
+    def fit(self, y, exog=None) -> "LSTMSlot":
+        self._y = np.asarray(y, float)
+        return self
+
+    def predict(self, steps: int, exog_future=None) -> np.ndarray:
+        return _lstm_fit_forecast(
+            self._y,
+            steps,
+            lookback=self.lookback,
+            hidden_size=self.hidden_size,
+            epochs=self.epochs,
+            batch_size=self.batch_size,
+        )
+
+    def params(self) -> dict:
+        return {
+            "lookback": self.lookback,
+            "hidden_size": self.hidden_size,
+            "epochs": self.epochs,
+            "batch_size": self.batch_size,
+        }
+
+
+# deterministic grids for the upgraded slots: fixed-order subsets of
+# the reference's Optuna search spaces (trainer.py:217-222 SARIMAX
+# p,d,q∈[0,2] D∈[0,1]; :275-276 catboost; :330-332 lstm), small enough
+# for grid search to stand in for 50 seeded TPE trials
+UPGRADED_GRIDS: dict[str, list[dict]] = {
+    "hw": [
+        {"order": (1, 1, 1), "seasonal_order": (1, 1, 1, 12)},
+        {"order": (0, 1, 1), "seasonal_order": (0, 1, 1, 12)},
+        {"order": (2, 1, 2), "seasonal_order": (1, 1, 0, 12)},
+        {"order": (1, 0, 0), "seasonal_order": (1, 0, 1, 12)},
+    ],
+    "laglin": [
+        {"lag_features": k, "iterations": n} for k in (2, 3, 6) for n in (100, 200)
+    ],
+    "snaive": [
+        {"lookback": lb, "hidden_size": h, "epochs": 100}
+        for lb in (6, 12)
+        for h in (32, 64)
+    ],
+}
+
+_UPGRADES: dict[str, tuple[str, type]] = {
+    # slot id -> (HAVE_* flag name, upgraded class)
+    "hw": ("HAVE_STATSMODELS", SarimaxSlot),
+    "laglin": ("HAVE_CATBOOST", CatBoostSlot),
+    "snaive": ("HAVE_TORCH", LSTMSlot),
+}
+
+
+def _upgraded(name: str) -> bool:
+    flag, _ = _UPGRADES[name]
+    return bool(globals()[flag])
+
+
+def slot_factory(name: str) -> type:
+    """The class backing a slot in THIS environment: the real-library
+    twin when importable, the numpy stand-in otherwise."""
+    if _upgraded(name):
+        return _UPGRADES[name][1]
+    return _FACTORY[name]
+
+
+def slot_grid(name: str) -> list[dict]:
+    """The tuning grid matching slot_factory(name)'s constructor."""
+    if _upgraded(name):
+        return UPGRADED_GRIDS[name]
+    return GRIDS[name]
 
 
 # deterministic tuning grids (fixed trial order — the seeded-Optuna
@@ -216,21 +464,25 @@ _FACTORY = {
 }
 
 
-def tune_model(name: str, y: np.ndarray, test_months: int = TEST_MONTHS):
+def tune_model(name: str, y: np.ndarray, test_months: int = TEST_MONTHS, exog=None):
     """Grid search one family: fit on train, score test RMSE, first
     minimum wins (deterministic trial order). Failed fits score inf
-    (reference trainer.py failed-trial → inf)."""
+    (reference trainer.py failed-trial → inf). The grid and factory
+    come from slot_grid/slot_factory, so the same call tunes the real
+    SARIMAX/CatBoost/LSTM families wherever their libraries exist."""
     train, test = temporal_split(y, test_months)
+    ex_train, ex_test = _split_exog(exog, len(train))
+    grid = slot_grid(name)
     best_params, best_rmse = None, math.inf
-    for params in GRIDS[name]:
+    for params in grid:
         try:
-            model = _FACTORY[name](**params).fit(train)
-            score = rmse(model.predict(len(test)), test)
+            model = slot_factory(name)(**params).fit(train, exog=ex_train)
+            score = rmse(model.predict(len(test), exog_future=ex_test), test)
         except Exception:
             score = math.inf
         if score < best_rmse:
             best_params, best_rmse = params, score
-    return best_params or GRIDS[name][0], best_rmse
+    return best_params or grid[0], best_rmse
 
 
 @dataclass
@@ -240,13 +492,15 @@ class ChampionResult:
     champion_params: dict
 
 
-def select_champion(y: np.ndarray, test_months: int = TEST_MONTHS) -> ChampionResult:
+def select_champion(
+    y: np.ndarray, test_months: int = TEST_MONTHS, exog=None
+) -> ChampionResult:
     """Tune all families, rank by test RMSE ascending (ties break by
     model name for determinism), champion = rank 1 (reference
     trainer.py:405-570)."""
     rows = []
     for name in sorted(GRIDS):
-        params, score = tune_model(name, y, test_months)
+        params, score = tune_model(name, y, test_months, exog=exog)
         rows.append({"model": name, "params": params, "rmse": score})
     rows.sort(key=lambda r: (r["rmse"], r["model"]))
     for i, r in enumerate(rows):
@@ -255,12 +509,22 @@ def select_champion(y: np.ndarray, test_months: int = TEST_MONTHS) -> ChampionRe
     return ChampionResult(rows, best["model"], best["params"])
 
 
-def forecast_with_champion(y: np.ndarray, steps: int, test_months: int = TEST_MONTHS):
+def forecast_with_champion(
+    y: np.ndarray,
+    steps: int,
+    test_months: int = TEST_MONTHS,
+    exog=None,
+    exog_future=None,
+):
     """Champion refit on the FULL series before forecasting (reference
-    trainer.py:548-570). Returns (model_name, params, forecast, rmse)."""
-    result = select_champion(y, test_months)
-    model = _FACTORY[result.champion](**result.champion_params).fit(y)
-    fc = model.predict(steps)
+    trainer.py:548-570). Returns (model_name, params, forecast, rmse).
+    When exog is given and exog_future is not, the forecast window pads
+    zeros (the reference pads missing exog months with zeros)."""
+    result = select_champion(y, test_months, exog=exog)
+    model = slot_factory(result.champion)(**result.champion_params).fit(y, exog=exog)
+    if exog is not None and exog_future is None:
+        exog_future = np.zeros(steps)
+    fc = model.predict(steps, exog_future=exog_future)
     return result.champion, result.champion_params, fc, result.leaderboard[0]["rmse"]
 
 

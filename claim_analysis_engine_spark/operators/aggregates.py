@@ -395,3 +395,111 @@ def agg_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.floor("l_quantity").cast("int").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@REG.op(
+    "detect_outliers_iqr",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderstatus AS status, strftime(o_orderdate, '%Y-%m') AS month,
+             count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    fences AS (
+      SELECT status,
+             quantile_cont(n, 0.25) AS q1, quantile_cont(n, 0.75) AS q3
+      FROM monthly GROUP BY 1
+    )
+    SELECT m.status, m.month, m.n,
+           round(f.q1 - 1.5 * (f.q3 - f.q1), 6) AS lo_fence,
+           round(f.q3 + 1.5 * (f.q3 - f.q1), 6) AS hi_fence,
+           CASE WHEN m.n < round(f.q1 - 1.5 * (f.q3 - f.q1), 6)
+                  OR m.n > round(f.q3 + 1.5 * (f.q3 - f.q1), 6)
+                THEN true ELSE false END AS is_outlier
+    FROM monthly m JOIN fences f ON f.status = m.status
+    """,
+)
+def detect_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier flags on the per-plant monthly claim series — the
+    reference's documented-but-never-implemented detect_outliers_iqr
+    (docs/project_master.md:20; the latent import at
+    pages/3_플랜트_분석.py:21 would raise ImportError if the page ever
+    called it). Per group: exact Q1/Q3 (linear-interpolated, matching
+    quantile_cont), Tukey fences at 1.5·IQR, and a boolean flag per
+    month. Fences round to 6 dp BEFORE comparison on both engines so a
+    ulp of quantile drift can't flip a point sitting on a fence.
+    Scale: the fence frame is |groups| rows — broadcast back onto the
+    monthly series; exact percentile over months-per-group (~hundreds)
+    is cheap, and percentile_approx is the swap if groups ever carry
+    millions of points."""
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fences = monthly.groupBy("status").agg(
+        F.percentile("n", F.lit(0.25)).alias("q1"),
+        F.percentile("n", F.lit(0.75)).alias("q3"),
+    )
+    lo = F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 6)
+    hi = F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 6)
+    return monthly.join(F.broadcast(fences), "status").select(
+        "status",
+        "month",
+        "n",
+        lo.alias("lo_fence"),
+        hi.alias("hi_fence"),
+        ((F.col("n") < lo) | (F.col("n") > hi)).alias("is_outlier"),
+    )
+
+
+@REG.op(
+    "detect_outliers_zscore",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderstatus AS status, strftime(o_orderdate, '%Y-%m') AS month,
+             count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT status, avg(n) AS mu, stddev_samp(n) AS sigma
+      FROM monthly GROUP BY 1
+    )
+    SELECT m.status, m.month, m.n,
+           round((m.n - s.mu) / nullif(s.sigma, 0), 4) AS z,
+           CASE WHEN abs(round((m.n - s.mu) / nullif(s.sigma, 0), 4)) > 3.0
+                THEN true ELSE false END AS is_outlier
+    FROM monthly m JOIN stats s ON s.status = m.status
+    """,
+)
+def detect_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier flags — the other half of the reference's
+    documented outlier surface (docs/project_master.md:20: "IQR or
+    Z-Score"): per-group mean/std of the monthly series, |z| > 3 flags
+    a spike. Degenerate groups (one month, or zero variance) yield
+    NULL z and flag false on both engines. Same broadcast-stats shape
+    as the IQR variant."""
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = monthly.groupBy("status").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = F.round(
+        (F.col("n") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0)), 4
+    )
+    return monthly.join(F.broadcast(stats), "status").select(
+        "status",
+        "month",
+        "n",
+        z.alias("z"),
+        F.when(F.abs(z) > 3.0, True).otherwise(False).alias("is_outlier"),
+    )

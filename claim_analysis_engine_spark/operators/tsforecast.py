@@ -245,7 +245,7 @@ def _forecast_op(model_name: str):
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             y = _series_pdf_to_values(pdf)
             params, test_rmse = fm.tune_model(model_name, y)
-            model = fm._FACTORY[model_name](**params).fit(y)
+            model = fm.slot_factory(model_name)(**params).fit(y)
             fc = model.predict(HORIZON)
             lo, hi = fm.confidence_interval(fc, test_rmse)
             return pd.DataFrame(

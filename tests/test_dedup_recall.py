@@ -113,3 +113,46 @@ def test_simhash_pigeonhole_recall_is_exact(spark, duck):
         f"pigeonhole recall must be exact: missed {len(truth - found)}, "
         f"spurious {len(found - truth)}"
     )
+
+
+def test_minhash_lsh_fast_recall_and_precision(spark, duck):
+    """The xxhash64 production variant has no DuckDB oracle (the hash
+    is JVM-only), so assert correctness directly: every emitted pair's
+    Jaccard equals the exact value and clears the threshold (precision
+    1.0 by construction of the verify step), and recall at J >= 0.9
+    matches the banding math, same floor as the md5 path."""
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        JACCARD_T,
+        dedup_minhash_lsh_fast,
+    )
+
+    exact = {
+        (a, b): j
+        for a, b, j in duck.execute(
+            """
+            WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(1, length(text) - 4)),
+                       i -> substr(text, i, 5))) AS s
+              FROM documents)
+            SELECT a.doc_id, b.doc_id,
+                   round(len(list_intersect(a.s, b.s)) * 1.0
+                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 1.0
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+            """
+        ).fetchall()
+    }
+    found = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_lsh_fast(spark, SF_ORACLE).collect()
+    }
+    assert found, "fast path should emit pairs on the planted near-dups"
+    for pair, j in found.items():
+        assert pair in exact, f"{pair} emitted but exact J < {JACCARD_T}"
+        assert abs(j - exact[pair]) < 1e-6, f"{pair}: {j} != exact {exact[pair]}"
+    high = {p for p, j in exact.items() if j >= 0.9}
+    assert high
+    recall = len(high & set(found)) / len(high)
+    assert recall >= 0.9, f"fast-LSH recall {recall:.2f} over {len(high)} true pairs"
