@@ -31,6 +31,10 @@ from claim_analysis_engine_spark.operators.risk import (
     _with_target,
     rs_wrapper,
 )
+from claim_analysis_engine_spark.operators.risk_tree import (
+    _TREE_CTES,
+    _TREE_SELECT,
+)
 from claim_analysis_engine_spark.registry import OpRegistry
 from claim_analysis_engine_spark.tables import load
 
@@ -39,14 +43,47 @@ REG = OpRegistry()
 
 # ------------------------------------------------------ ep2_risk_radar
 
-@REG.op("ep2_risk_radar")  # composes the applyInPandas tree — rows-only
+# The radar's value oracle composes the FULL relational decision-tree
+# oracle (risk_tree._TREE_ORACLE, proven row-identical to the numpy
+# engine behind rs_wrapper) as a CTE, plus the 6-month trend string
+# from the same zero-filled series substrate — so the flagship composed
+# dashboard gets a hash-level check, not just a row count.
+_RADAR_ORACLE = (
+    _TREE_CTES
+    + ", radar_scored AS ("
+    + _TREE_SELECT
+    + """
+    ),
+    trend AS (
+      SELECT status, priority,
+             string_agg(CAST(n AS VARCHAR), ' → ' ORDER BY month) AS trend_6m
+      FROM (
+        SELECT status, priority, month, n,
+               row_number() OVER (PARTITION BY status, priority
+                                  ORDER BY month DESC) AS r
+        FROM series
+      ) WHERE r <= 6 GROUP BY 1, 2
+    )
+    SELECT s.status, s.priority, s.grade, s.risk_status, s.score, s.reason,
+           t.trend_6m
+    FROM radar_scored s
+    JOIN trend t ON t.status = s.status AND t.priority = s.priority
+    WHERE s.score > 0
+    """
+)
+
+
+@REG.op("ep2_risk_radar", oracle=_RADAR_ORACLE)
 def ep2_risk_radar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The executive risk radar (reference load_and_scan_risks,
     app.py:262-324): score every series with the full decision tree,
     keep score > 0 rows, attach the 6-month trend string
     ("n₁ → n₂ → …", app.py:303-304), sort by score descending.
     The trend string builds from the SAME zero-filled series frame the
-    scorer consumes — one substrate, two consumers."""
+    scorer consumes — one substrate, two consumers. The oracle runs the
+    relational tree (risk_tree.py) composed with the trend build, so
+    this hash check ALSO re-proves numpy-engine ↔ SQL-tree agreement
+    through the driver gate."""
     scored = rs_wrapper(spark, sf_dir)
     s = _with_target(spark, sf_dir)
     key = W.partitionBy("status", "priority")

@@ -53,7 +53,9 @@ _PVAL_SQL = """
       END
 """
 
-_TREE_ORACLE = (
+# split into CTE body + final SELECT so composed queries (the EP2 risk
+# radar oracle in dashboards.py) can reuse the scored frame as a CTE
+_TREE_CTES = (
     _SERIES_CTE
     + f"""
     , stats AS (
@@ -270,6 +272,10 @@ _TREE_ORACLE = (
              ELSE '⚪' END AS band
       FROM reasons
     )
+    """
+)
+
+_TREE_SELECT = """
     SELECT status, priority,
            CASE WHEN crit THEN '중대' ELSE '일반' END AS grade,
            CASE
@@ -308,8 +314,9 @@ _TREE_ORACLE = (
              ELSE alert_reason
            END AS reason
     FROM labeled
-    """
-)
+"""
+
+_TREE_ORACLE = _TREE_CTES + _TREE_SELECT
 
 
 @REG.op("rs_tree_relational", oracle=_TREE_ORACLE)

@@ -119,9 +119,9 @@ def snk_parquet_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- snk_json_series
 
-@REG.op(
-    "snk_json_series",
-    oracle="WITH " + _CLAIMS_SQL + """
+# shared by snk_json_series and snk_series_refresh (which appends a
+# plant filter matching its touched-group set)
+_SERIES_MART_ORACLE = "WITH " + _CLAIMS_SQL + """
     , months AS (
       SELECT strftime(reception_date, '%Y-%m') AS month, plant,
              major_category, lag_days, lag_valid
@@ -181,8 +181,10 @@ def snk_parquet_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM stats s
     JOIN lag l ON l.plant = s.plant AND l.major_category = s.major_category
     JOIN kids k ON k.plant = s.plant AND k.major_category = s.major_category
-    """,
-)
+    """
+
+
+@REG.op("snk_json_series", oracle=_SERIES_MART_ORACLE)
 def snk_json_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Series-mart JSON sink round-trip (reference
     core/storage.py:504-653): build the nested documents, write them as
@@ -206,6 +208,40 @@ def snk_json_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.schema(schema).json(out)
     return back.select(
+        "key",
+        F.size("data.history").cast("bigint").alias("n_months"),
+        F.aggregate(
+            "data.history", F.lit(0).cast("bigint"), lambda acc, h: acc + h["count"]
+        ).alias("total_count"),
+        F.col("meta.parent_stats.mean").alias("mean"),
+        F.col("meta.parent_stats.std").alias("std"),
+        F.col("meta.parent_stats.slope").alias("slope"),
+        F.col("meta.parent_stats.avg_lag_days").alias("avg_lag_days"),
+        F.size("children").cast("bigint").alias("n_children"),
+    )
+
+
+# --------------------------------------------------- snk_series_refresh
+
+@REG.op(
+    "snk_series_refresh",
+    oracle=_SERIES_MART_ORACLE + " WHERE s.plant = 'P'",
+)
+def snk_series_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental series-mart refresh through the correctness gate
+    (the reference's designed-but-unimplemented P6 item,
+    docs/project_master.md:24): a batch touching only plant 'P' in an
+    interior year rebuilds ONLY plant-P documents, zero-filled over the
+    FULL hub spine via injected bounds. The oracle is the full-mart SQL
+    restricted to the touched plant — values must equal what a full
+    rebuild would produce for those groups, which is exactly the
+    incremental contract (storage.refresh_series_incremental)."""
+    claims = _claims_from_orders(spark, sf_dir)
+    batch = claims.where(
+        (F.col("plant") == "P") & (F.col("reception_year") == 1996)
+    )
+    docs = storage.refresh_series_incremental(claims, batch, as_of="2026-08-13")
+    return docs.select(
         "key",
         F.size("data.history").cast("bigint").alias("n_months"),
         F.aggregate(

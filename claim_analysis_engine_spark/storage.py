@@ -106,6 +106,7 @@ def build_series_mart(
     major_col: str = "major_category",
     middle_col: str = "middle_category",
     date_col: str = "reception_date",
+    spine_bounds: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Nested monthly series documents, one row per (plant, cat2,
     major) — the reference's generate_nested_series
@@ -133,10 +134,20 @@ def build_series_mart(
         F.col("lag_valid"),
     ).where(F.col("month").isNotNull())
 
-    bounds = base.agg(
-        F.min(F.to_date(F.concat(F.col("month"), F.lit("-01")))).alias("lo"),
-        F.max(F.to_date(F.concat(F.col("month"), F.lit("-01")))).alias("hi"),
-    )
+    if spine_bounds is None:
+        bounds = base.agg(
+            F.min(F.to_date(F.concat(F.col("month"), F.lit("-01")))).alias("lo"),
+            F.max(F.to_date(F.concat(F.col("month"), F.lit("-01")))).alias("hi"),
+        )
+    else:
+        # injected bounds ("yyyy-MM" strings): the incremental refresh
+        # passes the FULL hub's range so a partial rebuild zero-fills
+        # the same spine as a full rebuild would
+        lo, hi = spine_bounds
+        bounds = claims.sparkSession.range(1).select(
+            F.to_date(F.lit(f"{lo}-01")).alias("lo"),
+            F.to_date(F.lit(f"{hi}-01")).alias("hi"),
+        )
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("m")
     ).select(F.date_format("m", "yyyy-MM").alias("month"))
@@ -236,15 +247,45 @@ def refresh_series_incremental(
     ingested rows. The touched-group set broadcasts into a left-semi
     join, so the mart aggregation reads only affected groups' rows —
     at 100 TB an upload touching 3 plants recomputes 3 plants.
-    NOTE: the zero-fill spine derives from the filtered frame; when an
-    upload extends the global min/max month range, callers should run
-    the full build instead (spine changes affect every document)."""
+
+    Spine safety (two hazards, both handled here):
+    * the zero-fill spine always uses the FULL hub's month range
+      (injected via spine_bounds), so a partial rebuild produces
+      identical documents to a full rebuild for the touched groups
+      even when those groups don't span the hub range themselves;
+    * when the upload EXTENDS the global month range the zero-fill
+      substrate of every untouched document changes too, so the
+      function detects it and falls back to the full build by itself.
+      The detection is exact: a hub boundary month is new iff it
+      consists solely of batch rows, checked from two per-month count
+      aggregates (map-side combine; |months| rows each — a refresh
+      decision, not a per-row loop).
+    """
     plant = mart_kwargs.get("plant_col", "plant")
     cat2 = mart_kwargs.get("cat2_col", "product_category2")
     major = mart_kwargs.get("major_col", "major_category")
+    date_col = mart_kwargs.get("date_col", "reception_date")
+
+    month = F.date_format(F.col(date_col), "yyyy-MM").alias("m")
+    hub_m = claims.groupBy(month).agg(F.count(F.lit(1)).alias("nc"))
+    batch_m = batch.groupBy(month).agg(F.count(F.lit(1)).alias("nb"))
+    hub = hub_m.agg(F.min("m").alias("lo"), F.max("m").alias("hi")).first()
+    pre = (
+        hub_m.join(batch_m, "m", "left")
+        .where(F.col("nc") > F.coalesce(F.col("nb"), F.lit(0)))
+        .agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+        .first()
+    )
+    if pre.lo is None or pre.lo != hub.lo or pre.hi != hub.hi:
+        # a boundary month exists only because of this batch: the spine
+        # grew, every document's history array changes — full rebuild
+        return build_series_mart(claims, as_of, **mart_kwargs)
+
     touched = batch.select(plant, cat2, major).distinct()
     affected = claims.join(F.broadcast(touched), [plant, cat2, major], "left_semi")
-    return build_series_mart(affected, as_of, **mart_kwargs)
+    return build_series_mart(
+        affected, as_of, spine_bounds=(hub.lo, hub.hi), **mart_kwargs
+    )
 
 
 def write_series_docs(docs: DataFrame, out_dir: str) -> None:

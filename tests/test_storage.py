@@ -127,6 +127,70 @@ def test_incremental_refresh_rebuilds_only_touched_groups(spark):
     assert hist == [("2024-01", 1), ("2024-02", 2)]  # batch row included
 
 
+def test_incremental_refresh_detects_spine_extension(spark):
+    """A batch whose rows create a NEW boundary month extends the
+    global zero-fill spine, which changes untouched documents too —
+    the function must detect this itself and produce documents
+    identical to a full rebuild."""
+    rows = [
+        ("PLANT_A", "C", "M1", "S1", datetime.date(2024, 1, 5), 5, True),
+        ("PLANT_A", "C", "M1", "S1", datetime.date(2024, 2, 5), 4, True),
+        ("PLANT_B", "C", "M2", "S1", datetime.date(2024, 1, 9), 3, True),
+        ("PLANT_B", "C", "M2", "S1", datetime.date(2024, 2, 9), 2, True),
+    ]
+    schema = (
+        "plant string, product_category2 string, major_category string, "
+        "middle_category string, reception_date date, lag_days int, lag_valid boolean"
+    )
+    full = spark.createDataFrame(rows, schema)
+    # the upload's 2024-04 row extends the spine beyond the hub's max
+    batch = spark.createDataFrame(
+        [("PLANT_A", "C", "M1", "S1", datetime.date(2024, 4, 2), 7, True)], schema
+    )
+    merged = full.unionByName(batch)
+    inc = storage.refresh_series_incremental(merged, batch, as_of="2024-04-30")
+    fullbuild = storage.build_series_mart(merged, as_of="2024-04-30")
+    inc_rows = {r["key"]: r.asDict(recursive=True) for r in inc.collect()}
+    full_rows = {r["key"]: r.asDict(recursive=True) for r in fullbuild.collect()}
+    assert inc_rows == full_rows  # includes untouched PLANT_B
+    # every document's spine now runs Jan..Apr (zero-filled Mar)
+    hist_b = [
+        (h["date"], h["count"]) for h in inc_rows["PLANT_B_C_M2"]["data"]["history"]
+    ]
+    assert hist_b == [("2024-01", 1), ("2024-02", 1), ("2024-03", 0), ("2024-04", 0)]
+
+
+def test_incremental_refresh_uses_full_hub_spine_for_narrow_groups(spark):
+    """A touched group narrower than the hub range must still zero-fill
+    over the FULL hub spine (injected bounds), matching a full rebuild
+    for that group exactly."""
+    rows = [
+        ("PLANT_A", "C", "M1", "S1", datetime.date(2024, 2, 5), 5, True),
+        ("PLANT_B", "C", "M2", "S1", datetime.date(2024, 1, 9), 3, True),
+        ("PLANT_B", "C", "M2", "S1", datetime.date(2024, 3, 9), 2, True),
+    ]
+    schema = (
+        "plant string, product_category2 string, major_category string, "
+        "middle_category string, reception_date date, lag_days int, lag_valid boolean"
+    )
+    full = spark.createDataFrame(rows, schema)
+    # batch touches only PLANT_A, whose own rows span just 2024-02
+    batch = spark.createDataFrame(
+        [("PLANT_A", "C", "M1", "S1", datetime.date(2024, 2, 20), 7, True)], schema
+    )
+    merged = full.unionByName(batch)
+    inc = {r["key"]: r.asDict(recursive=True)
+           for r in storage.refresh_series_incremental(
+               merged, batch, as_of="2024-03-31").collect()}
+    assert set(inc) == {"PLANT_A_C_M1"}  # PLANT_B untouched
+    fullbuild = {r["key"]: r.asDict(recursive=True)
+                 for r in storage.build_series_mart(
+                     merged, as_of="2024-03-31").collect()}
+    assert inc["PLANT_A_C_M1"] == fullbuild["PLANT_A_C_M1"]
+    hist = [(h["date"], h["count"]) for h in inc["PLANT_A_C_M1"]["data"]["history"]]
+    assert hist == [("2024-01", 0), ("2024-02", 2), ("2024-03", 0)]
+
+
 def test_util_clear_guards(tmp_path):
     target = tmp_path / "data" / "store"
     target.mkdir(parents=True)
