@@ -1,0 +1,322 @@
+"""Training-data pipeline composition ops over the `documents` table:
+deterministic corpus splitting, benchmark-contamination detection,
+token-budget shard packing, and a composed quality-filter funnel.
+
+These are the operations a large-scale LLM data pipeline runs AFTER
+per-doc analysis (textops) and near-dup detection (dedup_text): decide
+what goes to train/val/test, prove the eval benchmark isn't leaked
+into train, pack the surviving corpus into fixed-token-budget shards,
+and account for what each filter stage dropped.
+
+Scale notes (100 TB):
+* splits/sampling are pure per-row hash projections — no shuffle;
+* contamination joins the corpus' exploded shingles against a
+  BROADCAST benchmark shingle set (benchmarks are tiny by definition);
+* shard packing is one running-sum window per source partition — the
+  shard boundaries derive from a cumulative token count, so packing is
+  deterministic, order-stable, and never touches the driver;
+* the quality funnel composes pure column predicates with one exact
+  dedup aggregate; each stage's drop count comes from one pass.
+
+Determinism contract: every random-looking choice is an md5 hex
+threshold (lexicographic compare — never hex→int, which DuckDB can't
+replicate), so the oracle reproduces splits bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from claim_analysis_engine_spark.registry import OpRegistry
+from claim_analysis_engine_spark.tables import load
+
+REG = OpRegistry()
+
+# md5-hex thresholds on the first 2 digits (256 buckets): 'cc' = 204/256
+# ≈ 80% train, 'e6' = 230/256 ≈ 90% → ~10% val, rest test
+SPLIT_TRAIN_HEX = "cc"
+SPLIT_VAL_HEX = "e6"
+
+SHINGLE_K = 5
+# benchmark stand-in: a deterministic sliver of the corpus (every 97th
+# doc) plays the role of an external eval set
+BENCH_MOD = 97
+CONTAM_MIN_OVERLAP = 20  # shared shingles before a doc counts as contaminated
+
+SHARD_TOKEN_BUDGET = 2000  # tokens per packed shard
+
+_TOKENS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+def _tokens_col() -> F.Column:
+    return F.array_remove(F.split("text", " "), "")
+
+
+def _split_col(id_col: str) -> F.Column:
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return (
+        F.when(bucket < SPLIT_TRAIN_HEX, "train")
+        .when(bucket < SPLIT_VAL_HEX, "val")
+        .otherwise("test")
+    )
+
+
+_SPLIT_SQL = f"""
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TRAIN_HEX}'
+           THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_HEX}'
+           THEN 'val'
+         ELSE 'test' END
+"""
+
+
+# ----------------------------------------------------- corpus_split_hash
+
+@REG.op(
+    "corpus_split_hash",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_SPLIT_SQL} AS split,
+             len({_TOKENS_SQL}) AS n_tokens
+      FROM documents
+    )
+    SELECT split, source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM t GROUP BY 1, 2
+    """,
+)
+def corpus_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10): the first two
+    md5-hex digits of doc_id pick the bucket, so the split is stable
+    across runs, machines, and engine versions — no RNG, no seed file.
+    A per-row projection: at 100 TB this adds zero shuffles; membership
+    is recomputable from the id alone (the property that matters when
+    a doc must be traced to its split years later)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", _split_col("doc_id").alias("split"),
+        F.size(_tokens_col()).alias("n_tokens"),
+    )
+    return d.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+# -------------------------------------------------- corpus_contamination
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    f"generate_series(1, greatest(1, length(text) - {SHINGLE_K - 1})), "
+    f"i -> substr(text, i, {SHINGLE_K})))"
+)
+
+
+@REG.op(
+    "corpus_contamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS shingle FROM sh
+      WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    hits AS (
+      SELECT d.doc_id, count(*) AS n_overlap
+      FROM (SELECT doc_id, unnest(s) AS shingle FROM sh
+            WHERE doc_id % {BENCH_MOD} <> 0) d
+      JOIN bench b ON b.shingle = d.shingle
+      GROUP BY 1
+    ),
+    all_docs AS (
+      SELECT doc_id FROM documents WHERE doc_id % {BENCH_MOD} <> 0
+    )
+    SELECT a.doc_id,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           coalesce(h.n_overlap, 0) >= {CONTAM_MIN_OVERLAP} AS contaminated
+    FROM all_docs a LEFT JOIN hits h ON h.doc_id = a.doc_id
+    """,
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination check: count each training doc's distinct
+    5-char shingles that also appear anywhere in the benchmark set
+    (stand-in: every 97th doc), flag docs over the overlap threshold.
+    The benchmark's distinct-shingle set BROADCASTS (eval sets are tiny
+    versus the corpus); the corpus side explodes shingles once and
+    equi-joins — contamination never becomes a doc×doc comparison."""
+    sh = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.lit(1), F.length("text") - (SHINGLE_K - 1))
+                ),
+                lambda i: F.col("text").substr(i, F.lit(SHINGLE_K)),
+            )
+        ).alias("s"),
+    )
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = (
+        sh.where(is_bench)
+        .select(F.explode("s").alias("shingle"))
+        .distinct()
+    )
+    corpus = sh.where(~is_bench)
+    hits = (
+        corpus.select("doc_id", F.explode("s").alias("shingle"))
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return corpus.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+        (F.coalesce("n_overlap", F.lit(0)) >= CONTAM_MIN_OVERLAP).alias(
+            "contaminated"
+        ),
+    )
+
+
+# --------------------------------------------------- corpus_pack_shards
+
+@REG.op(
+    "corpus_pack_shards",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOKENS_SQL}) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+                                             ORDER BY doc_id) - 1)
+                        * 1.0 / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_id
+      FROM t
+    )
+    SELECT source, shard_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: within each source, docs in doc_id
+    order pack into contiguous shards of ~SHARD_TOKEN_BUDGET tokens —
+    shard_id = floor((running_token_sum − 1) / budget). One running-sum
+    window per source partition; boundaries are deterministic functions
+    of the data, so re-running on an appended corpus never reshuffles
+    existing shards' prefix. This is the write-side layout step before
+    a tokenizer job: each shard becomes one output file of bounded
+    size (the analogue of maxRecordsPerFile, but in TOKENS, which is
+    the unit the training job actually cares about)."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(_tokens_col()).alias("n_tokens")
+    )
+    w = W.partitionBy("source").orderBy("doc_id")
+    packed = t.withColumn(
+        "shard_id",
+        F.floor((F.sum("n_tokens").over(w) - 1) / SHARD_TOKEN_BUDGET).cast("bigint"),
+    )
+    return packed.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ------------------------------------------------- corpus_quality_funnel
+
+# quality gates (composing the txt_quality thresholds into a keep/drop
+# decision): token count in [5, 5000], mean token length in [2, 12],
+# and not an exact duplicate of an earlier doc
+MIN_TOKENS = 5
+MAX_TOKENS = 5000
+MIN_AVG_TOKLEN = 2.0
+MAX_AVG_TOKLEN = 12.0
+
+
+@REG.op(
+    "corpus_quality_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, source, text,
+             len(toks) AS n_tokens,
+             list_sum(list_transform(toks, x -> length(x))) * 1.0
+               / greatest(1, len(toks)) AS avg_len
+      FROM t
+    ),
+    keep0 AS (
+      SELECT *,
+             n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+               AND avg_len BETWEEN {MIN_AVG_TOKLEN} AND {MAX_AVG_TOKLEN}
+               AS pass_quality
+      FROM gated
+    ),
+    dedup AS (
+      SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS copy_rank
+      FROM keep0 WHERE pass_quality
+    )
+    SELECT k.source,
+           count(*) AS n_input,
+           count(*) FILTER (NOT k.pass_quality) AS drop_quality,
+           CAST(coalesce(sum(CASE WHEN d.copy_rank > 1 THEN 1 END), 0)
+                AS BIGINT) AS drop_duplicate,
+           count(*) FILTER (k.pass_quality)
+             - CAST(coalesce(sum(CASE WHEN d.copy_rank > 1 THEN 1 END), 0)
+                    AS BIGINT) AS n_kept
+    FROM keep0 k
+    LEFT JOIN dedup d ON d.doc_id = k.doc_id
+    GROUP BY 1
+    """,
+)
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep/drop funnel per source: quality gates (token
+    count + mean token length windows) then exact-hash dedup (first
+    doc_id survives), with per-stage drop accounting — the numbers a
+    pipeline owner actually reviews before a training run. One pass
+    for the gates, one md5-group window for dedup; the funnel report
+    is |sources| rows."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", _tokens_col().alias("toks")
+    )
+    total_len = F.aggregate("toks", F.lit(0), lambda acc, x: acc + F.length(x))
+    gated = t.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("toks").alias("n_tokens"),
+        (total_len / F.greatest(F.lit(1), F.size("toks"))).alias("avg_len"),
+    )
+    keep0 = gated.withColumn(
+        "pass_quality",
+        F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)
+        & F.col("avg_len").between(MIN_AVG_TOKLEN, MAX_AVG_TOKLEN),
+    )
+    dedup = (
+        keep0.where("pass_quality")
+        .withColumn(
+            "copy_rank",
+            F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id")),
+        )
+        .select("doc_id", "copy_rank")
+    )
+    joined = keep0.join(dedup, "doc_id", "left")
+    dup_drops = F.coalesce(
+        F.sum(F.when(F.col("copy_rank") > 1, 1)), F.lit(0)
+    ).cast("bigint")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count(F.when(~F.col("pass_quality"), 1)).alias("drop_quality"),
+        dup_drops.alias("drop_duplicate"),
+        (F.count(F.when(F.col("pass_quality"), 1)) - dup_drops).alias("n_kept"),
+    )

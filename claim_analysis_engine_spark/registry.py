@@ -63,6 +63,7 @@ def registry() -> dict[str, Op]:
         scale_patterns,
         similarity,
         storage_ops,
+        pipeline_ops,
         textops,
         tsforecast,
     )
@@ -82,6 +83,7 @@ def registry() -> dict[str, Op]:
         tsforecast,
         dedup_text,
         similarity,
+        pipeline_ops,
         textops,
         multimodal,
         dashboards,
