@@ -74,3 +74,87 @@ def run_available_now(result: DataFrame, table_name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+# ------------------------------------------- stateful sessionization
+
+SESSION_GAP_S = 1800  # 30-minute silence closes a session (events.py)
+
+_SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start bigint, n_events bigint, duration_s bigint"
+)
+_SESSION_STATE_SCHEMA = "start bigint, last bigint, cnt bigint"
+
+
+def sessionize_stateful(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState) — the streaming twin of the batch
+    evt_sessionize (operators/events.py): per-user state carries the
+    open session (start, last-seen, count); a row arriving more than
+    ``gap_s`` after last-seen CLOSES the open session (emitted in
+    append mode) and starts a new one. The still-open session stays in
+    state, so the emitted rows are exactly the batch sessionization
+    minus each user's final (unclosed) session — asserted in
+    tests/test_streaming.py.
+
+    Scale shape: state is one 3-long tuple per active user, shuffled by
+    user_id — bounded by |users|, independent of event volume; Arrow
+    moves micro-batch slices, never the history. Within a micro-batch
+    rows sort by (ts, event_id); across batches the file source
+    delivers in file order (a message-bus deployment would rely on
+    per-key ordering or reorder inside the watermark)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        if state.exists:
+            start, last, cnt = state.get
+        else:
+            start, last, cnt = None, None, 0
+        closed: list[tuple] = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts_s", "event_id"])
+            for ts in pdf["ts_s"].tolist():
+                if start is None:
+                    start, last, cnt = ts, ts, 1
+                elif ts - last > gap_s:
+                    closed.append((user_id, start, cnt, last - start))
+                    start, last, cnt = ts, ts, 1
+                else:
+                    last, cnt = ts, cnt + 1
+        if start is not None:
+            state.update((int(start), int(last), int(cnt)))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "n_events", "duration_s"],
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepared = events.select(
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        "event_id",
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        _SESSION_OUT_SCHEMA,
+        _SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_append_available_now(result: DataFrame, table_name: str, checkpoint: str) -> None:
+    """Drain an append-mode stateful stream into a memory sink.
+    Stateful ops require a checkpoint location (state store)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
