@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from claim_analysis_engine_spark.operators.dedup_text import (
     EMB_BAND_BITS,
     EMB_BANDS,
+    EMB_DIM,
     _EMB_BANDS_SQL,
     _dot,
 )
@@ -230,8 +231,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: every vector assigns to its nearest of
-    8 deterministic centroids (the first 8 vectors — a stand-in for a
-    trained coarse quantizer); a query probes its 2 nearest cells and
+    8 deterministic centroids (the first 8 vectors — kept as-is so the
+    SQL oracle can replicate the assignment; sim_ivf_train below is the
+    TRAINED quantizer via Lloyd k-means); a query probes its 2 nearest
+    cells and
     scores only those cells' members. Centroids broadcast to both the
     assignment and probe steps; the fine search is an equi-join on
     cell_id — cost scales with cell size, not corpus size."""
@@ -309,4 +312,86 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(y, F.col("vec_b") != F.col("vec_a"))
         .where(cos >= PAIR_T)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+    )
+
+
+# ------------------------------------------------------- sim_ivf_train
+
+KMEANS_ITERS = 3  # each round recompiles the assignment cascade; 3 converges on this corpus
+
+
+@REG.op("sim_ivf_train")  # iterative algorithm — not ANSI-SQL-expressible;
+# determinism + quality asserted in tests/test_similarity_recall.py
+def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer — the
+    trained replacement for sim_ivf's first-8-vectors stand-in. Init:
+    the 8 seed vectors (vec_id < N_CELLS); then KMEANS_ITERS rounds of
+    assign → mean. Each round is ONE pass over the corpus: centroids
+    (8×64 floats) broadcast into the assignment expression, the new
+    means come from a single groupBy — the canonical Spark shape for
+    iterative ML where the MODEL is tiny and the DATA is huge. At
+    100 TB: k passes over the data, zero driver-side row loops (only
+    the 8-row centroid matrix ever reaches the driver). Empty cells
+    keep their previous centroid (standard Lloyd degeneracy guard).
+
+    Returns the trained centroids with member counts and mean
+    within-cell cosine — the quantizer-quality report."""
+    emb = load(spark, sf_dir, "embeddings")
+    # centroid state lives driver-side as plain lists (8×64 — the model)
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < N_CELLS)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+
+    def assign_col(cent_rows: list[tuple[int, list[float]]]) -> F.Column:
+        """argmax-cosine cell id as one nested CASE expression —
+        centroids are literals, so the whole assignment is codegen'd
+        JVM column math (no UDF, no join)."""
+        best_id, best_cos = None, None
+        for cid, vec in cent_rows:
+            lits = F.array(*[F.lit(v) for v in vec])
+            cos = _dot("embedding", lits) / (
+                F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot(lits, lits))
+            )
+            if best_id is None:
+                best_id, best_cos = F.lit(cid), cos
+            else:
+                cond = F.round(cos, 6) > F.round(best_cos, 6)
+                best_id = F.when(cond, cid).otherwise(best_id)
+                best_cos = F.when(cond, cos).otherwise(best_cos)
+        return best_id
+
+    for _ in range(KMEANS_ITERS):
+        assigned = emb.select("vec_id", "embedding", assign_col(cents).alias("cell_id"))
+        means = (
+            assigned.select(
+                "cell_id",
+                *[F.col("embedding")[d].cast("double").alias(f"d{d}") for d in range(EMB_DIM)],
+            )
+            .groupBy("cell_id")
+            .agg(*[F.avg(f"d{d}").alias(f"d{d}") for d in range(EMB_DIM)])
+            .collect()
+        )
+        new = {int(r.cell_id): [float(r[f"d{d}"]) for d in range(EMB_DIM)] for r in means}
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+
+    final = emb.select("vec_id", "embedding", assign_col(cents).alias("cell_id"))
+    cent_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "cell_id int, centroid array<double>"
+    )
+    within = final.join(F.broadcast(cent_df), "cell_id").select(
+        "cell_id",
+        (
+            _dot("embedding", "centroid")
+            / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("centroid", "centroid")))
+        ).alias("cos"),
+    )
+    return (
+        within.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("cos"), 4).alias("mean_within_cos"),
+        )
     )
