@@ -46,3 +46,40 @@ def test_partition_pruned_scan_carries_partition_filters(spark):
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "y" in pf_line and "m" in pf_line
     assert "1997" in pf_line and "6" in pf_line
+
+
+def test_split_hash_plan_has_single_aggregate_exchange(spark):
+    """corpus_split_hash is a per-row projection + one group aggregate:
+    exactly one Exchange (the groupBy), nothing else — membership
+    hashing must not introduce a join or extra shuffle."""
+    from claim_analysis_engine_spark.operators.pipeline_ops import corpus_split_hash
+
+    plan = _plan(corpus_split_hash(spark, SF_SMALL))
+    assert plan.count("Exchange") <= 2  # agg exchange (+AQE read) only
+    assert "Join" not in plan
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    """The benchmark shingle set must BROADCAST into the corpus join —
+    a shuffled (sort-merge) join here would move the full exploded
+    corpus shingle stream for a tiny build side."""
+    from claim_analysis_engine_spark.operators.pipeline_ops import (
+        corpus_contamination,
+    )
+
+    plan = _plan(corpus_contamination(spark, SF_SMALL))
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pairs_threshold_plan_broadcasts_anchor_set(spark):
+    """sim_pairs_threshold must be a broadcast nested-loop of the tiny
+    anchor sample against one corpus pass — never a corpus×corpus
+    cartesian product."""
+    from claim_analysis_engine_spark.operators.similarity import (
+        sim_pairs_threshold,
+    )
+
+    plan = _plan(sim_pairs_threshold(spark, SF_SMALL))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
