@@ -136,3 +136,40 @@ def prune_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.write.partitionBy("y", "m").mode("overwrite").parquet(hub)
     back = spark.read.parquet(hub).where((F.col("y") == 1997) & (F.col("m") == 6))
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------- approx aggregates
+
+@REG.op("agg_approx_distinct")  # rows-only: HLL estimates are engine-
+# specific; tests/test_scale_patterns.py bounds the relative error vs
+# the exact count instead
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counting per group (rsd 2%) beside the
+    exact count — at 100 TB the exact distinct is a full shuffle of the
+    key universe while the sketch is a fixed few-KB buffer per group
+    that map-side combines; this op reports both so the error is
+    observable, a production pipeline keeps only the sketch."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+
+
+@REG.op("agg_sketch_quantiles")  # rows-only: approx quantile sketches
+# are engine-specific; error bounded in tests vs exact percentiles
+def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (percentile_approx, accuracy 10000)
+    over order totals per status, beside the exact percentile — the
+    distributed substitute for exact quantiles when a group's values
+    no longer fit one reducer (the exact path holds the whole group's
+    values in memory; the sketch is bounded and map-side mergeable)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", F.col("o_totalprice").cast("double").alias("v")
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile_approx("v", 0.5, 10000), 2).alias("approx_p50"),
+        F.round(F.percentile("v", F.lit(0.5)), 2).alias("exact_p50"),
+        F.round(F.percentile_approx("v", 0.99, 10000), 2).alias("approx_p99"),
+        F.round(F.percentile("v", F.lit(0.99)), 2).alias("exact_p99"),
+    )

@@ -83,3 +83,23 @@ def test_pairs_threshold_plan_broadcasts_anchor_set(spark):
     plan = _plan(sim_pairs_threshold(spark, SF_SMALL))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_approx_distinct_error_bounded(spark):
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        agg_approx_distinct,
+    )
+
+    for r in agg_approx_distinct(spark, SF_SMALL).collect():
+        rel = abs(r.approx_custs - r.exact_custs) / max(1, r.exact_custs)
+        assert rel < 0.05, f"{r.o_orderstatus}: rel error {rel:.3f}"
+
+
+def test_sketch_quantiles_error_bounded(spark):
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        agg_sketch_quantiles,
+    )
+
+    for r in agg_sketch_quantiles(spark, SF_SMALL).collect():
+        for a, e in ((r.approx_p50, r.exact_p50), (r.approx_p99, r.exact_p99)):
+            assert abs(a - e) / max(1.0, abs(e)) < 0.02, (r.o_orderstatus, a, e)
