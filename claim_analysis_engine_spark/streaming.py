@@ -45,17 +45,20 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     both batch and streaming frames (watermark applies on streams)."""
     if events.isStreaming:
         events = events.withWatermark("ts", watermark)
+    # group on the FULL window struct (not .getField("start")): append
+    # mode only recognizes the aggregation as watermarked when the
+    # grouping key is the event-time window column itself
     return (
-        events.groupBy(
-            "event_type", F.window("ts", "1 hour").getField("start").alias("ws")
-        )
+        events.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
         )
         .select(
             "event_type",
-            F.date_format("ws", "yyyy-MM-dd HH:00").alias("window_start"),
+            F.date_format(F.col("w").getField("start"), "yyyy-MM-dd HH:00").alias(
+                "window_start"
+            ),
             "n_events",
             "total_value",
         )

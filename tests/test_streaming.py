@@ -90,3 +90,73 @@ def test_stateful_sessionize_equals_batch_minus_open_sessions(spark):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_watermark_drops_late_events_across_restarts(spark):
+    """Late-data contract: after the watermark passes a window's end,
+    the window is finalized (append-emitted exactly once) and a
+    late-arriving event for it is DROPPED — state carries across
+    restarts via the checkpoint. Built on synthetic two-batch arrivals:
+    batch 1 fixes the watermark, batch 2 delivers one late + one fresh
+    event."""
+    import datetime as dt
+
+    def nanos(h, m):
+        t = dt.datetime(2024, 1, 1, h, m, tzinfo=dt.timezone.utc)
+        return int(t.timestamp()) * 1_000_000_000
+
+    stage = Path(tempfile.mkdtemp(prefix="cae_late_stream_"))
+    ckpt = tempfile.mkdtemp(prefix="cae_late_ckpt_")
+    out = tempfile.mkdtemp(prefix="cae_late_out_")
+    schema = streaming.EVENTS_SCHEMA
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, nanos(10, 0), 1, "click", 1.0, "{}"),
+            (2, nanos(10, 30), 1, "click", 1.0, "{}"),
+            (3, nanos(13, 0), 2, "click", 1.0, "{}"),  # watermark -> 12:00
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(str(stage / "b1"))
+
+    def run_once():
+        # file sink (not memory): append-mode output that RECOVERS from
+        # the checkpoint across restarts — each finalized window lands
+        # in the output exactly once
+        stream = streaming.read_events_stream(spark, str(stage / "*"))
+        result = streaming.tumbling_counts(stream, watermark="1 hour")
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out).collect()
+        got = {}
+        for r in rows:
+            assert r.window_start not in got, "window emitted twice"
+            got[r.window_start] = r.n_events
+        return got
+
+    got1 = run_once()
+    # watermark 12:00 finalized the 10:00 window (2 events); 13:00 open
+    assert got1 == {"2024-01-01 10:00": 2}
+
+    batch2 = spark.createDataFrame(
+        [
+            (4, nanos(10, 15), 1, "click", 1.0, "{}"),  # LATE: < watermark
+            (5, nanos(15, 30), 2, "click", 1.0, "{}"),  # fresh: wm -> 14:30, past the 13:00 window's end
+        ],
+        schema,
+    )
+    batch2.coalesce(1).write.mode("overwrite").parquet(str(stage / "b2"))
+
+    got2 = run_once()
+    # the late 10:15 event is dropped (its window stays at batch-1's
+    # count and appears exactly once); the fresh event closes the 13:00
+    # window with the count from batch 1 only
+    assert got2 == {"2024-01-01 10:00": 2, "2024-01-01 13:00": 1}
