@@ -1,8 +1,11 @@
-"""Composed dashboard entry points (SURVEY §3): the reference's three
+"""Composed dashboard entry points (SURVEY §3): the reference's
 top-level query lifecycles as single registered queries, so a user of
 the reference can run their whole dashboard — not just its pieces —
 against this engine.
 
+* ep1_ingest_e2e — the upload/save pipeline (pages/1:107-126): two
+  overlapping batches through merge-upsert keep-last into the
+  partitioned hub, read back and profiled (hash-checked upsert).
 * ep2_risk_radar — the risk dashboard (app.py:262-324): monthly
   series → per-series decision-tree score → alert rows with a 6-month
   trend string, sorted by severity.
@@ -35,6 +38,7 @@ from claim_analysis_engine_spark.operators.risk_tree import (
     _TREE_CTES,
     _TREE_SELECT,
 )
+from claim_analysis_engine_spark.operators.storage_ops import _CLAIMS_SQL
 from claim_analysis_engine_spark.registry import OpRegistry
 from claim_analysis_engine_spark.tables import load
 
@@ -206,4 +210,74 @@ def ep3_forecast_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "status string, priority string, h int, yhat double, ci_lo double, "
         "ci_hi double, model string",
+    )
+
+
+# ------------------------------------------------------ ep1_ingest_e2e
+
+@REG.op(
+    "ep1_ingest_e2e",
+    oracle="WITH "
+    + _CLAIMS_SQL
+    + """
+    , b1 AS (
+      SELECT *, 1 AS load_seq FROM claims WHERE reception_year < 1999
+    ),
+    b2 AS (
+      SELECT claim_id, plant, product_category2, major_category,
+             'RE-' || middle_category AS middle_category,
+             reception_date, reception_year, reception_month,
+             lag_days, lag_valid, 2 AS load_seq
+      FROM claims WHERE reception_year >= 1998
+    ),
+    merged AS (
+      SELECT * FROM b1 UNION ALL BY NAME SELECT * FROM b2
+    ),
+    kept AS (
+      SELECT *, row_number() OVER (PARTITION BY claim_id
+                                   ORDER BY load_seq DESC) AS rn
+      FROM merged
+    )
+    SELECT reception_year AS y, count(*) AS n_rows,
+           count(*) FILTER (load_seq = 2) AS n_from_batch2
+    FROM kept WHERE rn = 1 GROUP BY 1
+    """,
+)
+def ep1_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest lifecycle end-to-end (reference upload page save
+    button, pages/1_데이터_업로드.py:107-126 / SURVEY EP1): two uploads
+    hit the hub in sequence — batch 1 (years < 1999), then an
+    overlapping re-upload (years ≥ 1998, higher load_seq, modified
+    rows) — through merge_upsert's keep-last window + dynamic partition
+    overwrite; the hub is then read BACK and profiled per year. The
+    oracle recomputes the same keep-last union in SQL, so the hash
+    check proves the 1998 overlap rows were REPLACED by batch 2 and
+    everything else survived — the upsert contract, not just a write.
+
+    Scale: merge_upsert scans only the partitions batch 2 touches
+    (left-semi on a broadcast key set) and rewrites only those
+    directories — the reference's full-hub rewrite cliff never occurs."""
+    import tempfile as _tf
+
+    from claim_analysis_engine_spark import storage
+    from claim_analysis_engine_spark.operators.storage_ops import (
+        _claims_from_orders,
+    )
+
+    claims = _claims_from_orders(spark, sf_dir)
+    b1 = claims.where(F.col("reception_year") < 1999).withColumn(
+        "load_seq", F.lit(1)
+    )
+    b2 = (
+        claims.where(F.col("reception_year") >= 1998)
+        .withColumn("middle_category", F.concat(F.lit("RE-"), "middle_category"))
+        .withColumn("load_seq", F.lit(2))
+    )
+    hub = _tf.mkdtemp(prefix="cae_spark_ep1_hub_") + "/hub"
+    storage.merge_upsert(spark, hub, b1)
+    storage.merge_upsert(spark, hub, b2)
+    back = spark.read.parquet(hub)
+    return back.groupBy(F.col("reception_year").alias("y")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("load_seq") == 2, 1)).alias("n_from_batch2"),
     )
