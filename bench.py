@@ -47,6 +47,10 @@ EXTRA = [
     "snk_json_series",
     "evt_sessionize",
     "txt_corpus_ngrams",
+    # round-3 surface
+    "dedup_simhash",
+    "corpus_contamination",
+    "ep1_ingest_e2e",
 ]
 
 

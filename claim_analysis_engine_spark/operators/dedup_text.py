@@ -423,28 +423,27 @@ _TOKENS_SQL = "list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))
 
 # One md5 per token; bit b of the signature is the majority vote of hex
 # digit b across token digests (md5 hex has 32 digits = 32 independent
-# bits at the >= '8' threshold).
+# bits at the >= '8' threshold). The signature is a BIGINT bitmask —
+# candidates carry 8 bytes instead of a 32-char string, block keys are
+# shift/mask integer math, and Hamming distance is one bit_count(xor)
+# intrinsic instead of 32 substring compares (this cut the sf0.1
+# runtime from 215 s to seconds; both engines agree on the bit ops).
 _SIMHASH_SQL = (
-    "concat("
-    + ", ".join(
+    "CAST("
+    + " + ".join(
         f"CASE WHEN list_sum(list_transform(hashes, h -> CASE WHEN "
         f"substr(h, {b + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
-        f"THEN '1' ELSE '0' END"
+        f"THEN {1 << b} ELSE 0 END"
         for b in range(SIMHASH_BITS)
     )
-    + ")"
+    + " AS BIGINT)"
 )
 
-_HAMMING_SQL = (
-    f"{SIMHASH_BITS} - list_sum(list_transform("
-    f"generate_series(1, {SIMHASH_BITS}), "
-    "i -> CASE WHEN substr(siga, i, 1) = substr(sigb, i, 1) "
-    "THEN 1 ELSE 0 END))"
-)
+_HAMMING_SQL = "bit_count(xor(siga, sigb))"
 
 _BLOCKS_SQL = " UNION ALL ".join(
     f"SELECT doc_id, sig, {k} AS k, "
-    f"substr(sig, {1 + k * SIMHASH_BLOCK_BITS}, {SIMHASH_BLOCK_BITS}) AS blk "
+    f"(sig >> {k * SIMHASH_BLOCK_BITS}) & {(1 << SIMHASH_BLOCK_BITS) - 1} AS blk "
     "FROM sigs"
     for k in range(SIMHASH_BLOCKS)
 )
@@ -481,10 +480,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each block table has ≤ 256 keys of near-uniform occupancy
     (md5 bits), so within-bucket pairing is bounded and the join
-    shuffles on (k, blk) — no all-pairs stage anywhere.  A production
-    deployment swaps md5 for xxhash64 and widens to 64-bit signatures
-    with 16-bit blocks (65 536 buckets/table) without changing the
-    plan shape; md5/32-bit is kept so DuckDB replicates bit-for-bit."""
+    shuffles on integer (k, blk) keys — no all-pairs stage anywhere.
+    Signatures are BIGINT bitmasks: candidate rows carry 8-byte longs,
+    and the verify is a single bit_count(xor) intrinsic per pair (the
+    32-substring-compare form spent minutes in GC at sf0.1 on the same
+    candidates). A production deployment swaps md5 for xxhash64 and
+    widens to 64-bit signatures with 16-bit blocks (65 536 buckets per
+    table) without changing the plan shape; md5/32-bit is kept so
+    DuckDB replicates bit-for-bit. NB: the corpus plants large
+    near-dup clusters, so the PAIR output is inherently quadratic in
+    cluster size — cluster-style consumers should group on the
+    signature instead (dedup_exact pattern) rather than enumerate
+    pairs."""
     toks = F.array_distinct(F.array_remove(F.split("text", " "), ""))
     docs = load(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
     hashed = docs.select("doc_id", F.transform("toks", F.md5).alias("hashes"))
@@ -494,24 +501,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             return acc + F.when(F.substring(h, b + 1, 1) >= "8", 1).otherwise(-1)
 
         vote = F.aggregate("hashes", F.lit(0), vote_step)
-        return F.when(vote > 0, "1").otherwise("0")
+        return F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
 
-    sigs = hashed.select(
-        "doc_id", F.concat(*[bit(b) for b in range(SIMHASH_BITS)]).alias("sig")
-    )
+    sig = sum((bit(b) for b in range(SIMHASH_BITS)), F.lit(0)).cast("bigint")
+    sigs = hashed.select("doc_id", sig.alias("sig"))
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
     blocks = sigs.select(
         "doc_id",
         "sig",
         F.posexplode(
             F.array(
                 *[
-                    F.col("sig").substr(1 + k * SIMHASH_BLOCK_BITS, SIMHASH_BLOCK_BITS)
+                    F.shiftright("sig", k * SIMHASH_BLOCK_BITS).bitwiseAND(F.lit(mask))
                     for k in range(SIMHASH_BLOCKS)
                 ]
             )
         ).alias("k", "blk"),
     )
-    a = blocks.select("k", "blk", F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga"))
+    a = blocks.select(
+        "k", "blk", F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga")
+    )
     b = blocks.select("k", "blk", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sigb"))
     cand = (
         a.join(b, ["k", "blk"])
@@ -519,13 +528,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "siga", "sigb")
         .distinct()
     )
-    matches = F.aggregate(
-        F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(F.col("siga").substr(i, F.lit(1)) == F.col("sigb").substr(i, F.lit(1)), 1).otherwise(0),
-    )
-    hamming = F.lit(SIMHASH_BITS) - matches
+    hamming = F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb")))
     return (
         cand.where(hamming <= HAMMING_T)
         .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))

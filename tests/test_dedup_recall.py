@@ -82,7 +82,6 @@ def test_simhash_pigeonhole_recall_is_exact(spark, duck):
     Recall vs exact all-pairs Hamming ground truth must be 1.0."""
     from claim_analysis_engine_spark.operators.dedup_text import (
         HAMMING_T,
-        SIMHASH_BITS,
         _SIMHASH_SQL,
         _TOKENS_SQL,
         dedup_simhash,
@@ -100,10 +99,7 @@ def test_simhash_pigeonhole_recall_is_exact(spark, duck):
             sigs AS (SELECT doc_id, {_SIMHASH_SQL} AS sig FROM hashed)
             SELECT a.doc_id, b.doc_id
             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-            WHERE {SIMHASH_BITS} - list_sum(list_transform(
-                    generate_series(1, {SIMHASH_BITS}),
-                    i -> CASE WHEN substr(a.sig, i, 1) = substr(b.sig, i, 1)
-                              THEN 1 ELSE 0 END)) <= {HAMMING_T}
+            WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_T}
             """
         ).fetchall()
     }
