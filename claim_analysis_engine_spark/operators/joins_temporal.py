@@ -1,0 +1,215 @@
+"""Temporal join operators Spark has no native syntax for: as-of join
+and range (interval/band) join — expressed as compositions of existing
+DataFrame ops so Catalyst still owns the physical plan.
+
+The reference engine has no as-of/range joins (SURVEY §2.4: all joins
+are equi-joins), but any time-series analytics engine at 100 TB needs
+both; they are beyond-reference extensions in SURVEY §2.12.
+
+Scale notes (100 TB):
+* join_asof uses the union-and-window formulation: tag both streams,
+  union them, and carry the most recent right-side row forward with
+  last(..., ignorenulls) over one (key, time)-ordered window. ONE
+  shuffle on the join key, zero range explosion — unlike the naive
+  `t2.ts <= t1.ts` theta join, whose candidate set is O(n·m) per key.
+  This is the same plan a point-in-time-correct feature store runs.
+* join_range_bucketed joins a fact column to interval tiers WITHOUT an
+  equality key. The naive plan is a broadcast-nested-loop (fine only
+  because tiers are tiny); the bucketed formulation — explode each
+  tier to the fixed-width buckets it covers, equi-join on the bucket,
+  then re-check the exact band predicate — turns the theta join into a
+  hash join and keeps working when BOTH sides are large (the classic
+  interval-join decomposition used by Flink/Trino range joins).
+
+Timestamps flatten to floored epoch seconds in both engines (the
+events.py convention) so sub-second parity issues can't arise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from claim_analysis_engine_spark.registry import OpRegistry
+from claim_analysis_engine_spark.tables import load
+
+REG = OpRegistry()
+
+ASOF_LEFT_TYPE = "click"  # each click looks up...
+ASOF_RIGHT_TYPE = "purchase"  # ...the user's most recent purchase at-or-before it
+
+# price tiers for the range join: [lo, hi) bands over l_extendedprice.
+# Deliberately NOT uniform — the bucketed decomposition must handle
+# tiers spanning many buckets and buckets spanning no tier boundary.
+PRICE_TIERS = [
+    ("T1_budget", 0, 5_000),
+    ("T2_value", 5_000, 15_000),
+    ("T3_mid", 15_000, 30_000),
+    ("T4_upper", 30_000, 50_000),
+    ("T5_premium", 50_000, 80_000),
+    ("T6_luxury", 80_000, 120_000),
+]
+BUCKET_W = 10_000  # fixed bucket width for the equi-join key
+
+
+def _events_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        "event_type",
+        "value",
+    )
+
+
+# ----------------------------------------------------------- join_asof
+
+@REG.op(
+    "join_asof",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             event_type, value
+      FROM events
+    ),
+    pr AS (
+      SELECT user_id, ts_s, event_id AS p_event_id, value AS p_value,
+             row_number() OVER (PARTITION BY user_id, ts_s
+                                ORDER BY event_id DESC) AS rn
+      FROM e WHERE event_type = '{ASOF_RIGHT_TYPE}'
+    ),
+    p1 AS (SELECT user_id, ts_s, p_event_id, p_value FROM pr WHERE rn = 1),
+    c AS (SELECT event_id, user_id, ts_s FROM e
+          WHERE event_type = '{ASOF_LEFT_TYPE}')
+    SELECT c.event_id, c.user_id, c.ts_s,
+           p1.p_event_id, p1.ts_s AS p_ts_s,
+           c.ts_s - p1.ts_s AS gap_s,
+           round(p1.p_value, 4) AS p_value
+    FROM c ASOF JOIN p1
+      ON c.user_id = p1.user_id AND p1.ts_s <= c.ts_s
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks the same user's most recent
+    purchase at-or-before its timestamp (point-in-time-correct lookup,
+    the feature-store join). Spark has no ASOF syntax; the scalable
+    formulation is union-and-window: tag purchases kind=0 / clicks
+    kind=1, union, and within one (user_id)-keyed window ordered by
+    (ts_s, kind, event_id) carry purchase attributes forward with
+    last(ignorenulls). kind orders purchases before clicks on the same
+    second, which makes the lookup inclusive (<=); purchases are first
+    deduped to one row per (user, second), keeping the max event_id,
+    so both engines resolve ties identically. Inner semantics: clicks
+    with no prior purchase drop (also keeps every output column
+    non-null — a nullable BIGINT would render as float64 from the
+    oracle and break the driver hash).
+
+    One shuffle on user_id, no O(n·m) candidate explosion — this exact
+    plan survives 100 TB of events; the DuckDB oracle is a native
+    ASOF JOIN, proving the window formulation implements the same
+    semantics."""
+    e = _events_epoch(spark, sf_dir)
+    wp = W.partitionBy("user_id", "ts_s").orderBy(F.col("event_id").desc())
+    p1 = (
+        e.where(F.col("event_type") == ASOF_RIGHT_TYPE)
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts_s",
+            F.lit(0).alias("kind"),
+            F.col("event_id"),
+            F.col("value"),
+        )
+    )
+    c = e.where(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        "user_id", "ts_s", F.lit(1).alias("kind"), "event_id", "value"
+    )
+    u = p1.unionByName(c)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_s", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_p = F.col("kind") == 0
+    carried = (
+        u.withColumn("p_event_id", F.last(F.when(is_p, F.col("event_id")), True).over(w))
+        .withColumn("p_ts_s", F.last(F.when(is_p, F.col("ts_s")), True).over(w))
+        .withColumn("p_val", F.last(F.when(is_p, F.col("value")), True).over(w))
+    )
+    return (
+        carried.where((F.col("kind") == 1) & F.col("p_event_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts_s",
+            "p_event_id",
+            "p_ts_s",
+            (F.col("ts_s") - F.col("p_ts_s")).alias("gap_s"),
+            F.round("p_val", 4).alias("p_value"),
+        )
+    )
+
+
+# -------------------------------------------------- join_range_bucketed
+
+_TIERS_SQL = "(VALUES " + ", ".join(
+    f"('{name}', {lo}, {hi})" for name, lo, hi in PRICE_TIERS
+) + ") AS tiers(tier, lo, hi)"
+
+
+@REG.op(
+    "join_range_bucketed",
+    oracle=f"""
+    SELECT tier, lo, hi,
+           count(*) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS revenue,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem JOIN {_TIERS_SQL}
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY 1, 2, 3
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join without an equality key: assign each lineitem
+    to the price tier whose [lo, hi) interval contains its price, then
+    aggregate per tier. The naive theta join is a nested-loop; the
+    scalable decomposition is: explode each tier into the fixed-width
+    buckets its interval covers (a tiny, bounded expansion), bucket
+    each fact row by floor(price / W), hash-join on the bucket id, and
+    re-check the exact band predicate. The theta join becomes an
+    equi-join — at 100 TB this shuffles on uniform bucket keys and
+    works even when the interval side is far too large to broadcast.
+    (The oracle states the same semantics as the plain range predicate
+    it decomposes.)"""
+    tiers = spark.createDataFrame(PRICE_TIERS, "tier string, lo long, hi long")
+    # explode each tier to every bucket id its interval touches
+    tier_buckets = tiers.select(
+        "tier",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                (F.col("lo") / BUCKET_W).cast("long"),
+                ((F.col("hi") - 1) / BUCKET_W).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        "l_quantity",
+        (F.col("l_extendedprice") / BUCKET_W).cast("long").alias("bucket"),
+    )
+    joined = li.join(F.broadcast(tier_buckets), "bucket").where(
+        (F.col("l_extendedprice") >= F.col("lo"))
+        & (F.col("l_extendedprice") < F.col("hi"))
+    )
+    return joined.groupBy("tier", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("revenue"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+    )

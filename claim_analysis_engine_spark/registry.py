@@ -53,6 +53,7 @@ def registry() -> dict[str, Op]:
         dashboards,
         dedup_text,
         events,
+        joins_temporal,
         multimodal,
         pivots,
         relational,
@@ -87,6 +88,7 @@ def registry() -> dict[str, Op]:
         textops,
         multimodal,
         dashboards,
+        joins_temporal,
     ):
         for op_id, op in mod.REG.ops.items():
             if op_id in merged:
