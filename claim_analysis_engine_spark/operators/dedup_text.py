@@ -627,3 +627,58 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= COSINE_T)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
     )
+
+
+# ------------------------------------------------- dedup_jaccard_anchor
+
+JACCARD_PAIR_T = 0.25
+JACCARD_ANCHOR_MOD = 25
+
+
+@REG.op(
+    "dedup_jaccard_anchor",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh)) AS n_inter,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
+      FROM sh a JOIN sh b
+        ON a.doc_id % {JACCARD_ANCHOR_MOD} = 0 AND b.doc_id <> a.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           round(n_inter * 1.0 / n_union, 4) AS jaccard
+    FROM pairs WHERE n_inter * 1.0 / n_union >= {JACCARD_PAIR_T}
+    """,
+)
+def dedup_jaccard_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram (character 5-shingle) Jaccard similarity against a
+    deterministic anchor sample (doc_id % 25 — the sim_pairs pattern):
+    each anchor's full shingle SET intersects every document's, so the
+    reported Jaccard is exact, not a MinHash estimate. This is the
+    ground-truth instrument the sketch family (dedup_minhash_*) is
+    judged against, bounded to O(|anchors|·N) by broadcasting the
+    anchor shingle sets — never the O(N²) corpus self-join (that role
+    belongs to the banded LSH ops). Set algebra runs JVM-side
+    (array_intersect on pre-distinct arrays); |union| comes from
+    |A|+|B|−|∩| so each pair computes ONE intersection."""
+    sh = _shingles(spark, sf_dir)
+    a = sh.where(F.col("doc_id") % JACCARD_ANCHOR_MOD == 0).select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")
+    )
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    n_inter = F.size(F.array_intersect("sha", "shb"))
+    n_union = F.size("sha") + F.size("shb") - n_inter
+    jac = n_inter * F.lit(1.0) / n_union
+    return (
+        F.broadcast(a)
+        .join(b, F.col("doc_b") != F.col("doc_a"))
+        .where(jac >= JACCARD_PAIR_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            n_inter.cast("long").alias("n_inter"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )

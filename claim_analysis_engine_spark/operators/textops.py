@@ -287,3 +287,102 @@ def txt_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+# ------------------------------------------------------ txt_repetition
+
+REP_TOP_WORD_T = 0.2  # most-frequent token may claim ≤20% of the doc
+REP_DUP_2GRAM_T = 0.1  # ≤10% of word bigrams may be repeats
+
+
+@REG.op(
+    "txt_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    c AS (SELECT doc_id, tok, count(*) AS cnt FROM u GROUP BY 1, 2),
+    top AS (SELECT doc_id, max(cnt) AS top_cnt FROM c GROUP BY 1),
+    g AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CASE WHEN len(toks) >= 2 THEN list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE [] END AS g2,
+             CASE WHEN len(toks) >= 3 THEN list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                  ELSE [] END AS g3
+      FROM t
+    )
+    SELECT g.doc_id,
+           CAST(g.n_tokens AS BIGINT) AS n_tokens,
+           round(top.top_cnt * 1.0 / g.n_tokens, 4) AS top_word_frac,
+           round(CASE WHEN len(g2) = 0 THEN 0.0
+                 ELSE 1 - len(list_distinct(g2)) * 1.0 / len(g2) END, 4)
+             AS dup_2gram_frac,
+           round(CASE WHEN len(g3) = 0 THEN 0.0
+                 ELSE 1 - len(list_distinct(g3)) * 1.0 / len(g3) END, 4)
+             AS dup_3gram_frac,
+           (top.top_cnt * 1.0 / g.n_tokens > {REP_TOP_WORD_T}
+            OR (len(g2) > 0
+                AND 1 - len(list_distinct(g2)) * 1.0 / len(g2)
+                    > {REP_DUP_2GRAM_T})) AS is_repetitive
+    FROM g JOIN top ON g.doc_id = top.doc_id
+    """,
+)
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals per document: the share of
+    the most frequent token, and the duplicate fraction of word
+    bigrams/trigrams (1 − distinct/total). Boilerplate, keyword
+    stuffing, and template spam all light up these ratios long before
+    fuzzy-dedup would catch them, so this is the cheap filter a
+    training pipeline runs FIRST. The top-token count comes from
+    explode → two hash aggregates (map-side combined, scale-free);
+    the n-gram ratios are per-row JVM array expressions — no UDFs, no
+    driver involvement, and the explode never amplifies past token
+    count (documents stream through at 100 TB)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _tokens_col().alias("toks")
+    )
+    top = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_cnt"))
+    )
+
+    def grams(n: int) -> F.Column:
+        joined = F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("toks", i + k) for k in range(n)]
+            ),
+        )
+        return F.when(F.size("toks") >= n, joined).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    def dup_frac(g: str) -> F.Column:
+        return F.when(F.size(g) == 0, F.lit(0.0)).otherwise(
+            1 - F.size(F.array_distinct(g)).cast("double") / F.size(g)
+        )
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        grams(2).alias("g2"),
+        grams(3).alias("g3"),
+    )
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    return per_doc.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(top_frac, 4).alias("top_word_frac"),
+        F.round(dup_frac("g2"), 4).alias("dup_2gram_frac"),
+        F.round(dup_frac("g3"), 4).alias("dup_3gram_frac"),
+        (
+            (top_frac > REP_TOP_WORD_T)
+            | ((F.size("g2") > 0) & (dup_frac("g2") > REP_DUP_2GRAM_T))
+        ).alias("is_repetitive"),
+    )
