@@ -26,6 +26,7 @@ from claim_analysis_engine_spark.tables import load
 REG = OpRegistry()
 
 SESSION_GAP_S = 1800  # 30-minute inactivity closes a session
+FUNNEL_WINDOW_S = 7 * 86400  # each funnel step must fire within 7 days of the prior
 
 
 # ------------------------------------------------------ evt_tumbling
@@ -122,6 +123,184 @@ def evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+    )
+
+
+# -------------------------------------------------------- evt_funnel
+
+@REG.op(
+    "evt_funnel",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    v AS (
+      SELECT user_id, min(ts_s) AS fv
+      FROM e WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(ts_s) AS fc
+      FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click'
+        AND ts_s > fv AND ts_s <= fv + {FUNNEL_WINDOW_S}
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(ts_s) AS fp
+      FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase'
+        AND ts_s > fc AND ts_s <= fc + {FUNNEL_WINDOW_S}
+      GROUP BY 1
+    ),
+    counts AS (
+      SELECT 1 AS stage_ord, 'view' AS stage, count(*) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'click', count(*) FROM c
+      UNION ALL
+      SELECT 3, 'purchase', count(*) FROM p
+    )
+    SELECT stage_ord, stage, CAST(n_users AS BIGINT) AS n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / (SELECT count(*) FROM v), 4) AS conv_from_entry
+    FROM counts
+    """,
+)
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase, each step
+    within 7 days of the previous step's first completion.
+
+    Classic event-analytics shape the reference lacks (SURVEY §2.12):
+    each stage is a conditional min-aggregate keyed by user_id joined
+    back to the raw stream, so the whole plan is three shuffles on the
+    natural user key — no window over the full event history, no
+    per-user collect. The 3-row summary plus the entry-count
+    denominator is a broadcast, not a second scan."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("fv"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts_s") > F.col("fv"))
+            & (F.col("ts_s") <= F.col("fv") + FUNNEL_WINDOW_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("fc"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_s") > F.col("fc"))
+            & (F.col("ts_s") <= F.col("fc") + FUNNEL_WINDOW_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("fp"))
+    )
+
+    def stage_row(df: DataFrame, ord_: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(ord_).alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "n_users",
+        )
+
+    counts = (
+        stage_row(v, 1, "view")
+        .unionAll(stage_row(c, 2, "click"))
+        .unionAll(stage_row(p, 3, "purchase"))
+    )
+    entry = v.agg(F.count(F.lit(1)).alias("entry_n"))
+    return counts.crossJoin(F.broadcast(entry)).select(
+        "stage_ord",
+        "stage",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("entry_n"), 4).alias(
+            "conv_from_entry"
+        ),
+    )
+
+
+# ----------------------------------------------------- evt_retention
+
+@REG.op(
+    "evt_retention",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+      FROM events
+    ),
+    f AS (SELECT user_id, min(d) AS d0 FROM e GROUP BY 1),
+    a AS (
+      SELECT e.user_id,
+             CAST(floor(f.d0 / 7) AS BIGINT) AS cohort_week,
+             CAST(floor((e.d - f.d0) / 7) AS BIGINT) AS week_offset
+      FROM e JOIN f USING (user_id)
+    ),
+    r AS (
+      SELECT cohort_week, week_offset,
+             count(DISTINCT user_id) AS n_active
+      FROM a GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT cohort_week, n_active AS cohort_size
+      FROM r WHERE week_offset = 0
+    )
+    SELECT r.cohort_week, r.week_offset,
+           CAST(r.n_active AS BIGINT) AS n_active,
+           CAST(base.cohort_size AS BIGINT) AS cohort_size,
+           round(CAST(r.n_active AS DOUBLE) / base.cohort_size, 4)
+             AS retention
+    FROM r JOIN base USING (cohort_week)
+    """,
+)
+def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the epoch-week of
+    their first event; each (cohort, week-offset) cell counts distinct
+    users still active, normalized by the cohort's week-0 size.
+
+    Epoch-day integers keep both engines in exact arithmetic (no
+    calendar-week truncation-rule drift). The plan is two shuffles on
+    user_id (first-event aggregate + the join back) and one on the
+    small cohort grid; the week-0 self-join is broadcast-sized because
+    the grid is |cohorts| × |offsets|, not |users|."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("timestamp").cast("long") / 86400)
+        .cast("long")
+        .alias("d"),
+    )
+    f = e.groupBy("user_id").agg(F.min("d").alias("d0"))
+    a = e.join(f, "user_id").select(
+        "user_id",
+        F.floor(F.col("d0") / 7).cast("long").alias("cohort_week"),
+        F.floor((F.col("d") - F.col("d0")) / 7).cast("long").alias("week_offset"),
+    )
+    r = a.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    base = r.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return r.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 4).alias(
+            "retention"
+        ),
     )
 
 
