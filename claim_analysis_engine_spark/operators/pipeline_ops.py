@@ -320,3 +320,89 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_drops.alias("drop_duplicate"),
         (F.count(F.when(F.col("pass_quality"), 1)) - dup_drops).alias("n_kept"),
     )
+
+
+# ----------------------------------------------- corpus_sample_stratified
+
+# per-language keep rates for mixture construction; languages not
+# listed fall back to the default. Rates become 2-hex-digit md5
+# thresholds (256 buckets) so both engines draw the identical sample.
+STRAT_RATES = {"en": 0.50, "de": 1.00, "es": 0.75, "fr": 0.25}
+STRAT_DEFAULT_RATE = 0.10
+STRAT_SALT = "strat:"
+
+
+def _rate_hex(rate: float) -> str:
+    n = int(rate * 256)
+    # 'g0' sorts after every hex pair, so rate 1.0 keeps all 256 buckets
+    return "g0" if n >= 256 else f"{n:02x}"
+
+
+def _strat_threshold_sql() -> str:
+    whens = "\n".join(
+        f"WHEN lang = '{lang}' THEN '{_rate_hex(r)}'"
+        for lang, r in sorted(STRAT_RATES.items())
+    )
+    return f"CASE {whens} ELSE '{_rate_hex(STRAT_DEFAULT_RATE)}' END"
+
+
+def _strat_threshold_col() -> F.Column:
+    col = F.lit(_rate_hex(STRAT_DEFAULT_RATE))
+    for lang, r in sorted(STRAT_RATES.items(), reverse=True):
+        col = F.when(F.col("lang") == lang, F.lit(_rate_hex(r))).otherwise(col)
+    return col
+
+
+@REG.op(
+    "corpus_sample_stratified",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len({_TOKENS_SQL}) AS n_tokens,
+             substr(md5('{STRAT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
+               < ({_strat_threshold_sql()}) AS keep
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS sampled_tokens,
+           round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS achieved_rate
+    FROM t GROUP BY 1
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling for mixture construction: each
+    language keeps a configured fraction of its documents (upsample
+    scarce languages, downsample the dominant one), decided by an
+    md5-hex threshold over a salted doc_id — deterministic, seedless,
+    and independent of the train/val/test split hash (different salt).
+    Like corpus_split_hash this is a pure per-row projection plus one
+    map-side-combined aggregate: zero extra shuffles at 100 TB, and a
+    doc's membership is recomputable from (doc_id, lang) alone."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(_tokens_col()).alias("n_tokens"),
+        (
+            F.substring(
+                F.md5(F.concat(F.lit(STRAT_SALT), F.col("doc_id").cast("string"))),
+                1,
+                2,
+            )
+            < _strat_threshold_col()
+        ).alias("keep"),
+    )
+    keep1 = F.when(F.col("keep"), 1).otherwise(0)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(keep1).cast("bigint").alias("n_sampled"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("sampled_tokens"),
+        F.round(F.sum(keep1).cast("double") / F.count(F.lit(1)), 4).alias(
+            "achieved_rate"
+        ),
+    )

@@ -395,3 +395,88 @@ def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("cos"), 4).alias("mean_within_cos"),
         )
     )
+
+
+# ---------------------------------------------------- emb_quantize_int8
+
+INT8_QMAX = 127
+INT8_SCALE_FLOOR = 1e-12  # guards the all-zero vector
+
+
+@REG.op(
+    "emb_quantize_int8",
+    oracle=f"""
+    WITH xd AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, v,
+             greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                      / {INT8_QMAX}, {INT8_SCALE_FLOOR}) AS s
+      FROM xd
+    ),
+    err AS (
+      SELECT vec_id, s,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS l2,
+             list_transform(v,
+               x -> greatest(-{INT8_QMAX}, least({INT8_QMAX},
+                      floor(x / s + 0.5))) * s - x) AS e
+      FROM scaled
+    )
+    SELECT vec_id,
+           round(s, 6) AS scale,
+           round(l2, 4) AS l2_norm,
+           round(list_sum(list_transform(e, x -> x * x)) / 64 * 1e6, 4)
+             AS mse_e6,
+           round(list_aggregate(list_transform(e, x -> abs(x)), 'max') * 1e3, 4)
+             AS max_err_e3
+    FROM err
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column with a
+    per-vector scale (max-abs / 127), reporting reconstruction error —
+    the storage/bandwidth lever a 100 TB vector corpus pulls first
+    (4× smaller than float32, cheap SIMD dot products downstream).
+
+    floor(x/s + 0.5) stands in for round() so both engines share one
+    half-up rule; everything is per-row higher-order array math inside
+    whole-stage codegen — no shuffle, no UDF, and the same projection
+    at any corpus size. The mse/max-err columns make quantization loss
+    a queryable quantity (pick scale scheme by SQL, not by eyeball)."""
+    emb = load(spark, sf_dir, "embeddings")
+    xd = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    scaled = xd.select(
+        "vec_id",
+        "v",
+        F.greatest(
+            F.array_max(F.transform("v", F.abs)) / INT8_QMAX,
+            F.lit(INT8_SCALE_FLOOR),
+        ).alias("s"),
+    )
+
+    def recon_err(x: F.Column) -> F.Column:
+        q = F.greatest(
+            F.lit(-INT8_QMAX),
+            F.least(F.lit(INT8_QMAX), F.floor(x / F.col("s") + 0.5)),
+        )
+        return q * F.col("s") - x
+
+    err = scaled.select(
+        "vec_id",
+        "s",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)).alias("l2"),
+        F.transform("v", recon_err).alias("e"),
+    )
+    sq_sum = F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x)
+    return err.select(
+        "vec_id",
+        F.round("s", 6).alias("scale"),
+        F.round("l2", 4).alias("l2_norm"),
+        F.round(sq_sum / 64 * 1e6, 4).alias("mse_e6"),
+        F.round(F.array_max(F.transform("e", F.abs)) * 1e3, 4).alias("max_err_e3"),
+    )

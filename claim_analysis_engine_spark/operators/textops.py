@@ -386,3 +386,87 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.size("g2") > 0) & (dup_frac("g2") > REP_DUP_2GRAM_T))
         ).alias("is_repetitive"),
     )
+
+
+# ------------------------------------------------------ txt_pii_scrub
+
+# PII patterns kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repeats — no lookaround.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"010-[0-9]{4}-[0-9]{4}"
+_PII_URL = r"https?://[A-Za-z0-9./_-]+"
+
+
+@REG.op(
+    "txt_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.com call 010-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-'
+                  || lpad(CAST((doc_id * 3 + 1) % 10000 AS VARCHAR), 4, '0')
+                  || ' see https://ex' || CAST(doc_id % 5 AS VARCHAR)
+                  || '.org/p/' || CAST(doc_id AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PII_EMAIL}', 0)) AS n_emails,
+           len(regexp_extract_all(t, '{_PII_PHONE}', 0)) AS n_phones,
+           len(regexp_extract_all(t, '{_PII_URL}', 0)) AS n_urls,
+           length(regexp_replace(regexp_replace(regexp_replace(t,
+                    '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                    '{_PII_PHONE}', '<PHONE>', 'g'),
+                    '{_PII_URL}', '<URL>', 'g')) AS clean_len,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+                    '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                    '{_PII_PHONE}', '<PHONE>', 'g'),
+                    '{_PII_URL}', '<URL>', 'g')) AS clean_hash
+    FROM aug
+    """,
+)
+def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count and mask emails, phone numbers, and
+    URLs with shared-dialect regexes (no lookaround, so Java and RE2
+    agree byte-for-byte). The synthetic documents contain no PII, so
+    both engines first append a doc_id-derived contact block — the
+    deterministic augmentation is the fixture; the redaction pipeline
+    (extract-count, then cascaded regexp_replace, md5 witness of the
+    cleaned text) is the operator under test. Pure per-row JVM regex —
+    no shuffle, no UDF; at 100 TB this runs entirely map-side inside
+    whole-stage codegen."""
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@mail"),
+        (d % 7).cast("string"),
+        F.lit(".com call 010-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad(((d * 3 + 1) % 10000).cast("string"), 4, "0"),
+        F.lit(" see https://ex"),
+        (d % 5).cast("string"),
+        F.lit(".org/p/"),
+        d.cast("string"),
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", aug.alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_URL,
+        "<URL>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_URL), 0)).alias("n_urls"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_hash"),
+    )
