@@ -395,3 +395,41 @@ def util_clear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cleared_without_confirm boolean, cleared_with_confirm boolean, "
         "exists_after boolean",
     )
+
+
+# ---------------------------------------------------- src_orc_roundtrip
+
+@REG.op(
+    "src_orc_roundtrip",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+           count(*) AS n_orders,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round trip: write orders as ORC partitioned by
+    priority, read back with a partition filter, aggregate monthly.
+    ORC is the second columnar format a Spark lakehouse meets (Hive
+    inheritance); the reference is parquet-only, so this extends §2.1.
+    The read-back plan must prune to the single '1-URGENT' directory —
+    partition pruning works identically to parquet because pruning
+    happens in the file index, not the format reader. The money sum
+    renders as round-to-2dp DOUBLE on both sides (DECIMAL would print
+    trailing zeros differently across engines)."""
+    out = tempfile.mkdtemp(prefix="cae_spark_orc_")
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+    src.write.mode("overwrite").partitionBy("o_orderpriority").orc(out)
+    back = spark.read.orc(out).where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        back.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

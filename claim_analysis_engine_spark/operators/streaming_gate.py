@@ -1,0 +1,132 @@
+"""Registered STREAMING operators under the correctness gate: each op
+stages the events parquet as a file-source stream, runs the real
+Structured Streaming job (availableNow trigger, parquet sink with a
+checkpoint), reads the sink back, and returns a frame whose values a
+DuckDB oracle reproduces from the batch table — so the driver's hash
+gate certifies actual streaming execution, not a batch stand-in.
+
+Two jobs cross the gate:
+* evt_dedup_stream — dropDuplicatesWithinWatermark over a stage dir
+  holding TWO copies of every event (a synthetic at-least-once bus);
+  the deduped stream must aggregate exactly like the single-copy batch.
+* evt_sessionize_stream — the applyInPandasWithState sessionizer; its
+  append output is provably the batch sessionization minus each
+  user's final (still-open) session, which IS ANSI-expressible.
+
+Scale notes: both jobs keep per-key state (event-id fingerprints
+bounded by the watermark horizon; one open-session tuple per user) and
+shuffle once on their state key — the identical plan a cluster runs
+against a message bus, with the file source swapped in.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from claim_analysis_engine_spark import streaming
+from claim_analysis_engine_spark.registry import OpRegistry
+
+REG = OpRegistry()
+
+
+def _stage_events(sf_dir: str, copies: int) -> str:
+    stage = Path(tempfile.mkdtemp(prefix="cae_stream_stage_"))
+    for i in range(copies):
+        shutil.copy(f"{sf_dir}/events.parquet", stage / f"part-{i:03d}.parquet")
+    return str(stage)
+
+
+def _drain_to_parquet(spark: SparkSession, result: DataFrame) -> DataFrame:
+    """Run an append-mode stream to a parquet sink and read it back."""
+    out = tempfile.mkdtemp(prefix="cae_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="cae_stream_ckpt_")
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+# ----------------------------------------------------- evt_dedup_stream
+
+@REG.op(
+    "evt_dedup_stream",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events GROUP BY 1
+    """,
+)
+def evt_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup certified by the batch oracle: the stage dir
+    holds every event TWICE (two copies of the file — an at-least-once
+    redelivery inside the watermark), the watermarked
+    dropDuplicatesWithinWatermark stream must collapse them, and the
+    sink's per-type counts and id-sums must equal the single-copy
+    batch aggregate."""
+    stage = _stage_events(sf_dir, copies=2)
+    stream = streaming.read_events_stream(spark, stage)
+    deduped = streaming.dedup_within_watermark(stream)
+    back = _drain_to_parquet(spark, deduped)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("id_sum"),
+    )
+
+
+# ------------------------------------------------- evt_sessionize_stream
+
+@REG.op(
+    "evt_sessionize_stream",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN ts_s - lag(ts_s) OVER w > {streaming.SESSION_GAP_S}
+                    OR lag(ts_s) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM ordered
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ),
+    sess AS (
+      SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id
+                                         ORDER BY ts_s, event_id)
+                     AS BIGINT) AS sid
+      FROM flagged
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             CAST(min(ts_s) AS BIGINT) AS session_start,
+             count(*) AS n_events,
+             CAST(max(ts_s) - min(ts_s) AS BIGINT) AS duration_s,
+             CAST(max(sid) OVER (PARTITION BY user_id) AS BIGINT) AS last_sid
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, n_events, duration_s
+    FROM agg WHERE sid < last_sid
+    """,
+)
+def evt_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator under the hash gate:
+    applyInPandasWithState sessionization emits exactly the CLOSED
+    sessions, and "batch sessionization minus each user's final
+    session" is plain ANSI SQL — so a genuinely non-relational
+    streaming program still gets a value-level oracle."""
+    stage = _stage_events(sf_dir, copies=1)
+    stream = streaming.read_events_stream(spark, stage)
+    sessions = streaming.sessionize_stateful(stream)
+    back = _drain_to_parquet(spark, sessions)
+    return back.select("user_id", "session_start", "n_events", "duration_s")

@@ -65,6 +65,7 @@ def registry() -> dict[str, Op]:
         similarity,
         storage_ops,
         pipeline_ops,
+        streaming_gate,
         textops,
         tsforecast,
     )
@@ -89,6 +90,7 @@ def registry() -> dict[str, Op]:
         multimodal,
         dashboards,
         joins_temporal,
+        streaming_gate,
     ):
         for op_id, op in mod.REG.ops.items():
             if op_id in merged:

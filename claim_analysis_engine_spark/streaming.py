@@ -161,3 +161,30 @@ def run_append_available_now(result: DataFrame, table_name: str, checkpoint: str
         .start()
     )
     q.awaitTermination()
+
+
+# ------------------------------------------- streaming exact dedup
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication by event_id with bounded state:
+    `dropDuplicatesWithinWatermark` keeps a key's fingerprint only
+    until the watermark passes its event time plus the delay, so state
+    is bounded by the duplicate-arrival horizon — the streaming twin of
+    the batch dedup family (SURVEY §2.3) for an at-least-once bus that
+    can redeliver within a known window. On a batch frame the same
+    call degrades to plain dropDuplicates (no watermark semantics), so
+    one function serves both the oracle-checked batch twin and the
+    stream."""
+    if events.isStreaming:
+        deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    else:
+        deduped = events.dropDuplicates(["event_id"])
+    return deduped.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_s"),
+        "value",
+    )

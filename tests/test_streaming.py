@@ -160,3 +160,60 @@ def test_watermark_drops_late_events_across_restarts(spark):
     # count and appears exactly once); the fresh event closes the 13:00
     # window with the count from batch 1 only
     assert got2 == {"2024-01-01 10:00": 2, "2024-01-01 13:00": 1}
+
+
+def test_dedup_within_watermark_across_restarts(spark):
+    """A duplicate event_id redelivered in a LATER micro-batch (within
+    the watermark horizon) must not re-emit — the dedup state carries
+    across restarts via the checkpoint; fresh events still flow."""
+    import datetime as dt
+
+    def nanos(h, m):
+        t = dt.datetime(2024, 1, 1, h, m, tzinfo=dt.timezone.utc)
+        return int(t.timestamp()) * 1_000_000_000
+
+    stage = Path(tempfile.mkdtemp(prefix="cae_dedup_stream_"))
+    ckpt = tempfile.mkdtemp(prefix="cae_dedup_ckpt_")
+    out = tempfile.mkdtemp(prefix="cae_dedup_out_")
+    schema = streaming.EVENTS_SCHEMA
+
+    def run_once():
+        stream = streaming.read_events_stream(spark, str(stage / "*"))
+        result = streaming.dedup_within_watermark(stream, watermark="2 hours")
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.event_id, r.ts_s) for r in spark.read.parquet(out).collect()
+        )
+
+    b1 = spark.createDataFrame(
+        [
+            (1, nanos(10, 0), 1, "click", 1.0, "{}"),
+            (1, nanos(10, 0), 1, "click", 1.0, "{}"),  # same-batch duplicate
+            (2, nanos(10, 30), 1, "view", 1.0, "{}"),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(str(stage / "b1"))
+    assert run_once() == [(1, nanos(10, 0) // 10**9), (2, nanos(10, 30) // 10**9)]
+
+    b2 = spark.createDataFrame(
+        [
+            (1, nanos(10, 0), 1, "click", 1.0, "{}"),  # redelivery, in horizon
+            (3, nanos(11, 0), 2, "click", 1.0, "{}"),  # fresh
+        ],
+        schema,
+    )
+    b2.coalesce(1).write.mode("overwrite").parquet(str(stage / "b2"))
+    assert run_once() == [
+        (1, nanos(10, 0) // 10**9),
+        (2, nanos(10, 30) // 10**9),
+        (3, nanos(11, 0) // 10**9),
+    ]
