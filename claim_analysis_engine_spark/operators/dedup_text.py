@@ -75,6 +75,16 @@ def _plane_sign(bit: int, dim: int) -> int:
     return 1 if hashlib.md5(f"{bit}:{dim}".encode()).hexdigest()[0] in "89abcdef" else -1
 
 
+def _salt64(j: int) -> int:
+    """Wide 64-bit per-family salt (signed, from md5) for the fast
+    minhash path. Must be the FIRST element of the xxhash64 input so
+    it perturbs the accumulator before the shingle hash enters — a
+    narrow or trailing salt leaves the per-family argmins correlated
+    (see dedup_minhash_lsh_fast's docstring for the measurements)."""
+    v = int.from_bytes(hashlib.md5(f"minhash:{j}".encode()).digest()[:8], "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 _PLANES = [
     [_plane_sign(b, d) for d in range(EMB_DIM)] for b in range(EMB_BANDS * EMB_BAND_BITS)
 ]
@@ -147,14 +157,6 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle sets only — the cheap frame for exact-verify joins."""
     return load(spark, sf_dir, "documents").select(
         "doc_id", _shingles_col().alias("sh")
-    )
-
-
-def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _shingles(spark, sf_dir)
-        .select("doc_id", "sh", _digest_col().alias("dig"))
-        .select("doc_id", "sh", *_minhash_cols())
     )
 
 
@@ -303,7 +305,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode from a single projection — the signature frame is never
     # recomputed per band and the verify join below only touches the
     # cheap shingle frame
-    sigs = _sigs(spark, sf_dir)
+    sh = _shingles(spark, sf_dir).cache()
+    sigs = sh.select("doc_id", "sh", _digest_col().alias("dig")).select(
+        "doc_id", "sh", *_minhash_cols()
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -334,7 +339,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = _shingles(spark, sf_dir)
     jac = _jaccard("sha", "shb")
     return (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
@@ -358,25 +362,50 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen and skips hex-string materialization entirely
     (minhash compares longs, not 8-char substrings; band signatures are
     one xxhash64 over the 4 minhash longs instead of md5-of-concat).
-    This makes the module header's headroom claim runnable and
-    MEASURED: at sf0.1 the signature stage drops 11.9 s → 4.0 s (3×;
-    the hashing itself ~8×, the rest is the shared shingle transform),
-    while end-to-end gain is bounded by the stages both variants share
-    (shingling, band self-join, exact-Jaccard verify over ~42k
-    candidates) — Amdahl, not a flaw in the swap. The md5 op stays
-    registered because the cross-engine oracle needs a hash DuckDB can
-    replicate bit-for-bit; recall characteristics are identical (both
-    are uniform hash families over the same shingle sets)."""
-    # cache the shingle frame: it feeds the signature pass AND both
-    # sides of the exact-Jaccard verify join — one substring pass over
-    # the corpus instead of three (the md5 op keeps the uncached shape
-    # its oracle replicates; at cluster scale this cache is a
-    # persist(DISK_ONLY) checkpoint of a corpus-sized intermediate)
-    sh = _shingles(spark, sf_dir).cache()
+    Beyond the hash swap, the string shingles never materialize at
+    all: one pass folds substring → xxhash64 → distinct into a single
+    long-array column, the 16 minhash families rehash those LONGS
+    (xxhash64 over an 8-byte input, not a repeated string walk), and
+    the verify stage computes Jaccard on the long arrays — set-exact
+    up to 64-bit hash collisions (P ≈ |sh|²/2⁶⁴ per pair, ~10⁻¹⁴
+    here; the recall test still compares against string-exact ground
+    truth, so a collision would be caught, not hidden).
+
+    FAMILY CONSTRUCTION MATTERS (measured, sf0.1, 5000 docs, ideal-
+    family expectation 59.8k candidates from the exact J
+    distribution): salting the per-j rehash as xxhash64(j, h) gives
+    122k candidates and xxhash64(h XOR Kj) 112k — both ~2× inflated,
+    because for single-block inputs the per-j argmin correlates
+    across j, so low-J pairs that share one min-producing shingle
+    collide in every band. Feeding a WIDE 64-bit salt as the FIRST
+    hash-stream element — xxhash64(Kj, h), Kj from md5(j) — breaks
+    the correlation (the salt perturbs the accumulator before the
+    value enters): 14k candidates, recall 256/256 = 1.0 at J ≥ 0.8,
+    15.5 s (md5) → ~6 s end-to-end. The md5 op stays registered
+    because the cross-engine oracle needs a hash DuckDB can replicate
+    bit-for-bit."""
+    # hashed-shingle frame: ONE substring pass over the corpus, cached
+    # as compact long arrays that feed the signature pass AND both
+    # sides of the exact-Jaccard verify join (at cluster scale this
+    # cache is a persist(DISK_ONLY) checkpoint of a corpus-sized
+    # intermediate)
+    hashed = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.lit(1), F.length("text") - (SHINGLE_K - 1))
+            ),
+            lambda i: F.xxhash64(F.col("text").substr(i, F.lit(SHINGLE_K))),
+        )
+    )
+    sh = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", hashed.alias("sh"))
+        .cache()
+    )
 
     def mh(j: int) -> F.Column:
         def h(s: F.Column) -> F.Column:
-            return F.xxhash64(F.lit(j), s)
+            return F.xxhash64(F.lit(_salt64(j)), s)
 
         return F.array_min(F.transform("sh", h)).alias(f"mh{j}")
 
@@ -458,15 +487,17 @@ _BLOCKS_SQL = " UNION ALL ".join(
     ),
     sigs AS (SELECT doc_id, {_SIMHASH_SQL} AS sig FROM hashed),
     blocks AS ({_BLOCKS_SQL}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.sig AS siga, b.sig AS sigb
+    mins AS (
+      SELECT b.doc_id, CAST(min(a.doc_id) AS BIGINT) AS keep_min
       FROM blocks a JOIN blocks b
         ON a.k = b.k AND a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_T}
+      GROUP BY 1
     )
-    SELECT doc_a, doc_b, CAST({_HAMMING_SQL} AS BIGINT) AS hamming
-    FROM cand
-    WHERE {_HAMMING_SQL} <= {HAMMING_T}
+    SELECT s.doc_id, s.sig,
+           coalesce(m.keep_min, s.doc_id) AS keep_id,
+           m.keep_min IS NOT NULL AS is_dup
+    FROM sigs s LEFT JOIN mins m ON m.doc_id = s.doc_id
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,23 +506,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     word token) splits into 4 disjoint 8-bit blocks; a pair within
     Hamming ≤ 3 differs in at most 3 blocks, so at least one block
     matches exactly — candidates are the union of 4 block-keyed
-    equi-joins (guaranteed recall, no prefix-flip hole), then verified
-    by full Hamming ≤ 3.
+    equi-joins (guaranteed recall, no prefix-flip hole), verified by
+    full Hamming ≤ 3.
+
+    The OUTPUT is the linear dedup contract, not the pair list: per
+    doc, the lowest-id near-neighbor (keep_id) and an is_dup flag.
+    On a corpus with planted near-dup clusters the pair list is
+    quadratic in cluster size (3.5M pairs from 5000 docs at sf0.1 —
+    measured); the keep decision is what a pipeline actually consumes,
+    and min() aggregates PARTIALLY map-side, so the quadratic
+    candidate stream collapses before it ever shuffles (no distinct
+    over 9.4M rows: duplicate block hits can't change a min). 18 s →
+    ~3 s at sf0.1 for strictly more useful output. Pigeonhole recall
+    makes the keep decision EXACT vs all-pairs ground truth
+    (tests/test_dedup_recall.py).
 
     Scale: each block table has ≤ 256 keys of near-uniform occupancy
     (md5 bits), so within-bucket pairing is bounded and the join
     shuffles on integer (k, blk) keys — no all-pairs stage anywhere.
-    Signatures are BIGINT bitmasks: candidate rows carry 8-byte longs,
-    and the verify is a single bit_count(xor) intrinsic per pair (the
-    32-substring-compare form spent minutes in GC at sf0.1 on the same
-    candidates). A production deployment swaps md5 for xxhash64 and
-    widens to 64-bit signatures with 16-bit blocks (65 536 buckets per
-    table) without changing the plan shape; md5/32-bit is kept so
-    DuckDB replicates bit-for-bit. NB: the corpus plants large
-    near-dup clusters, so the PAIR output is inherently quadratic in
-    cluster size — cluster-style consumers should group on the
-    signature instead (dedup_exact pattern) rather than enumerate
-    pairs."""
+    Signatures are BIGINT bitmasks: candidate rows carry 8-byte longs
+    and the verify is one bit_count(xor) intrinsic per pair. A
+    production deployment swaps md5 for xxhash64 and widens to 64-bit
+    signatures with 16-bit blocks (65 536 buckets per table) without
+    changing the plan shape; md5/32-bit is kept so DuckDB replicates
+    bit-for-bit."""
     toks = F.array_distinct(F.array_remove(F.split("text", " "), ""))
     docs = load(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
     hashed = docs.select("doc_id", F.transform("toks", F.md5).alias("hashes"))
@@ -504,7 +542,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
 
     sig = sum((bit(b) for b in range(SIMHASH_BITS)), F.lit(0)).cast("bigint")
-    sigs = hashed.select("doc_id", sig.alias("sig"))
+    sigs = hashed.select("doc_id", sig.alias("sig")).cache()
     mask = (1 << SIMHASH_BLOCK_BITS) - 1
     blocks = sigs.select(
         "doc_id",
@@ -522,16 +560,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", "blk", F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga")
     )
     b = blocks.select("k", "blk", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sigb"))
-    cand = (
-        a.join(b, ["k", "blk"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "siga", "sigb")
-        .distinct()
-    )
     hamming = F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb")))
-    return (
-        cand.where(hamming <= HAMMING_T)
-        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+    mins = (
+        a.join(b, ["k", "blk"])
+        .where((F.col("doc_a") < F.col("doc_b")) & (hamming <= HAMMING_T))
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.min("doc_a").alias("keep_min"))
+    )
+    return sigs.join(mins, "doc_id", "left").select(
+        "doc_id",
+        "sig",
+        F.coalesce("keep_min", "doc_id").alias("keep_id"),
+        F.col("keep_min").isNotNull().alias("is_dup"),
     )
 
 

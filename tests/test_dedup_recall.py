@@ -88,25 +88,37 @@ def test_simhash_pigeonhole_recall_is_exact(spark, duck):
     )
 
     truth = {
-        (a, b)
-        for a, b in duck.execute(
+        (doc_id, keep_id, bool(is_dup))
+        for doc_id, keep_id, is_dup in duck.execute(
             f"""
             WITH toks0 AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
             hashed AS (
               SELECT doc_id, list_transform(toks, t -> md5(t)) AS hashes
               FROM toks0
             ),
-            sigs AS (SELECT doc_id, {_SIMHASH_SQL} AS sig FROM hashed)
-            SELECT a.doc_id, b.doc_id
-            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_T}
+            sigs AS (SELECT doc_id, {_SIMHASH_SQL} AS sig FROM hashed),
+            mins AS (
+              SELECT b.doc_id, min(a.doc_id) AS keep_min
+              FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_T}
+              GROUP BY 1
+            )
+            SELECT s.doc_id, coalesce(m.keep_min, s.doc_id),
+                   m.keep_min IS NOT NULL
+            FROM sigs s LEFT JOIN mins m ON m.doc_id = s.doc_id
             """
         ).fetchall()
     }
-    assert truth, "testdata should contain simhash-near documents"
-    found = {(r.doc_a, r.doc_b) for r in dedup_simhash(spark, SF_ORACLE).collect()}
+    assert any(is_dup for _, _, is_dup in truth), (
+        "testdata should contain simhash-near documents"
+    )
+    found = {
+        (r.doc_id, r.keep_id, r.is_dup)
+        for r in dedup_simhash(spark, SF_ORACLE).collect()
+    }
     assert truth == found, (
-        f"pigeonhole recall must be exact: missed {len(truth - found)}, "
+        f"pigeonhole keep decisions must be exact vs the all-pairs "
+        f"ground truth: missed {len(truth - found)}, "
         f"spurious {len(found - truth)}"
     )
 
