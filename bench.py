@@ -51,6 +51,11 @@ EXTRA = [
     "dedup_simhash",
     "corpus_contamination",
     "ep1_ingest_e2e",
+    "dedup_cluster_cc",
+    "evt_funnel",
+    "emb_quantize_int8",
+    "txt_pii_scrub",
+    "evt_dedup_stream",
 ]
 
 
