@@ -361,7 +361,15 @@ def agg_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag distribution stats: count/mean/median/min/max/std of
     ship-minus-order days where valid (reference Lag_Days stats,
     core/analytics.py:391-408; lag derivation core/etl.py:259-265).
-    Exact median (not percentile_approx) so the oracle matches."""
+
+    EXACT median without a serial sort: lag_days has a small bounded
+    domain (whole days, ~0-120), so the stats reduce over a per-value
+    histogram — groupBy(lag_days) map-side-combines to ≤|domain| rows
+    per partition, and the median comes from the cumulative histogram
+    (the window below orders ~120 rows, not 600k values through one
+    reduce task, which is what a global F.median costs). Mean/std
+    derive from exact integer moment sums, so no float fold-order
+    drift against the oracle either."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     lag = (
@@ -369,13 +377,38 @@ def agg_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lag_days"))
         .where(F.col("lag_days") >= 0)
     )
-    return lag.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("lag_days"), 4).alias("mean_lag"),
-        F.round(F.median("lag_days"), 1).alias("median_lag"),
+    hist = lag.groupBy("lag_days").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.orderBy("lag_days").rowsBetween(W.unboundedPreceding, 0)
+    h = hist.withColumn("cum", F.sum("cnt").over(w))
+    n = F.sum("cnt")
+    sum1 = F.sum(F.col("cnt") * F.col("lag_days"))
+    sum2 = F.sum(F.col("cnt") * F.col("lag_days") * F.col("lag_days"))
+    # exact median from the cumulative histogram: the two middle ranks
+    # (equal for odd n) are floor((n+1)/2) and floor(n/2)+1
+    total = h.agg(n.alias("n_all"))
+    h2 = h.crossJoin(F.broadcast(total))
+    m1 = F.min(
+        F.when(F.col("cum") >= F.floor((F.col("n_all") + 1) / 2), F.col("lag_days"))
+    )
+    m2 = F.min(
+        F.when(F.col("cum") >= F.floor(F.col("n_all") / 2) + 1, F.col("lag_days"))
+    )
+    return h2.agg(
+        F.max("n_all").alias("n"),
+        F.round(sum1.cast("double") / F.max("n_all"), 4).alias("mean_lag"),
+        F.round((m1 + m2) / 2.0, 1).alias("median_lag"),
         F.min("lag_days").alias("min_lag"),
         F.max("lag_days").alias("max_lag"),
-        F.round(F.stddev_samp("lag_days"), 4).alias("std_lag"),
+        F.round(
+            F.sqrt(
+                (
+                    sum2.cast("double")
+                    - sum1.cast("double") * sum1.cast("double") / F.max("n_all")
+                )
+                / (F.max("n_all") - 1)
+            ),
+            4,
+        ).alias("std_lag"),
     )
 
 
@@ -502,4 +535,55 @@ def detect_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         z.alias("z"),
         F.when(F.abs(z) > 3.0, True).otherwise(False).alias("is_outlier"),
+    )
+
+
+@REG.op(
+    "agg_window_profile",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+             strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+             count(*) AS n
+      FROM lineitem WHERE year(l_shipdate) BETWEEN 1996 AND 1997
+      GROUP BY 1, 2
+    )
+    SELECT flag, month, n,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume,
+           CAST(lag(n) OVER w AS BIGINT) AS prev_n,
+           CAST(lead(n) OVER w AS BIGINT) AS next_n
+    FROM m
+    WINDOW w AS (PARTITION BY flag ORDER BY n, month)
+    """,
+)
+def agg_window_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window breadth in one op: rank / ntile / percent_rank /
+    cume_dist / lag / lead over per-flag monthly counts — the analytic
+    window family §2.5's aggregates don't exercise. The order key is
+    (n, month) so ties can't make rank or ntile engine-dependent. One
+    hash aggregate then one window exchange on the small grouped frame
+    (|flags| × |months| rows — the window never sees raw lineitem)."""
+    m = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.year("l_shipdate").between(1996, 1997))
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("flag").orderBy("n", "month")
+    return m.select(
+        "flag",
+        "month",
+        "n",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.lag("n").over(w).cast("bigint").alias("prev_n"),
+        F.lead("n").over(w).cast("bigint").alias("next_n"),
     )

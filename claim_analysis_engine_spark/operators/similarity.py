@@ -480,3 +480,142 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sq_sum / 64 * 1e6, 4).alias("mse_e6"),
         F.round(F.array_max(F.transform("e", F.abs)) * 1e3, 4).alias("max_err_e3"),
     )
+
+
+# ------------------------------------------------- sim_ann_int8_rerank
+
+RERANK_POOL = 10
+
+_Q8_SQL = """
+    SELECT vec_id,
+           greatest(list_aggregate(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE))), 'max') / 127, 1e-12) AS s,
+           list_transform(embedding,
+             x -> greatest(-127, least(127,
+                    floor(CAST(x AS DOUBLE)
+                          / greatest(list_aggregate(list_transform(embedding,
+                              y -> abs(CAST(y AS DOUBLE))), 'max') / 127,
+                              1e-12) + 0.5)))) AS q
+    FROM embeddings
+"""
+
+_QDOT_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), d -> a.q[d] * b.q[d]))"
+)
+_QNORM_SQL = (
+    "sqrt(list_sum(list_transform({t}.q, x -> x * x)))"
+)
+
+
+@REG.op(
+    "sim_ann_int8_rerank",
+    oracle=f"""
+    WITH q8 AS ({_Q8_SQL}),
+    qs AS (SELECT * FROM q8 WHERE vec_id % {QUERY_MOD} = 0),
+    coarse AS (
+      SELECT qs.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_QDOT_SQL.replace('a.q', 'qs.q').replace('b.q', 'b.q')}
+               / ({_QNORM_SQL.format(t='qs')} * {_QNORM_SQL.format(t='b')})
+               AS qcos
+      FROM qs JOIN q8 b ON b.vec_id <> qs.vec_id
+    ),
+    pool AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(qcos, 6) DESC, neighbor_id)
+               AS qrank
+      FROM coarse
+    ),
+    exact AS (
+      SELECT p.query_id, p.neighbor_id, {_cos_sql('x', 'y')} AS cos
+      FROM pool p
+      JOIN embeddings x ON x.vec_id = p.query_id
+      JOIN embeddings y ON y.vec_id = p.neighbor_id
+      WHERE p.qrank <= {RERANK_POOL}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+      FROM exact
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank
+    FROM ranked WHERE rank <= {ANN_K}
+    """,
+)
+def sim_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with int8 quantization: the coarse pass
+    scores EVERY candidate with the quantized cosine (integer dot
+    products over 1-byte codes — at 100 TB this phase is memory-
+    bandwidth-bound, and int8 codes move 4× fewer bytes than float32),
+    keeps a small per-query pool, and only the pool is re-ranked with
+    full-precision cosine. Quantization reuses emb_quantize_int8's
+    exact half-up scheme, so DuckDB reproduces the codes bit-for-bit
+    and every arithmetic step up to the final divisions is
+    integer-exact in both engines. The coarse phase here is the
+    quantized BRUTE baseline (broadcast query set, like
+    sim_topk_brute); a production index composes the same two stages
+    with IVF cell probing (sim_ivf) for sublinear candidate counts."""
+    emb = load(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    q8 = emb.select("vec_id", xd.alias("v")).select(
+        "vec_id",
+        "v",
+        F.greatest(
+            F.array_max(F.transform("v", F.abs)) / 127, F.lit(1e-12)
+        ).alias("s"),
+    )
+    q8 = q8.select(
+        "vec_id",
+        F.transform(
+            "v",
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.floor(x / F.col("s") + 0.5)),
+            ),
+        ).alias("q"),
+    ).cache()
+
+    qs = q8.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
+    )
+    corpus = q8.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"))
+
+    def qnorm(c: str) -> F.Column:
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+
+    qdot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    coarse = (
+        F.broadcast(qs)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (qdot / (qnorm("qa") * qnorm("qb"))).alias("qcos"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.round("qcos", 6).desc(), F.col("neighbor_id")
+    )
+    pool = (
+        coarse.withColumn("qrank", F.row_number().over(wq))
+        .where(F.col("qrank") <= RERANK_POOL)
+        .select("query_id", "neighbor_id")
+    )
+    x = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
+    y = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"))
+    exact = pool.join(x, "query_id").join(y, "neighbor_id").select(
+        "query_id", "neighbor_id", _cos("eq", "ec").alias("cos")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank")
+    )

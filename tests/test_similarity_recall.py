@@ -81,3 +81,30 @@ def test_ivf_train_deterministic_and_improves_quantizer(spark):
     )
     baseline = assign.agg(F.avg("cos")).first()[0]
     assert trained >= baseline - 1e-6, f"trained {trained} < baseline {baseline}"
+
+
+def test_int8_rerank_recall_vs_exact(spark):
+    """The quantized-coarse + exact-rerank pipeline must reproduce the
+    exact top-k almost perfectly: 64-dim unit vectors quantized to
+    int8 keep cosine error ~1e-3, far below typical neighbor gaps, so
+    top-1 recall should be perfect and top-k recall near 1."""
+    from claim_analysis_engine_spark.operators.similarity import (
+        ANN_K,
+        sim_ann_int8_rerank,
+        sim_topk_brute,
+    )
+
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in sim_topk_brute(spark, SF_ORACLE).collect()
+        if r.rank <= ANN_K
+    }
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in sim_ann_int8_rerank(spark, SF_ORACLE).collect()
+    }
+    queries = {q for q, _ in exact}
+    top1_hits = sum(got.get((q, 1)) == exact.get((q, 1)) for q in queries)
+    assert top1_hits == len(queries), "int8 rerank must keep exact top-1"
+    all_hits = sum(got.get(k) == v for k, v in exact.items())
+    assert all_hits / len(exact) >= 0.9
