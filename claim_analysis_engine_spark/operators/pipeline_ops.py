@@ -406,3 +406,114 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "achieved_rate"
         ),
     )
+
+
+# ------------------------------------------------ corpus_budget_mix
+
+MIX_BUDGET_FRAC = 0.4  # global token budget as a share of the corpus
+MIX_SALT = "mix:"
+
+
+@REG.op(
+    "corpus_budget_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOKENS_SQL}) AS n_tokens,
+             md5('{MIX_SALT}' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    src AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+             count(*) AS n_docs
+      FROM t GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(floor(sum(src_tokens) * {MIX_BUDGET_FRAC}) AS BIGINT)
+               AS budget,
+             sum(sqrt(src_tokens)) AS sw
+      FROM src
+    ),
+    tgt AS (
+      SELECT source, n_docs,
+             CAST(floor(budget * (sqrt(src_tokens) / sw)) AS BIGINT)
+               AS target_tokens
+      FROM src, tot
+    ),
+    ordered AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)
+               AS cum
+      FROM t
+    ),
+    sel AS (
+      SELECT o.source,
+             count(*) AS n_selected,
+             CAST(sum(o.n_tokens) AS BIGINT) AS sel_tokens
+      FROM ordered o JOIN tgt g ON g.source = o.source
+      WHERE o.cum <= g.target_tokens
+      GROUP BY 1
+    )
+    SELECT g.source, g.n_docs, g.target_tokens,
+           CAST(coalesce(s.n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(coalesce(s.sel_tokens, 0) AS BIGINT) AS sel_tokens,
+           round(coalesce(s.sel_tokens, 0) * 1.0
+                 / greatest(g.target_tokens, 1), 4) AS fill_ratio
+    FROM tgt g LEFT JOIN sel s ON s.source = g.source
+    """,
+)
+def corpus_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture construction: a global budget (40% of
+    corpus tokens) is allocated across sources by SQRT of their token
+    mass (the standard sublinear mixing rule — upweights scarce
+    sources without drowning in the dominant one), and each source
+    fills its allocation deterministically — docs orderd by a salted
+    md5 (a seedless shuffle) accumulate until the running token sum
+    hits the target. Per-source running sums partition by source (one
+    window exchange on the natural key); the global budget and sqrt
+    weights are one broadcast row. sqrt/÷/× evaluate in the same
+    order in both engines, and IEEE sqrt is correctly rounded, so the
+    floor() targets agree exactly."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(_tokens_col()).alias("n_tokens"),
+        F.md5(F.concat(F.lit(MIX_SALT), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    src = t.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("src_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tot = src.agg(
+        F.floor(F.sum("src_tokens") * MIX_BUDGET_FRAC).cast("bigint").alias("budget"),
+        F.sum(F.sqrt("src_tokens")).alias("sw"),
+    )
+    tgt = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor(F.col("budget") * (F.sqrt("src_tokens") / F.col("sw")))
+        .cast("bigint")
+        .alias("target_tokens"),
+    )
+    w = W.partitionBy("source").orderBy("h", "doc_id")
+    ordered = t.withColumn("cum", F.sum("n_tokens").over(w))
+    sel = (
+        ordered.join(tgt.select("source", "target_tokens"), "source")
+        .where(F.col("cum") <= F.col("target_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_tokens").cast("bigint").alias("sel_tokens"),
+        )
+    )
+    return tgt.join(sel, "source", "left").select(
+        "source",
+        "n_docs",
+        "target_tokens",
+        F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+        F.coalesce("sel_tokens", F.lit(0)).cast("bigint").alias("sel_tokens"),
+        F.round(
+            F.coalesce("sel_tokens", F.lit(0)).cast("double")
+            / F.greatest("target_tokens", F.lit(1)),
+            4,
+        ).alias("fill_ratio"),
+    )

@@ -5,13 +5,16 @@ checkpoint), reads the sink back, and returns a frame whose values a
 DuckDB oracle reproduces from the batch table — so the driver's hash
 gate certifies actual streaming execution, not a batch stand-in.
 
-Two jobs cross the gate:
+Three jobs cross the gate:
 * evt_dedup_stream — dropDuplicatesWithinWatermark over a stage dir
   holding TWO copies of every event (a synthetic at-least-once bus);
   the deduped stream must aggregate exactly like the single-copy batch.
 * evt_sessionize_stream — the applyInPandasWithState sessionizer; its
   append output is provably the batch sessionization minus each
   user's final (still-open) session, which IS ANSI-expressible.
+* evt_tumbling_stream — the watermarked tumbling aggregation in append
+  mode; emitted rows are exactly the hourly windows the final
+  watermark finalized, a boundary the oracle reproduces relationally.
 
 Scale notes: both jobs keep per-key state (event-id fingerprints
 bounded by the watermark horizon; one open-session tuple per user) and
@@ -130,3 +133,38 @@ def evt_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = streaming.sessionize_stateful(stream)
     back = _drain_to_parquet(spark, sessions)
     return back.select("user_id", "session_start", "n_events", "duration_s")
+
+
+# ------------------------------------------------ evt_tumbling_stream
+
+TUMBLING_WM = "1 hour"
+
+
+@REG.op(
+    "evt_tumbling_stream",
+    oracle="""
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL 1 HOUR AS horizon FROM events
+    )
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events, wm
+    GROUP BY 1, 2, horizon
+    HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= horizon
+    """,
+)
+def evt_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked tumbling-window aggregation as a REAL streaming
+    run under the hash gate. Append mode only emits FINALIZED windows
+    — those whose end precedes the final watermark (max event time
+    minus the 1-hour delay) — and that boundary is itself relational:
+    the oracle keeps exactly the hourly groups whose window end is
+    within the horizon. So the gate certifies not just the aggregate
+    values but Structured Streaming's late-data finalization contract
+    on real data."""
+    stage = _stage_events(sf_dir, copies=1)
+    stream = streaming.read_events_stream(spark, stage)
+    result = streaming.tumbling_counts(stream, watermark=TUMBLING_WM)
+    return _drain_to_parquet(spark, result)

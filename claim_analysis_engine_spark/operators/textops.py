@@ -470,3 +470,96 @@ def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).alias("clean_len"),
         F.md5(clean).alias("clean_hash"),
     )
+
+
+# ---------------------------------------------- txt_boilerplate_frac
+
+BP_NGRAM = 5  # word n-gram length treated as a boilerplate unit
+BP_MIN_DOCS = 20  # an n-gram in >= this many distinct docs is boilerplate
+
+
+@REG.op(
+    "txt_boilerplate_frac",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {BP_NGRAM}
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(toks) - {BP_NGRAM - 1}),
+                         i -> array_to_string(toks[i:i+{BP_NGRAM - 1}], ' ')))
+                  ELSE [] END AS grams
+      FROM t
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    common AS (
+      SELECT gram FROM e GROUP BY 1
+      HAVING count(DISTINCT doc_id) >= {BP_MIN_DOCS}
+    ),
+    hits AS (
+      SELECT e.doc_id, count(*) AS n_common
+      FROM e JOIN common c ON c.gram = e.gram
+      GROUP BY 1
+    )
+    SELECT g.doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n_common, 0) AS BIGINT) AS n_boiler,
+           CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE round(coalesce(h.n_common, 0) * 1.0 / len(grams), 4)
+           END AS boiler_frac,
+           (len(grams) > 0 AND
+            coalesce(h.n_common, 0) * 1.0 / len(grams) > 0.5) AS is_boilerplate
+    FROM g LEFT JOIN hits h ON h.doc_id = g.doc_id
+    """,
+)
+def txt_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: a word 5-gram appearing in
+    ≥ 20 distinct documents is boilerplate (headers, templates, legal
+    footers — the C4/RefinedWeb line-dedup idea lifted to n-grams since
+    the synthetic docs have no line structure); each document reports
+    the fraction of its distinct 5-grams that are boilerplate and a
+    drop flag. Two hash aggregates over the exploded n-grams (map-side
+    combined; explode amplification is bounded by token count) and one
+    join back — the common-gram table is tiny by construction (an
+    n-gram in ≥20 docs is rare) so that join broadcasts at scale."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _tokens_col().alias("toks")
+    )
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (BP_NGRAM - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("toks", i + k) for k in range(BP_NGRAM)]
+        ),
+    )
+    g = docs.select(
+        "doc_id",
+        F.when(F.size("toks") >= BP_NGRAM, F.array_distinct(gram))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    e = g.select("doc_id", F.explode("grams").alias("gram"))
+    common = (
+        e.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= BP_MIN_DOCS)
+        .select("gram")
+    )
+    hits = (
+        e.join(F.broadcast(common), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    n_boiler = F.coalesce("n_common", F.lit(0)).cast("bigint")
+    frac = F.when(F.size("grams") == 0, F.lit(0.0)).otherwise(
+        F.round(n_boiler.cast("double") / F.size("grams"), 4)
+    )
+    return g.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.size("grams").cast("bigint").alias("n_grams"),
+        n_boiler.alias("n_boiler"),
+        frac.alias("boiler_frac"),
+        (
+            (F.size("grams") > 0)
+            & (n_boiler.cast("double") / F.size("grams") > 0.5)
+        ).alias("is_boilerplate"),
+    )
