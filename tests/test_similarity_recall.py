@@ -108,3 +108,30 @@ def test_int8_rerank_recall_vs_exact(spark):
     assert top1_hits == len(queries), "int8 rerank must keep exact top-1"
     all_hits = sum(got.get(k) == v for k, v in exact.items())
     assert all_hits / len(exact) >= 0.9
+
+
+def test_pq_adc_determinism_and_recall(spark):
+    """PQ/ADC is sample-trained and rows-only: assert bit-stable
+    output across runs and recall floors vs the exact baseline
+    (thresholds from measured behavior on the unstructured testdata —
+    top-1 exact, top-3 >= 0.6)."""
+    from claim_analysis_engine_spark.operators.similarity import (
+        ANN_K,
+        sim_pq_adc,
+        sim_topk_brute,
+    )
+
+    r1 = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+          for r in sim_pq_adc(spark, SF_ORACLE).collect()}
+    r2 = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+          for r in sim_pq_adc(spark, SF_ORACLE).collect()}
+    assert r1 == r2  # deterministic training + encoding + scoring
+
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in sim_topk_brute(spark, SF_ORACLE).collect()
+             if r.rank <= ANN_K}
+    queries = {q for q, _ in exact}
+    top1 = sum(r1.get((q, 1), (None,))[0] == exact.get((q, 1)) for q in queries)
+    assert top1 / len(queries) >= 0.9
+    hits = sum(r1.get(k, (None,))[0] == v for k, v in exact.items())
+    assert hits / len(exact) >= 0.6
