@@ -34,3 +34,28 @@ def test_no_row_at_a_time_python(spark, op_id):
     assert "BatchEvalPython" not in plan, (
         f"{op_id} ships a row-at-a-time Python UDF:\n{plan}"
     )
+
+
+# Ops whose plans legitimately contain a cartesian/unconditioned cross
+# product: the broadcast of a 1-row global scalar or a tiny
+# query/centroid/total frame (BroadcastNestedLoopJoin over a broadcast
+# side is the SANCTIONED pattern; what must never appear is a
+# CartesianProduct over two large sides).
+_CARTESIAN_FORBIDDEN = "CartesianProduct"
+
+
+@pytest.mark.parametrize("op_id", ALL_OPS)
+def test_no_unbroadcast_cartesian(spark, op_id):
+    """A CartesianProduct node means two NON-broadcast sides are being
+    pair-joined — quadratic shuffle IO at scale. Every intentional
+    cross join in the registry broadcasts its small side, which plans
+    as BroadcastNestedLoopJoin instead; assert the bad node never
+    appears anywhere in the surface."""
+    df = REG[op_id].query(spark, SF_SMALL)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert _CARTESIAN_FORBIDDEN not in plan, (
+        f"{op_id} plans a non-broadcast cartesian product:\n{plan}"
+    )
