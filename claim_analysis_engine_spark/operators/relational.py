@@ -739,3 +739,86 @@ def limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("status", "y", "m", "n")
     )
+
+
+@REG.op(
+    "merge_cdc_tombstone",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             'U' AS op, 0 AS load_seq
+      FROM orders WHERE year(o_orderdate) <= 1997
+    ),
+    changes AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             round(o_totalprice * 1.1, 2) AS o_totalprice,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+             1 AS load_seq
+      FROM orders WHERE year(o_orderdate) = 1997
+    ),
+    unioned AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY load_seq DESC) AS rn
+      FROM unioned
+    )
+    SELECT year(o.o_orderdate) AS y,
+           count(*) AS n_live,
+           CAST(sum(CASE WHEN l.load_seq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_updated
+    FROM latest l JOIN orders o ON o.o_orderkey = l.o_orderkey
+    WHERE l.rn = 1 AND l.op <> 'D'
+    GROUP BY 1
+    """,
+)
+def merge_cdc_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply-changes with DELETE tombstones — the lakehouse MERGE
+    contract (Delta/Iceberg MERGE INTO ... WHEN MATCHED DELETE) that
+    plain keep-last upsert (dedup_merge) can't express: a change batch
+    carries op ∈ {U, D}; keep-last picks each key's latest version,
+    then tombstoned keys drop entirely. Same single keyed window as
+    the upsert — deletes add no extra shuffle, just a post-filter on
+    the surviving row's op — so the CDC path scales identically to the
+    append path. The result profiles live rows per original year with
+    the update count, proving both the in-place updates (1997 rows not
+    divisible by 7 got new prices) and the deletes (every 7th 1997 key
+    is gone)."""
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = (
+        orders.where(F.year("o_orderdate") <= 1997)
+        .select(*cols)
+        .withColumn("op", F.lit("U"))
+        .withColumn("load_seq", F.lit(0))
+    )
+    changes = (
+        orders.where(F.year("o_orderdate") == 1997)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        )
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 7 == 0, "D").otherwise("U"),
+        )
+        .withColumn("load_seq", F.lit(1))
+    )
+    unioned = base.unionByName(changes)
+    w = W.partitionBy("o_orderkey").orderBy(F.col("load_seq").desc())
+    live = (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("o_orderkey", "load_seq")
+    )
+    return (
+        live.join(orders.select("o_orderkey", "o_orderdate"), "o_orderkey")
+        .groupBy(F.year("o_orderdate").alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum(F.when(F.col("load_seq") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_updated"),
+        )
+    )
