@@ -329,3 +329,84 @@ def evt_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.round(F.avg(k), 4).alias("avg_k"),
     )
+
+
+# --------------------------------------------------- evt_error_burst
+
+BURST_TRAIL_H = 24  # trailing window (hours) for the error-rate baseline
+BURST_Z = 3.0
+
+
+@REG.op(
+    "evt_error_burst",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             count(*) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY 1
+    ),
+    rated AS (
+      SELECT hour, n_events, n_errors,
+             n_errors * 1.0 / n_events AS err_rate
+      FROM hourly
+    ),
+    scored AS (
+      SELECT hour, n_events, n_errors, err_rate,
+             avg(err_rate) OVER w AS mu,
+             stddev_samp(err_rate) OVER w AS sigma
+      FROM rated
+      WINDOW w AS (ORDER BY hour
+                   ROWS BETWEEN {BURST_TRAIL_H} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour, n_events, n_errors, round(err_rate, 4) AS err_rate,
+           round(CASE WHEN sigma > 0 THEN (err_rate - mu) / sigma END, 4) AS z,
+           coalesce(sigma > 0 AND (err_rate - mu) / sigma > {BURST_Z}, false)
+             AS is_burst
+    FROM scored
+    """,
+)
+def evt_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly detection on the event stream: each hour's
+    error RATE is z-scored against its trailing 24-hour baseline
+    (mean/std over the preceding hours only — no lookahead), bursts
+    flagged above 3σ. The window runs over the HOURLY aggregate (the
+    facts collapse first — ~|hours| rows however large the stream), so
+    the single unpartitioned ordered window is bounded and cheap, the
+    same justified exception as the lag-stats cumulative histogram.
+    In production the identical expression runs incrementally over the
+    streaming tumbling-counts sink."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd HH:00").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_errors"),
+        )
+    )
+    rated = hourly.withColumn(
+        "err_rate", F.col("n_errors").cast("double") / F.col("n_events")
+    )
+    w = (
+        W.orderBy("hour").rowsBetween(-BURST_TRAIL_H, -1)
+    )
+    scored = rated.select(
+        "hour",
+        "n_events",
+        "n_errors",
+        "err_rate",
+        F.avg("err_rate").over(w).alias("mu"),
+        F.stddev_samp("err_rate").over(w).alias("sigma"),
+    )
+    z = F.when(F.col("sigma") > 0, (F.col("err_rate") - F.col("mu")) / F.col("sigma"))
+    return scored.select(
+        "hour",
+        "n_events",
+        "n_errors",
+        F.round("err_rate", 4).alias("err_rate"),
+        F.round(z, 4).alias("z"),
+        F.coalesce(z > BURST_Z, F.lit(False)).alias("is_burst"),
+    )

@@ -822,3 +822,55 @@ def merge_cdc_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_updated"),
         )
     )
+
+
+@REG.op(
+    "join_semi_active",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1997
+    )
+    """,
+)
+def join_semi_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers with ≥1 order in 1997 — the EXISTS
+    shape. Semi joins matter at scale because the probe side streams
+    through without materializing matches (no row multiplication, no
+    columns from the build side carried through the shuffle); the
+    year filter pushes into the orders scan before the exchange."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1997)
+        .select("o_custkey")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+
+
+@REG.op(
+    "join_anti_orphans",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus
+    FROM orders o
+    WHERE year(o.o_orderdate) = 1998
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+      )
+    """,
+)
+def join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: 1998 orders with no lineitem — the referential-
+    integrity audit (NOT EXISTS). Anti joins are the data-quality
+    primitive a 100 TB ingest pipeline runs after every load; like the
+    semi form they never multiply rows and carry only the probe side's
+    columns through the plan."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1998)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
