@@ -676,22 +676,24 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a vector compresses to 8 four-bit codes (4 bytes vs 256 — the
     representation that lets 100 TB of vectors sit in cluster RAM).
 
-    Encoding is a per-row argmin over centroid literals (array_min on
-    (dist, code) structs — whole-stage codegen, no UDF). The distance
-    used everywhere is the RANK-EQUIVALENT form |c|² − 2·x·c (the
-    ‖x‖² term is constant per vector-subspace for the argmin and per
-    query for the ADC sum, so dropping it changes no ordering) — with
-    ‖c‖² precomputed in Python and the dot product a runtime
-    zip_with/aggregate fold over the subvector slice, the generated
-    code stays small (the fully unrolled (x−c)² cascade OOM'd janino
-    at 16 centroids × 8 subspaces). Scoring is the ADC TABLE JOIN:
-    each query materializes its 8×16 distance table as ROWS, the code
-    frame joins on (sub, code), and one groupBy(query, vec) sums the
-    8 looked-up cells — never touching raw vectors. The ADC pool is
-    then re-ranked with exact cosine (same two-stage contract as
-    sim_ann_int8_rerank). Shuffles: one on the 128-key (sub, code)
-    join, one on (query, vec) — both bounded by |codes frame|, not by
-    |corpus|²."""
+    The codebook itself is DATA, not code: a 128-row broadcast frame
+    (sub, code, centroid, ‖c‖²). Subvectors explode to (vec, sub,
+    x_s) rows, join the codebook on sub, and ONE distance expression
+    — the rank-equivalent |c|² − 2·x·c (the ‖x‖² term is constant
+    per vector-subspace for the argmin and per query for the ADC sum,
+    so dropping it changes no ordering) — scores all 16 centroids;
+    argmin is a min-struct aggregate. This matters twice at scale:
+    the plan size is independent of codebook size (an earlier version
+    with 128 inline literal expressions OOM'd janino at K=32 and
+    spent seconds per stage in interpreted lambda dispatch), and
+    growing K or subspaces changes only broadcast bytes. Scoring is
+    the ADC TABLE JOIN: each query's 8×16 distance table comes from
+    the same codebook join, the code frame joins on (sub, code), and
+    one groupBy(query, vec) sums the 8 looked-up cells — never
+    touching raw vectors. The ADC pool is then re-ranked with exact
+    cosine (same two-stage contract as sim_ann_int8_rerank).
+    Shuffles: one on the 128-key (sub, code) join, one on (query,
+    vec) — both bounded by |codes frame|, not by |corpus|²."""
     emb = load(spark, sf_dir, "embeddings")
     sample = [
         r.v
@@ -701,52 +703,40 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     books = _train_pq_codebooks(sample)
-
-    xd = F.transform("embedding", lambda x: x.cast("double"))
-    sub_cols = [
-        F.slice(xd, s * PQ_SUBDIM + 1, PQ_SUBDIM).alias(f"s{s}")
-        for s in range(PQ_SUBS)
-    ]
-    vecs = emb.select("vec_id", *sub_cols)
-
-    def rank_dist(s: int, c: int) -> F.Column:
-        cent = books[s][c]
-        c2 = sum(v * v for v in cent)
-        lits = F.array(*[F.lit(v) for v in cent])
-        dot = F.aggregate(
-            F.zip_with(f"s{s}", lits, lambda x, b: x * b),
-            F.lit(0.0),
-            lambda a, t: a + t,
-        )
-        return F.lit(c2) - 2 * dot
-
-    def code(s: int) -> F.Column:
-        pairs = F.array(
-            *[
-                F.struct(rank_dist(s, c).alias("d"), F.lit(c).alias("c"))
-                for c in range(len(books[s]))
-            ]
-        )
-        return F.array_min(pairs).getField("c")
-
-    codes = vecs.select(
-        "vec_id",
-        F.posexplode(F.array(*[code(s) for s in range(PQ_SUBS)])).alias(
-            "sub", "code"
-        ),
+    cb = spark.createDataFrame(
+        [
+            (s, c, books[s][c], float(sum(v * v for v in books[s][c])))
+            for s in range(PQ_SUBS)
+            for c in range(len(books[s]))
+        ],
+        "sub int, code int, cent array<double>, c2 double",
     )
 
-    queries = vecs.where(F.col("vec_id") % QUERY_MOD == 0)
-    qtab = None
-    for s in range(PQ_SUBS):
-        part = queries.select(
-            F.col("vec_id").alias("query_id"),
-            F.lit(s).alias("sub"),
-            F.posexplode(
-                F.array(*[rank_dist(s, c) for c in range(len(books[s]))])
-            ).alias("code", "dist"),
-        )
-        qtab = part if qtab is None else qtab.unionByName(part)
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    subv = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice(xd, s * PQ_SUBDIM + 1, PQ_SUBDIM) for s in range(PQ_SUBS)]
+            )
+        ).alias("sub", "x"),
+    )
+    dist = F.col("c2") - 2 * F.aggregate(
+        F.zip_with("x", "cent", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored_cb = subv.join(F.broadcast(cb), "sub").select(
+        "vec_id", "sub", "code", dist.alias("dist")
+    )
+    codes = scored_cb.groupBy("vec_id", "sub").agg(
+        F.min(F.struct(F.col("dist").alias("d"), F.col("code").alias("c")))
+        .getField("c")
+        .alias("code")
+    )
+    qtab = scored_cb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "sub", "code", "dist"
+    )
 
     adc = (
         codes.join(F.broadcast(qtab), ["sub", "code"])
