@@ -16,6 +16,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from claim_analysis_engine_spark.registry import registry  # noqa: E402
 from claim_analysis_engine_spark.session import get_spark  # noqa: E402
 
@@ -94,6 +96,23 @@ def main() -> None:
     for name in HEADLINE:
         queries[name] = run(name)
         total += queries[name]
+
+    # Python-worker warm-up before the extras: the first applyInPandas
+    # op otherwise absorbs the Arrow worker-pool fork cost into ITS
+    # number (rs_wrapper has been observed paying ~10 s of startup at
+    # small SF). One throwaway batch through a trivial pandas stage
+    # forks the pool; not recorded.
+    import pandas as _pd  # noqa: PLC0415
+
+    (
+        spark.range(64)
+        .groupBy((F.col("id") % 4).alias("g"))
+        .applyInPandas(lambda pdf: _pd.DataFrame({"n": [len(pdf)]}), "n long")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+
     extra = {name: run(name) for name in EXTRA}
 
     print(

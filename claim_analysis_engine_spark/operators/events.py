@@ -410,3 +410,67 @@ def evt_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         F.coalesce(z > BURST_Z, F.lit(False)).alias("is_burst"),
     )
+
+
+# -------------------------------------------- evt_sessionize_native
+
+@REG.op(
+    "evt_sessionize_native",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                              ORDER BY ts_s, event_id)
+                       >= {SESSION_GAP_S}
+                  OR lag(ts_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts_s, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM ordered
+    ),
+    sess AS (
+      SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id
+                                         ORDER BY ts_s, event_id)
+                     AS BIGINT) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(ts_s) AS BIGINT) AS session_start,
+           count(*) AS n_events,
+           CAST(max(ts_s) - min(ts_s) AS BIGINT) AS duration_s
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def evt_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window — one
+    groupBy(user, session_window(ts, gap)) instead of the manual
+    lag → flag → running-sum cascade (evt_sessionize). Semantically
+    the native window closes when the gap REACHES 30 min (merge while
+    next_start < window_end = last + gap), so the oracle's boundary
+    is `>= gap` where the manual op's is `> gap` — a real off-by-one
+    between the two idioms, pinned here so both stay green. The
+    native form is ALSO the streaming-native shape (session_window
+    works under watermarks with merging session state), and plans as
+    a single aggregate after one shuffle on user_id — no window
+    exchange, no running sum."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("tts"),
+    )
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window("tts", f"{SESSION_GAP_S} seconds").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("session_start"),
+            "n_events",
+            (F.col("sw.end").cast("long") - F.col("sw.start").cast("long")
+             - SESSION_GAP_S).alias("duration_s"),
+        )
+    )
