@@ -58,6 +58,8 @@ EXTRA = [
     "emb_quantize_int8",
     "txt_pii_scrub",
     "evt_dedup_stream",
+    "ep4_corpus_e2e",
+    "sim_pq_adc",
 ]
 
 

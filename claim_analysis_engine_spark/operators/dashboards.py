@@ -281,3 +281,198 @@ def ep1_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("load_seq") == 2, 1)).alias("n_from_batch2"),
     )
+
+
+# ------------------------------------------------------ ep4_corpus_e2e
+
+# the LLM training-corpus curation lifecycle, composed from the
+# registered stage operators' own CTE fragments so the flagship
+# pipeline is hash-checked end to end
+from claim_analysis_engine_spark.operators.dedup_text import (  # noqa: E402
+    _BLOCKS_SQL as _SH_BLOCKS_SQL,
+)
+from claim_analysis_engine_spark.operators.dedup_text import (  # noqa: E402
+    _SIMHASH_SQL as _SH_SIG_SQL,
+)
+from claim_analysis_engine_spark.operators.dedup_text import (  # noqa: E402
+    HAMMING_T,
+    SIMHASH_BITS,
+    SIMHASH_BLOCK_BITS,
+    SIMHASH_BLOCKS,
+)
+from claim_analysis_engine_spark.operators.pipeline_ops import (  # noqa: E402
+    _SPLIT_SQL,
+    _TOKENS_SQL,
+    MAX_TOKENS,
+    MIN_AVG_TOKLEN,
+    MIN_TOKENS,
+    MAX_AVG_TOKLEN,
+    _split_col,
+    _tokens_col,
+)
+
+
+@REG.op(
+    "ep4_corpus_e2e",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, text, len(toks) AS n_tokens,
+             list_sum(list_transform(toks, x -> length(x))) * 1.0
+               / greatest(1, len(toks)) AS avg_len
+      FROM t
+    ),
+    flagged AS (
+      SELECT *,
+             n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+               AND avg_len BETWEEN {MIN_AVG_TOKLEN} AND {MAX_AVG_TOKLEN}
+               AS pass_quality
+      FROM gated
+    ),
+    ex AS (
+      SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS copy_rank
+      FROM flagged WHERE pass_quality
+    ),
+    exk AS (SELECT doc_id, text, n_tokens FROM ex WHERE copy_rank = 1),
+    toks2 AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS toks
+      FROM exk
+    ),
+    hashed AS (
+      SELECT doc_id, list_transform(toks, x -> md5(x)) AS hashes FROM toks2
+    ),
+    sigs AS (SELECT doc_id, {_SH_SIG_SQL} AS sig FROM hashed),
+    blocks AS ({_SH_BLOCKS_SQL}),
+    near_dup AS (
+      SELECT DISTINCT b.doc_id
+      FROM blocks a JOIN blocks b
+        ON a.k = b.k AND a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= {HAMMING_T}
+    ),
+    survivors0 AS (
+      SELECT e.doc_id, e.n_tokens
+      FROM exk e LEFT JOIN near_dup n ON n.doc_id = e.doc_id
+      WHERE n.doc_id IS NULL
+    ),
+    survivors AS (
+      SELECT doc_id, n_tokens, {_SPLIT_SQL} AS stage FROM survivors0
+    ),
+    funnel AS (
+      SELECT 'dropped_quality' AS stage, count(*) AS n_docs,
+             CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens
+      FROM flagged WHERE NOT pass_quality
+      UNION ALL
+      SELECT 'dropped_exact', count(*),
+             CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+      FROM ex WHERE copy_rank > 1
+      UNION ALL
+      SELECT 'dropped_near', count(*),
+             CAST(coalesce(sum(e.n_tokens), 0) AS BIGINT)
+      FROM exk e JOIN near_dup n ON n.doc_id = e.doc_id
+      UNION ALL
+      SELECT stage, count(*), CAST(sum(n_tokens) AS BIGINT)
+      FROM survivors GROUP BY 1
+    )
+    SELECT * FROM funnel
+    """,
+)
+def ep4_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP4 — the training-corpus curation lifecycle end-to-end, the
+    LLM-pipeline counterpart of EP1-EP3: quality gates → exact-hash
+    dedup (keep first) → simhash near-dup removal (pigeonhole blocks,
+    drop any doc with a surviving lower-id neighbor) → deterministic
+    train/val/test split, with token-weighted drop accounting at every
+    stage. Every stage reuses the REGISTERED operator's own semantics
+    (same thresholds, same signature math, same split hash), so the
+    composed pipeline can't drift from its parts, and the whole thing
+    is value-hash-checked against one composed SQL oracle.
+
+    Scale shape: gates are per-row projections; exact dedup is one
+    md5-key window; near-dup is the bounded pigeonhole block join over
+    survivors only; the split is a hash projection. No stage sees
+    more than one shuffle, and the funnel report is 6 rows."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", _tokens_col().alias("toks")
+    )
+    total_len = F.aggregate("toks", F.lit(0), lambda acc, x: acc + F.length(x))
+    flagged = t.select(
+        "doc_id",
+        "text",
+        F.size("toks").alias("n_tokens"),
+        (total_len / F.greatest(F.lit(1), F.size("toks"))).alias("avg_len"),
+    ).withColumn(
+        "pass_quality",
+        F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)
+        & F.col("avg_len").between(MIN_AVG_TOKLEN, MAX_AVG_TOKLEN),
+    )
+    wmd5 = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    ex = flagged.where("pass_quality").withColumn(
+        "copy_rank", F.row_number().over(wmd5)
+    )
+    exk = ex.where(F.col("copy_rank") == 1).select("doc_id", "text", "n_tokens").cache()
+
+    toks2 = F.array_distinct(F.array_remove(F.split("text", " "), ""))
+    hashed = exk.select("doc_id", F.transform(toks2, F.md5).alias("hashes"))
+
+    def bit(b: int) -> F.Column:
+        vote = F.aggregate(
+            "hashes",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, b + 1, 1) >= "8", 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+
+    sig = sum((bit(b) for b in range(SIMHASH_BITS)), F.lit(0)).cast("bigint")
+    sigs = hashed.select("doc_id", sig.alias("sig"))
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    blocks = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sig", k * SIMHASH_BLOCK_BITS).bitwiseAND(F.lit(mask))
+                    for k in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("k", "blk"),
+    ).cache()
+    a = blocks.select("k", "blk", F.col("doc_id").alias("da"), F.col("sig").alias("sa"))
+    b = blocks.select("k", "blk", F.col("doc_id").alias("doc_id"), F.col("sig").alias("sb"))
+    near_dup = (
+        a.join(b, ["k", "blk"])
+        .where(
+            (F.col("da") < F.col("doc_id"))
+            & (F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= HAMMING_T)
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = exk.join(near_dup, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", _split_col("doc_id").alias("stage")
+    )
+
+    def row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    funnel = (
+        row("dropped_quality", flagged.where(~F.col("pass_quality")))
+        .unionByName(row("dropped_exact", ex.where(F.col("copy_rank") > 1)))
+        .unionByName(row("dropped_near", exk.join(near_dup, "doc_id")))
+        .unionByName(
+            survivors.groupBy("stage").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            )
+        )
+    )
+    return funnel
