@@ -761,3 +761,99 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= ANN_K)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank")
     )
+
+
+# ---------------------------------------------------- emb_drift_monitor
+
+@REG.op(
+    "emb_drift_monitor",
+    oracle="""
+    WITH tagged AS (
+      SELECT vec_id % 2 AS segment,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+    expanded AS (
+      SELECT t.segment, d.d, t.v[d.d] AS x
+      FROM tagged t CROSS JOIN dims d
+    ),
+    stats AS (
+      SELECT segment, d, avg(x) AS mu FROM expanded GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT segment, count(*) AS n,
+             round(avg(sqrt(list_sum(list_transform(v, x -> x * x)))), 4)
+               AS mean_norm
+      FROM tagged GROUP BY 1
+    ),
+    crossdim AS (
+      SELECT sum(a.mu * b.mu) AS dot,
+             sqrt(sum(a.mu * a.mu)) AS na,
+             sqrt(sum(b.mu * b.mu)) AS nb,
+             sum((a.mu - b.mu) * (a.mu - b.mu)) AS l2
+      FROM stats a JOIN stats b ON a.d = b.d
+      WHERE a.segment = 0 AND b.segment = 1
+    )
+    SELECT s0.n AS n_seg0, s1.n AS n_seg1,
+           s0.mean_norm AS mean_norm_seg0, s1.mean_norm AS mean_norm_seg1,
+           round(c.dot / (c.na * c.nb), 4) AS centroid_cosine,
+           round(sqrt(c.l2) * 1000, 4) AS centroid_l2_e3
+    FROM seg s0, seg s1, crossdim c
+    WHERE s0.segment = 0 AND s1.segment = 1
+    """,
+)
+def emb_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two corpus segments (here
+    vec_id parity; in production, yesterday's batch vs today's): each
+    segment's centroid comes from ONE aggregation over exploded
+    (dim, value) rows — 64 groups per segment, map-side combined —
+    then the drift report compares centroid cosine, centroid L2 gap,
+    and mean norms in a single tiny join. This is the cheap canary a
+    100 TB embedding pipeline runs per ingest batch: model swaps,
+    preprocessing changes, and upstream corpus shifts all move the
+    centroid long before retrieval metrics notice."""
+    tagged = load(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).alias("segment"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    expanded = tagged.select(
+        "segment", F.posexplode("v").alias("d0", "x")
+    ).select("segment", (F.col("d0") + 1).alias("d"), "x")
+    stats = expanded.groupBy("segment", "d").agg(F.avg("x").alias("mu"))
+    seg = tagged.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.avg(F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))), 4
+        ).alias("mean_norm"),
+    )
+    a = stats.where(F.col("segment") == 0).select("d", F.col("mu").alias("mu0"))
+    b = stats.where(F.col("segment") == 1).select("d", F.col("mu").alias("mu1"))
+    crossdim = a.join(b, "d").agg(
+        F.sum(F.col("mu0") * F.col("mu1")).alias("dot"),
+        F.sqrt(F.sum(F.col("mu0") * F.col("mu0"))).alias("na"),
+        F.sqrt(F.sum(F.col("mu1") * F.col("mu1"))).alias("nb"),
+        F.sum((F.col("mu0") - F.col("mu1")) * (F.col("mu0") - F.col("mu1"))).alias(
+            "l2"
+        ),
+    )
+    s0 = seg.where(F.col("segment") == 0).select(
+        F.col("n").alias("n_seg0"), F.col("mean_norm").alias("mean_norm_seg0")
+    )
+    s1 = seg.where(F.col("segment") == 1).select(
+        F.col("n").alias("n_seg1"), F.col("mean_norm").alias("mean_norm_seg1")
+    )
+    return (
+        s0.crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(crossdim))
+        .select(
+            "n_seg0",
+            "n_seg1",
+            "mean_norm_seg0",
+            "mean_norm_seg1",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias(
+                "centroid_cosine"
+            ),
+            F.round(F.sqrt("l2") * 1000, 4).alias("centroid_l2_e3"),
+        )
+    )
