@@ -39,10 +39,15 @@ HEADLINE = [
 # Round-2 surface, timed and reported separately (NOT in the headline
 # total): risk tree, seasonal-decomposition z, LSH near-dup, ANN,
 # champion selection, series-mart sink, sessionization, corpus profile.
+#
+# dedup_minhash_lsh (the md5 variant) is deliberately NOT timed: it
+# exists solely so DuckDB can replicate the signatures bit-for-bit at
+# the correctness gate (its oracle coverage is unchanged in the
+# registry); dedup_minhash_lsh_fast (xxhash64 end-to-end) is the
+# production path and the number that matters.
 EXTRA = [
     "rs_wrapper",
     "rs_stl_z",
-    "dedup_minhash_lsh",
     "dedup_minhash_lsh_fast",
     "sim_topk_brute",
     "ml_champion",
@@ -77,10 +82,22 @@ def main() -> None:
         # silent shrink of the metric
         raise KeyError(f"bench ops not in registry: {missing}")
 
+    # Per-query median-of-3: one-shot timings made dedup_merge/rs_stl_z
+    # drift round-over-round with unchanged code, which is unreadable
+    # from the artifact alone. Three executions per query, median
+    # recorded, per-run spread kept alongside so drift vs change is
+    # adjudicable from BENCH_r{N}.json by itself.
+    N_RUNS = 3
+    spread: dict[str, list[float]] = {}
+
     def run(name: str) -> float:
-        t0 = time.perf_counter()
-        reg[name].query(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        return round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            reg[name].query(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            times.append(round(time.perf_counter() - t0, 3))
+        spread[name] = times
+        return sorted(times)[N_RUNS // 2]
 
     # Warm-up: absorb one-time JVM/codegen/parquet-footer costs with a
     # throwaway scan+aggregate+noop-write so the first headline query's
@@ -125,6 +142,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "extra_queries": extra,
+                "runs_per_query": N_RUNS,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
