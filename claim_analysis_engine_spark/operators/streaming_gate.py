@@ -57,7 +57,19 @@ def _drain_to_parquet(spark: SparkSession, result: DataFrame) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out)
+    back = spark.read.parquet(out)
+    # An append-mode stateful stream that finalizes nothing writes an
+    # empty sink — indistinguishable downstream from "no alerts". Every
+    # gate op here expects closed sessions / finalized windows / deduped
+    # events, so an empty sink is always a broken run (wrong schema
+    # coercion, watermark never advancing): fail loudly, never let it
+    # flow into an oracle compare as a plausible 0-row result.
+    if back.isEmpty():
+        raise RuntimeError(
+            "streaming sink came back empty — append-mode finalization "
+            f"never fired (sink={out})"
+        )
+    return back
 
 
 # ----------------------------------------------------- evt_dedup_stream

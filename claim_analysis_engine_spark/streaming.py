@@ -22,21 +22,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
+EVENTS_SCHEMA_NANOS = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+EVENTS_SCHEMA_MICROS = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
+def _events_ts_unit(events_dir: str) -> str:
+    """Physical unit of the ts column in the staged parquet files.
+    File streams need an explicit schema, and declaring `ts bigint`
+    over a TIMESTAMP(MICROS) column silently coerces micros-to-long —
+    a ×1000 time compression that collapses every session gap and
+    watermark horizon. Inspect the footer instead of assuming."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{events_dir}/*.parquet"))
+    t = pq.read_schema(files[0]).field("ts").type
+    if pa.types.is_integer(t):
+        return "ns"  # raw epoch-long columns carry nanos by convention
+    return t.unit
+
+
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream over events parquet. The driver's files store
-    TIMESTAMP(NANOS); with nanosAsLong (session conf) ts arrives as
-    nanos-bigint and converts via integer division — identical to the
-    batch loader (tables._load_events)."""
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
-    # keep TIMESTAMP (not NTZ): watermarks require event time on
-    # TIMESTAMP; the session runs UTC so values align with the batch path
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """File-source stream over events parquet, robust to the ts
+    column's physical unit: TIMESTAMP(NANOS) files (older generators)
+    are read nanos-as-long (session conf nanosAsLong) and converted by
+    integer division, exactly like the batch loader
+    (tables._load_events); TIMESTAMP(MICROS) files are read as native
+    timestamp_ntz. Both paths end in TIMESTAMP (not NTZ): the session
+    runs UTC so values align with the batch path, and event-time
+    watermarks apply."""
+    if _events_ts_unit(events_dir) == "ns":
+        raw = spark.readStream.schema(EVENTS_SCHEMA_NANOS).parquet(events_dir)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(EVENTS_SCHEMA_MICROS).parquet(events_dir)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:

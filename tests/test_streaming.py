@@ -108,7 +108,7 @@ def test_watermark_drops_late_events_across_restarts(spark):
     stage = Path(tempfile.mkdtemp(prefix="cae_late_stream_"))
     ckpt = tempfile.mkdtemp(prefix="cae_late_ckpt_")
     out = tempfile.mkdtemp(prefix="cae_late_out_")
-    schema = streaming.EVENTS_SCHEMA
+    schema = streaming.EVENTS_SCHEMA_NANOS
 
     batch1 = spark.createDataFrame(
         [
@@ -175,7 +175,7 @@ def test_dedup_within_watermark_across_restarts(spark):
     stage = Path(tempfile.mkdtemp(prefix="cae_dedup_stream_"))
     ckpt = tempfile.mkdtemp(prefix="cae_dedup_ckpt_")
     out = tempfile.mkdtemp(prefix="cae_dedup_out_")
-    schema = streaming.EVENTS_SCHEMA
+    schema = streaming.EVENTS_SCHEMA_NANOS
 
     def run_once():
         stream = streaming.read_events_stream(spark, str(stage / "*"))
