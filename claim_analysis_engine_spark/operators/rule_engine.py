@@ -1,0 +1,219 @@
+"""P6 rule engine — the reference's documented-but-never-built
+detection surface (docs/project_master.md:12-24 "Rule-based (P6 & P2)",
+docs/milestone.md:13-21 "P6 감지 대상 관리 / P2 통합 요약 / alerts.json")
+composed from parts this engine already proves:
+
+* the full risk decision tree (operators/risk_tree.rs_tree_relational,
+  reference core/analytics.py:214-426) supplies the statistical
+  warning path;
+* user-defined rules — "사용자가 설정한 조건(예: 특정 제품 건수 > N건)"
+  — evaluated as a trailing-3-month count threshold per series key,
+  with per-plant presets in the plant_settings document shape
+  (reference data/plant_settings.json: grade filters + saved rules);
+* the union of both paths is written as an alerts.json-shaped document
+  sink (one doc per plant: {plant, as_of, n_alerts, alerts[...]}) and
+  read back — the op certifies the WRITTEN artifact, not the pre-write
+  frame.
+
+Scale notes: the tree and the trailing counts are both one hash
+aggregate of the fact table into |keys|×|months| rows; settings are a
+tiny broadcast; the doc sink is a distributed JSON write (never a
+driver loop). The whole scan is a single Catalyst plan per batch —
+the "batch series scanner" (reference docs/milestone.md Phase 4) with
+no per-series Python loop.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from claim_analysis_engine_spark.operators.risk import _with_target
+from claim_analysis_engine_spark.operators.risk_tree import (
+    _TREE_CTES,
+    _TREE_SELECT,
+    rs_tree_relational,
+)
+from claim_analysis_engine_spark.registry import OpRegistry
+
+REG = OpRegistry()
+
+AS_OF = "2026-08-13"
+
+# Per-plant presets in the reference's plant_settings.json shape:
+# which grades the plant watches, plus the user rule threshold
+# ("건수 > N건" over the trailing 3 calendar months). Plant P has no
+# preset — the engine must skip unconfigured plants entirely.
+P6_SETTINGS = [
+    {"plant": "F", "filter_grade": ["중대", "일반"], "min_count": 5},
+    {"plant": "O", "filter_grade": ["중대"], "min_count": 20},
+]
+
+_ALERT_STRUCT = (
+    "priority:string,grade:string,risk_status:string,score:int,"
+    "reason:string,trailing_count:bigint,rule_hit:boolean,"
+    "warning_level:int,alert_source:string"
+)
+_DOC_SCHEMA = (
+    "plant string, as_of string, n_alerts int, "
+    f"alerts array<struct<{_ALERT_STRUCT}>>"
+)
+
+
+def load_settings(spark: SparkSession, settings_dir: str) -> DataFrame:
+    """Read plant_settings-shaped JSON docs and normalize to one row
+    per (plant, grade, min_count) — the relational form the rule scan
+    joins on."""
+    schema = "plant string, filter_grade array<string>, min_count int"
+    raw = spark.read.schema(schema).json(settings_dir)
+    return raw.select(
+        "plant", F.explode("filter_grade").alias("grade"), "min_count"
+    )
+
+
+def compose_alerts(
+    tree: DataFrame, trail: DataFrame, settings: DataFrame, as_of: str
+) -> DataFrame:
+    """Hybrid detection (reference docs/project_master.md §2: rule-based
+    P6 + scored warning marking) over pre-aggregated inputs:
+
+    * ``tree``  — (status, priority, grade, risk_status, score, reason)
+      from the decision tree;
+    * ``trail`` — (status, priority, trailing_count) trailing-3-month
+      claim counts;
+    * ``settings`` — (plant, grade, min_count) normalized presets.
+
+    Emits one alerts.json-shaped document per plant holding every
+    series key that is either tree-flagged (🔴/🟡) or rule-hit
+    (trailing_count ≥ min_count), restricted to the plant's configured
+    grades. warning_level: 🔴→2, 🟡→1, rule-only→1."""
+    tree_level = (
+        F.when(F.col("risk_status") == "🔴", 2)
+        .when(F.col("risk_status") == "🟡", 1)
+        .otherwise(0)
+    )
+    flagged = (
+        tree.join(trail, ["status", "priority"])
+        .join(
+            F.broadcast(settings),
+            (tree["status"] == settings["plant"]) & (tree["grade"] == settings["grade"]),
+        )
+        .withColumn("rule_hit", F.col("trailing_count") >= F.col("min_count"))
+        .withColumn("tree_level", tree_level)
+        .where((F.col("tree_level") > 0) | F.col("rule_hit"))
+        .select(
+            F.col("status").alias("plant"),
+            "priority",
+            tree["grade"].alias("grade"),
+            "risk_status",
+            "score",
+            "reason",
+            "trailing_count",
+            "rule_hit",
+            F.greatest(
+                F.col("tree_level"), F.when(F.col("rule_hit"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("warning_level"),
+            F.when((F.col("tree_level") > 0) & F.col("rule_hit"), "both")
+            .when(F.col("tree_level") > 0, "tree")
+            .otherwise("rule")
+            .alias("alert_source"),
+        )
+    )
+    alert = F.struct(
+        "priority",
+        "grade",
+        "risk_status",
+        "score",
+        "reason",
+        "trailing_count",
+        "rule_hit",
+        "warning_level",
+        "alert_source",
+    )
+    return flagged.groupBy("plant").agg(
+        F.lit(as_of).alias("as_of"),
+        F.count(F.lit(1)).cast("int").alias("n_alerts"),
+        # deterministic doc content: alerts sorted by (priority) inside
+        # each plant document
+        F.array_sort(F.collect_list(alert)).alias("alerts"),
+    )
+
+
+_P6_ORACLE = (
+    _TREE_CTES
+    + ", tree AS ("
+    + _TREE_SELECT
+    + """
+    ),
+    trail AS (
+      SELECT status, priority, CAST(sum(n) AS BIGINT) AS trailing_count
+      FROM series, tgt WHERE month >= target - INTERVAL 2 MONTH
+      GROUP BY 1, 2
+    ),
+    settings(plant, grade, min_count) AS (
+      VALUES ('F', '중대', 5), ('F', '일반', 5), ('O', '중대', 20)
+    ),
+    joined AS (
+      SELECT t.status AS plant, t.priority, t.grade, t.risk_status,
+             t.score, t.reason, tr.trailing_count,
+             tr.trailing_count >= s.min_count AS rule_hit,
+             CASE WHEN t.risk_status = '🔴' THEN 2
+                  WHEN t.risk_status = '🟡' THEN 1 ELSE 0 END AS tree_level
+      FROM tree t
+      JOIN trail tr ON tr.status = t.status AND tr.priority = t.priority
+      JOIN settings s ON s.plant = t.status AND s.grade = t.grade
+    )
+    SELECT plant, priority, grade, risk_status, score, reason,
+           trailing_count, rule_hit,
+           CAST(greatest(tree_level, CASE WHEN rule_hit THEN 1 ELSE 0 END)
+                AS INT) AS warning_level,
+           CASE WHEN tree_level > 0 AND rule_hit THEN 'both'
+                WHEN tree_level > 0 THEN 'tree'
+                ELSE 'rule' END AS alert_source
+    FROM joined
+    WHERE tree_level > 0 OR rule_hit
+    """
+)
+
+
+@REG.op("p6_rule_engine", oracle=_P6_ORACLE)
+def p6_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch series scanner end-to-end: settings docs → decision
+    tree + trailing-count rules → alerts.json doc sink → read-back.
+    The returned frame is the FLATTENED read-back of the written
+    alerts documents, so the oracle certifies what a consumer of
+    alerts.json would actually see."""
+    settings_dir = tempfile.mkdtemp(prefix="cae_spark_p6_settings_")
+    spark.createDataFrame(P6_SETTINGS).write.mode("overwrite").json(settings_dir)
+    settings = load_settings(spark, settings_dir)
+
+    tree = rs_tree_relational(spark, sf_dir)
+    base = _with_target(spark, sf_dir)
+    trail = (
+        base.where(F.col("month") >= F.add_months(F.col("target"), -2))
+        .groupBy("status", "priority")
+        .agg(F.sum("n").cast("bigint").alias("trailing_count"))
+    )
+
+    docs = compose_alerts(tree, trail, settings, AS_OF)
+    out = tempfile.mkdtemp(prefix="cae_spark_p6_alerts_")
+    docs.write.mode("overwrite").json(out)
+
+    back = spark.read.schema(_DOC_SCHEMA).json(out)
+    a = F.explode("alerts").alias("a")
+    return back.select("plant", a).select(
+        "plant",
+        F.col("a.priority").alias("priority"),
+        F.col("a.grade").alias("grade"),
+        F.col("a.risk_status").alias("risk_status"),
+        F.col("a.score").alias("score"),
+        F.col("a.reason").alias("reason"),
+        F.col("a.trailing_count").alias("trailing_count"),
+        F.col("a.rule_hit").alias("rule_hit"),
+        F.col("a.warning_level").alias("warning_level"),
+        F.col("a.alert_source").alias("alert_source"),
+    )
