@@ -23,8 +23,11 @@ from claim_analysis_engine_spark.session import get_spark  # noqa: E402
 
 # Headline set: the shapes that dominate real workloads — wide scans,
 # the monthly-count substrate, window dedup, fact-fact join, rollup,
-# spine join. Kept IDENTICAL (members and order) to round 1 so
-# headline_total_runtime compares cleanly across rounds.
+# spine join. Members and order are IDENTICAL to round 1, but timing
+# METHODOLOGY changed in round 4 (one-shot → median-of-3, first-run
+# warm-up no longer charged to the query), so r1-r3 one-shot totals are
+# NOT like-for-like with r4+ medians — compare medians to medians; the
+# JSON carries a "methodology" field so artifact consumers can tell.
 HEADLINE = [
     "agg_monthly_count",
     "dedup_merge",
@@ -65,6 +68,11 @@ EXTRA = [
     "evt_dedup_stream",
     "ep4_corpus_e2e",
     "sim_pq_adc",
+    # round-5 surface: the P6 alerts scanner and the two append-mode
+    # stateful streaming gates (green again after the micros-unit fix)
+    "p6_rule_engine",
+    "evt_sessionize_stream",
+    "evt_tumbling_stream",
 ]
 
 
@@ -143,12 +151,25 @@ def main() -> None:
                 "queries": queries,
                 "extra_queries": extra,
                 "runs_per_query": N_RUNS,
+                "methodology": "median-of-3 per query (since round 4; "
+                "rounds 1-3 were one-shot incl. first-run warm-up)",
                 "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
     spark.stop()
+
+    # The e2e/sink/streaming ops each stage into fresh cae_*-prefixed
+    # temp dirs per query() call — ×3 runs that's dozens of abandoned
+    # dirs per bench invocation. Sweep them on exit; every cae_* dir is
+    # a disposable run artifact by construction.
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    for p in Path(tempfile.gettempdir()).glob("cae_*"):
+        shutil.rmtree(p, ignore_errors=True)
 
 
 if __name__ == "__main__":

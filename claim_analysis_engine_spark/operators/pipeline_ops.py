@@ -147,8 +147,14 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stand-in: every 97th doc), flag docs over the overlap threshold.
     The benchmark's distinct-shingle set BROADCASTS (eval sets are tiny
     versus the corpus); the corpus side explodes shingles once and
-    equi-joins — contamination never becomes a doc×doc comparison."""
-    sh = load(spark, sf_dir, "documents").select(
+    equi-joins — contamination never becomes a doc×doc comparison.
+    The shingle frame is cached: it feeds both the bench and corpus
+    branches, and without the cache the 5-char shingle transform runs
+    twice over the full text column (the same single-pass pattern as
+    dedup_minhash_lsh_fast); the left-join spine comes from the raw
+    table, not the shingled frame, so it never touches text at all."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
         "doc_id",
         F.array_distinct(
             F.transform(
@@ -158,21 +164,22 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.col("text").substr(i, F.lit(SHINGLE_K)),
             )
         ).alias("s"),
-    )
+    ).cache()
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench = (
         sh.where(is_bench)
         .select(F.explode("s").alias("shingle"))
         .distinct()
     )
-    corpus = sh.where(~is_bench)
     hits = (
-        corpus.select("doc_id", F.explode("s").alias("shingle"))
+        sh.where(~is_bench)
+        .select("doc_id", F.explode("s").alias("shingle"))
         .join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
-    return corpus.select("doc_id").join(hits, "doc_id", "left").select(
+    spine = docs.select("doc_id").where(~is_bench)
+    return spine.join(hits, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
         (F.coalesce("n_overlap", F.lit(0)) >= CONTAM_MIN_OVERLAP).alias(
