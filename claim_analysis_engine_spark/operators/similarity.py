@@ -338,12 +338,17 @@ def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cell cosine — the quantizer-quality report."""
     emb = load(spark, sf_dir, "embeddings")
     # centroid state lives driver-side as plain lists (8×64 — the model)
-    cents = [
+    # sorted(): collect() row order follows task completion order, which
+    # varies run-to-run under contention — and assign_col breaks 6dp
+    # cosine ties by LIST position, so an unsorted seed list makes the
+    # "deterministic" training order-dependent (observed as a flaky
+    # in-suite n_members mismatch)
+    cents = sorted(
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in emb.where(F.col("vec_id") < N_CELLS)
         .select("vec_id", "embedding")
         .collect()
-    ]
+    )
 
     def assign_col(cent_rows: list[tuple[int, list[float]]]) -> F.Column:
         """argmax-cosine cell id as one nested CASE expression —
@@ -374,7 +379,19 @@ def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(*[F.avg(f"d{d}").alias(f"d{d}") for d in range(EMB_DIM)])
             .collect()
         )
-        new = {int(r.cell_id): [float(r[f"d{d}"]) for d in range(EMB_DIM)] for r in means}
+        # Round centroid components to 9dp before they re-enter the
+        # assignment expression: distributed avg() sums in partition
+        # order, which is NOT deterministic across runs, and an
+        # ulp-level centroid difference can flip a boundary vector's
+        # cell in the next assignment (observed as a flaky
+        # run-to-run n_members mismatch under suite contention).
+        # 9dp is ~1e6× coarser than the ulp drift and ~1e6× finer
+        # than any real cosine gap, so it absorbs reduction-order
+        # noise without moving genuine assignments.
+        new = {
+            int(r.cell_id): [round(float(r[f"d{d}"]), 9) for d in range(EMB_DIM)]
+            for r in means
+        }
         cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
 
     final = emb.select("vec_id", "embedding", assign_col(cents).alias("cell_id"))

@@ -50,7 +50,11 @@ def _events_ts_unit(events_dir: str) -> str:
     return t.unit
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over events parquet, robust to the ts
     column's physical unit: TIMESTAMP(NANOS) files (older generators)
     are read nanos-as-long (session conf nanosAsLong) and converted by
@@ -58,11 +62,20 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     (tables._load_events); TIMESTAMP(MICROS) files are read as native
     timestamp_ntz. Both paths end in TIMESTAMP (not NTZ): the session
     runs UTC so values align with the batch path, and event-time
-    watermarks apply."""
+    watermarks apply.
+
+    ``max_files_per_trigger`` bounds each micro-batch to N files
+    (honored by availableNow since Spark 3.3), so a multi-file stage
+    dir replays as a SEQUENCE of batches with the watermark advancing
+    between them — the shape a real bus delivers, and the test knob
+    that catches any single-batch assumption in stateful ops."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if _events_ts_unit(events_dir) == "ns":
-        raw = spark.readStream.schema(EVENTS_SCHEMA_NANOS).parquet(events_dir)
+        raw = reader.schema(EVENTS_SCHEMA_NANOS).parquet(events_dir)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    raw = spark.readStream.schema(EVENTS_SCHEMA_MICROS).parquet(events_dir)
+    raw = reader.schema(EVENTS_SCHEMA_MICROS).parquet(events_dir)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

@@ -164,3 +164,77 @@ def test_minhash_lsh_fast_recall_and_precision(spark, duck):
     assert high
     recall = len(high & set(found)) / len(high)
     assert recall >= 0.9, f"fast-LSH recall {recall:.2f} over {len(high)} true pairs"
+
+
+def test_simhash_fast_pigeonhole_recall_is_exact(spark):
+    """The 64-bit xxhash64 production geometry: 4 disjoint 16-bit
+    blocks, so a pair within Hamming <= 3 shares at least one block —
+    the blocked keep decisions must EQUAL exact all-pairs ground truth
+    computed over the same signatures (no oracle exists for xxhash64,
+    so the signatures themselves are the trusted common input)."""
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        HAMMING_T,
+        dedup_simhash_fast,
+        simhash64_sigs,
+    )
+
+    sigs = simhash64_sigs(spark, SF_ORACLE)
+    sigs.createOrReplaceTempView("_sh64_sigs")
+    truth = {
+        (r.doc_id, r.keep_id, r.is_dup)
+        for r in spark.sql(
+            f"""
+            WITH mins AS (
+              SELECT b.doc_id, min(a.doc_id) AS keep_min
+              FROM _sh64_sigs a JOIN _sh64_sigs b ON a.doc_id < b.doc_id
+              WHERE bit_count(a.sig ^ b.sig) <= {HAMMING_T}
+              GROUP BY 1
+            )
+            SELECT s.doc_id, coalesce(m.keep_min, s.doc_id) AS keep_id,
+                   m.keep_min IS NOT NULL AS is_dup
+            FROM _sh64_sigs s LEFT JOIN mins m ON m.doc_id = s.doc_id
+            """
+        ).collect()
+    }
+    assert any(is_dup for _, _, is_dup in truth), (
+        "testdata should contain simhash64-near documents"
+    )
+    found = {
+        (r.doc_id, r.keep_id, r.is_dup)
+        for r in dedup_simhash_fast(spark, SF_ORACLE).collect()
+    }
+    assert truth == found, (
+        f"64-bit pigeonhole keep decisions must be exact: "
+        f"missed {len(truth - found)}, spurious {len(found - truth)}"
+    )
+
+
+def test_cc_propagation_surfaces_cap_hit(spark):
+    """A label-propagation run that stops at the iteration cap must say
+    so: on a path graph needing ~diameter rounds, max_iters=1 returns
+    converged=False (and partial labels); the default cap converges and
+    returns True. dedup_cluster_cc forwards this flag as an
+    oracle-checked output column."""
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        propagate_min_labels,
+    )
+
+    # path graph 10-20-30-40: min label needs 3 rounds to reach the end
+    nodes = spark.createDataFrame(
+        [(s, s) for s in (10, 20, 30, 40)], "sig long, label long"
+    )
+    half = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40)], "siga long, sigb long"
+    )
+    edges = half.unionByName(
+        half.selectExpr("sigb AS siga", "siga AS sigb")
+    )
+
+    _, converged_capped = propagate_min_labels(nodes, edges, max_iters=1)
+    assert converged_capped is False
+
+    labels, converged = propagate_min_labels(nodes, edges)
+    assert converged is True
+    assert {(r.sig, r.label) for r in labels.collect()} == {
+        (10, 10), (20, 10), (30, 10), (40, 10)
+    }

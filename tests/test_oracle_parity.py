@@ -22,17 +22,42 @@ def duck():
     con.close()
 
 
+# Per-op wall-time guard at sf0.01: the driver's correctness gate runs
+# a rotating sample of registry ops at this SF, so every op must stay
+# cheap here or rotation stops being viable. The cap is deliberately
+# loose (suite runs share one local JVM with heavy parallel contention)
+# — it exists to catch pathological regressions (an accidental O(n²)
+# plan, a lost broadcast, an uncached double scan), not to benchmark.
+OP_WALL_TIME_CAP_S = 30.0
+
+
 @pytest.mark.parametrize("op_id", WITH_ORACLE)
 def test_oracle_parity(spark, duck, op_id):
+    import time
+
     op = REG[op_id]
+    t0 = time.perf_counter()
     df = op.query(spark, SF_ORACLE)
     ok, msg = compare(df, duck, op.oracle)
+    elapsed = time.perf_counter() - t0
     assert ok, f"{op_id}: {msg}"
+    assert elapsed < OP_WALL_TIME_CAP_S, (
+        f"{op_id}: {elapsed:.1f}s at sf0.01 exceeds the {OP_WALL_TIME_CAP_S}s "
+        "per-op guard — driver rotation needs every op cheap at this SF"
+    )
 
 
 @pytest.mark.parametrize("op_id", NO_ORACLE)
 def test_runs_rows_only(spark, op_id):
+    import time
+
     op = REG[op_id]
+    t0 = time.perf_counter()
     df = op.query(spark, SF_ORACLE)
     assert df.columns, f"{op_id}: no columns"
     df.limit(5).collect()  # must execute without error
+    elapsed = time.perf_counter() - t0
+    assert elapsed < OP_WALL_TIME_CAP_S, (
+        f"{op_id}: {elapsed:.1f}s at sf0.01 exceeds the {OP_WALL_TIME_CAP_S}s "
+        "per-op guard — driver rotation needs every op cheap at this SF"
+    )

@@ -217,3 +217,79 @@ def test_dedup_within_watermark_across_restarts(spark):
         (2, nanos(10, 30) // 10**9),
         (3, nanos(11, 0) // 10**9),
     ]
+
+
+def test_append_finalization_across_many_microbatches(spark):
+    """Multi-batch realism: the events file split into 6 contiguous
+    time ranges, replayed one file per micro-batch (maxFilesPerTrigger
+    honored under availableNow), must append-finalize EXACTLY the same
+    tumbling windows as the single-batch run — i.e. every hourly window
+    whose end precedes the final watermark (max ts − 1 h). Catches any
+    single-batch assumption in watermark handling: with contiguous
+    time-ordered files nothing is droppable as late, so a count
+    mismatch means state or watermark mishandling across batches."""
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.tables import load
+
+    events = load(spark, SF_SMALL, "events")
+    stage = Path(tempfile.mkdtemp(prefix="cae_events_multibatch_"))
+    n_files = 6
+    bucket = F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
+    ranked = events.withColumn("b", bucket).cache()
+    for i in range(1, n_files + 1):
+        (
+            ranked.where(F.col("b") == i)
+            .drop("b")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(stage / f"b{i:02d}"))
+        )
+        time.sleep(0.05)  # distinct mtimes: files arrive oldest-first
+
+    out = tempfile.mkdtemp(prefix="cae_multibatch_out_")
+    ckpt = tempfile.mkdtemp(prefix="cae_multibatch_ckpt_")
+    stream = streaming.read_events_stream(
+        spark, str(stage / "*"), max_files_per_trigger=1
+    )
+    result = streaming.tumbling_counts(stream, watermark="1 hour")
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # multiple batches actually ran (the knob worked)
+    assert q.lastProgress["batchId"] >= n_files - 1
+
+    got = {
+        (r.event_type, r.window_start): (r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    events.createOrReplaceTempView("_evt_mb_batch")
+    want = {
+        (r.event_type, r.window_start): (r.n_events, r.total_value)
+        for r in spark.sql(
+            """
+            WITH wm AS (
+              SELECT max(ts) - INTERVAL 1 HOUR AS horizon FROM _evt_mb_batch
+            )
+            SELECT event_type,
+                   date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:00')
+                     AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM _evt_mb_batch, wm
+            GROUP BY event_type, date_trunc('hour', ts), horizon
+            HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= horizon
+            """
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
