@@ -143,7 +143,9 @@ def compose_alerts(
     )
 
 
-_P6_ORACLE = (
+# CTE chain ending in `alerts` — shared by the p6 gate oracle and the
+# P2 integrated-summary oracle
+_P6_CTES = (
     _TREE_CTES
     + ", tree AS ("
     + _TREE_SELECT
@@ -166,18 +168,22 @@ _P6_ORACLE = (
       FROM tree t
       JOIN trail tr ON tr.status = t.status AND tr.priority = t.priority
       JOIN settings s ON s.plant = t.status AND s.grade = t.grade
+    ),
+    alerts AS (
+      SELECT plant, priority, grade, risk_status, score, reason,
+             trailing_count, rule_hit,
+             CAST(greatest(tree_level, CASE WHEN rule_hit THEN 1 ELSE 0 END)
+                  AS INT) AS warning_level,
+             CASE WHEN tree_level > 0 AND rule_hit THEN 'both'
+                  WHEN tree_level > 0 THEN 'tree'
+                  ELSE 'rule' END AS alert_source
+      FROM joined
+      WHERE tree_level > 0 OR rule_hit
     )
-    SELECT plant, priority, grade, risk_status, score, reason,
-           trailing_count, rule_hit,
-           CAST(greatest(tree_level, CASE WHEN rule_hit THEN 1 ELSE 0 END)
-                AS INT) AS warning_level,
-           CASE WHEN tree_level > 0 AND rule_hit THEN 'both'
-                WHEN tree_level > 0 THEN 'tree'
-                ELSE 'rule' END AS alert_source
-    FROM joined
-    WHERE tree_level > 0 OR rule_hit
     """
 )
+
+_P6_ORACLE = _P6_CTES + " SELECT * FROM alerts"
 
 
 @REG.op("p6_rule_engine", oracle=_P6_ORACLE)
@@ -217,3 +223,56 @@ def p6_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.warning_level").alias("warning_level"),
         F.col("a.alert_source").alias("alert_source"),
     )
+
+
+# ------------------------------------------------------- ep5_p2_summary
+
+@REG.op(
+    "ep5_p2_summary",
+    oracle=_P6_CTES
+    + """
+    , cur_m AS (
+      SELECT status AS plant, CAST(sum(n) AS BIGINT) AS current_month_claims
+      FROM series, tgt WHERE month = target GROUP BY 1
+    )
+    SELECT c.plant, c.current_month_claims,
+           count(a.priority) AS n_alerts,
+           CAST(coalesce(max(a.warning_level), 0) AS INT) AS max_warning_level,
+           CAST(coalesce(max(a.score), 0) AS INT) AS top_score,
+           count(CASE WHEN a.alert_source IN ('rule', 'both') THEN 1 END)
+             AS n_rule_hits
+    FROM cur_m c LEFT JOIN alerts a ON a.plant = c.plant
+    GROUP BY 1, 2
+    """,
+)
+def ep5_p2_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 integrated summary (reference docs/milestone.md Phase 3:
+    "최신 현황 요약 및 P6 규칙 기반 고위험 리스트 출력" — latest-status
+    rollup plus the P6-rule high-risk list): one row per plant with the
+    target-month claim total and the plant's alert profile (count, max
+    warning level, top score, rule-hit count) from the SAME written
+    alerts documents the p6 gate certifies. Plants with no preset and
+    no alerts still appear (left join) — the summary page lists every
+    plant, alerting or not."""
+    base = _with_target(spark, sf_dir)
+    cur = (
+        base.where(F.col("month") == F.col("target"))
+        .groupBy(F.col("status").alias("plant"))
+        .agg(F.sum("n").cast("bigint").alias("current_month_claims"))
+    )
+    alerts = p6_rule_engine(spark, sf_dir)
+    profile = (
+        cur.join(alerts, "plant", "left")
+        .groupBy("plant", "current_month_claims")
+        .agg(
+            F.count("priority").alias("n_alerts"),
+            F.coalesce(F.max("warning_level"), F.lit(0))
+            .cast("int")
+            .alias("max_warning_level"),
+            F.coalesce(F.max("score"), F.lit(0)).cast("int").alias("top_score"),
+            F.count(
+                F.when(F.col("alert_source").isin("rule", "both"), 1)
+            ).alias("n_rule_hits"),
+        )
+    )
+    return profile

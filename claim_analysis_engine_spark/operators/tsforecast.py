@@ -399,3 +399,71 @@ def ml_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status string, priority string, model string, saved boolean, "
         "reloaded_model string",
     )
+
+
+# ----------------------------------------------------- ml_warning_marking
+
+# Forecast-based warning thresholds — the engine's concretization of the
+# reference's designed-but-never-built P4 risk scanner
+# (docs/project_master.md §2.2: "예측치의 기울기, 과거 Max 대비 비율을
+# 분석하여 Warning Level 부여"; docs/milestone.md Phase 4 "Warning
+# Marking"). The reference names the two features (forecast slope,
+# ratio to historical max) but no thresholds exist anywhere in its
+# code or docs, so these are declared here and frozen by
+# tests/test_forecast_warning.py:
+#   level 2: forecast peak reaches the historical max (ratio ≥ 1.0)
+#            while still rising (slope > 0)
+#   level 1: peak within 70% of the historical max, or rising
+#   level 0: otherwise
+WARN_RATIO_RED = 1.0
+WARN_RATIO_YELLOW = 0.7
+
+
+def warning_from_forecast(y: np.ndarray, horizon: int = HORIZON):
+    """(champion, slope, peak_ratio, warning_level) for one series —
+    pure function so the thresholds are unit-testable without Spark."""
+    champion, _params, fc, _rmse = fm.forecast_with_champion(y, horizon)
+    fc = np.asarray(fc, dtype=float)
+    slope = float(np.polyfit(np.arange(len(fc)), fc, 1)[0]) if len(fc) > 1 else 0.0
+    hist_max = float(max(y.max(), 1.0)) if len(y) else 1.0
+    ratio = float(fc.max() / hist_max) if len(fc) else 0.0
+    if ratio >= WARN_RATIO_RED and slope > 0:
+        level = 2
+    elif ratio >= WARN_RATIO_YELLOW or slope > 0:
+        level = 1
+    else:
+        level = 0
+    return champion, round(slope, 4), round(ratio, 4), level
+
+
+@REG.op("ml_warning_marking")  # champion forecast per series — rows-only
+def ml_warning_marking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The P4 batch risk scanner: per series, tune → champion →
+    3-month forecast, then grade the forecast by slope and
+    ratio-to-historical-max into a warning level (see threshold block
+    above). This is the ML half of the alerts surface — the statistical
+    half is operators/rule_engine.p6_rule_engine; together they cover
+    the reference's hybrid detection design (project_master.md §2)."""
+    s = _series(spark, sf_dir)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        y = _series_pdf_to_values(pdf)
+        champion, slope, ratio, level = warning_from_forecast(y)
+        return pd.DataFrame(
+            [
+                {
+                    "status": pdf["status"].iloc[0],
+                    "priority": pdf["priority"].iloc[0],
+                    "champion": champion,
+                    "fcst_slope": slope,
+                    "peak_ratio": ratio,
+                    "warning_level": level,
+                }
+            ]
+        )
+
+    return s.groupBy("status", "priority").applyInPandas(
+        run,
+        "status string, priority string, champion string, fcst_slope double, "
+        "peak_ratio double, warning_level int",
+    )
