@@ -82,11 +82,15 @@ _SERIES_CTE = """
 """
 
 
-def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _series(
+    spark: SparkSession, sf_dir: str, orders: DataFrame | None = None
+) -> DataFrame:
     """Zero-filled monthly series per (status, priority): one agg of the
     fact table, then a broadcast spine/keys grid left-joined back
-    (same pattern as pivots.spine_zero)."""
-    o = load(spark, sf_dir, "orders").select(
+    (same pattern as pivots.spine_zero). ``orders`` overrides the fact
+    table — the incremental-refresh path scores a MERGED corpus
+    (hub + upload batch) through the identical plan."""
+    o = (orders if orders is not None else load(spark, sf_dir, "orders")).select(
         F.col("o_orderstatus").alias("status"),
         F.col("o_orderpriority").alias("priority"),
         F.trunc("o_orderdate", "month").alias("month"),
@@ -102,12 +106,14 @@ def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _with_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _with_target(
+    spark: SparkSession, sf_dir: str, orders: DataFrame | None = None
+) -> DataFrame:
     """Series frame + target month (global max) as a broadcast 1-row
     join — never a collect, never a global window."""
-    s = _series(spark, sf_dir)
+    s = _series(spark, sf_dir, orders)
     tgt = (
-        load(spark, sf_dir, "orders")
+        (orders if orders is not None else load(spark, sf_dir, "orders"))
         .agg(F.max(F.trunc("o_orderdate", "month")).alias("target"))
     )
     return s.crossJoin(F.broadcast(tgt))

@@ -320,11 +320,14 @@ _TREE_ORACLE = _TREE_CTES + _TREE_SELECT
 
 
 @REG.op("rs_tree_relational", oracle=_TREE_ORACLE)
-def rs_tree_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rs_tree_relational(
+    spark: SparkSession, sf_dir: str, orders: DataFrame | None = None
+) -> DataFrame:
     """The full decision tree as Column math (see module docstring).
     Output schema matches rs_wrapper exactly; tests assert the two
-    implementations agree row for row."""
-    base = _with_target(spark, sf_dir).cache()
+    implementations agree row for row. ``orders`` substitutes the fact
+    table (incremental-refresh path scores hub + upload batch)."""
+    base = _with_target(spark, sf_dir, orders).cache()
     key = ["status", "priority"]
     hist_m = F.col("month") < F.col("target")
     hist_n = F.when(hist_m, F.col("n"))

@@ -37,6 +37,7 @@ from claim_analysis_engine_spark.operators.risk_tree import (
     rs_tree_relational,
 )
 from claim_analysis_engine_spark.registry import OpRegistry
+from claim_analysis_engine_spark.tables import load
 
 REG = OpRegistry()
 
@@ -89,6 +90,33 @@ def compose_alerts(
     series key that is either tree-flagged (🔴/🟡) or rule-hit
     (trailing_count ≥ min_count), restricted to the plant's configured
     grades. warning_level: 🔴→2, 🟡→1, rule-only→1."""
+    flagged = flag_alerts(tree, trail, settings)
+    alert = F.struct(
+        "priority",
+        "grade",
+        "risk_status",
+        "score",
+        "reason",
+        "trailing_count",
+        "rule_hit",
+        "warning_level",
+        "alert_source",
+    )
+    return flagged.groupBy("plant").agg(
+        F.lit(as_of).alias("as_of"),
+        F.count(F.lit(1)).cast("int").alias("n_alerts"),
+        # deterministic doc content: alerts sorted by (priority) inside
+        # each plant document
+        F.array_sort(F.collect_list(alert)).alias("alerts"),
+    )
+
+
+def flag_alerts(
+    tree: DataFrame, trail: DataFrame, settings: DataFrame
+) -> DataFrame:
+    """The flat alert rows (one per flagged series key) before document
+    assembly — shared by the full scan (compose_alerts) and the
+    incremental refresh path."""
     tree_level = (
         F.when(F.col("risk_status") == "🔴", 2)
         .when(F.col("risk_status") == "🟡", 1)
@@ -123,24 +151,7 @@ def compose_alerts(
             .alias("alert_source"),
         )
     )
-    alert = F.struct(
-        "priority",
-        "grade",
-        "risk_status",
-        "score",
-        "reason",
-        "trailing_count",
-        "rule_hit",
-        "warning_level",
-        "alert_source",
-    )
-    return flagged.groupBy("plant").agg(
-        F.lit(as_of).alias("as_of"),
-        F.count(F.lit(1)).cast("int").alias("n_alerts"),
-        # deterministic doc content: alerts sorted by (priority) inside
-        # each plant document
-        F.array_sort(F.collect_list(alert)).alias("alerts"),
-    )
+    return flagged
 
 
 # CTE chain ending in `alerts` — shared by the p6 gate oracle and the
@@ -276,3 +287,72 @@ def ep5_p2_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return profile
+
+
+# ------------------------------------------------ ep5_alerts_incremental
+
+# The synthetic "upload": the 20 highest-key plant-F claims land again
+# as NEW claims (fresh ids, same dates) — late-arriving claims for
+# historical months, the exact shape the reference's incremental
+# trigger handles (docs/project_master.md §4). Deterministic on both
+# engines: ORDER BY o_orderkey DESC LIMIT 20.
+_BATCH_KEY_OFFSET = 100_000_000
+
+_MERGED_ORDERS_CTE = f"""
+    WITH orders AS (
+      SELECT * FROM main.orders
+      UNION ALL
+      SELECT * REPLACE (o_orderkey + {_BATCH_KEY_OFFSET} AS o_orderkey)
+      FROM (SELECT * FROM main.orders WHERE o_orderstatus = 'F'
+            ORDER BY o_orderkey DESC LIMIT 20)
+    ),
+"""
+
+_INCR_ORACLE = (
+    _MERGED_ORDERS_CTE
+    + _P6_CTES.lstrip().removeprefix("WITH")
+    + " SELECT * FROM alerts WHERE plant = 'F'"
+)
+
+
+@REG.op("ep5_alerts_incremental", oracle=_INCR_ORACLE)
+def ep5_alerts_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integration Logic end-to-end (reference docs/project_master.md §4:
+    upload → refresh affected series → re-scan → updated P2 list): an
+    upload batch touching only plant F merges into the corpus, and the
+    alert scan re-runs FOR THE TOUCHED PLANT ONLY over the merged data
+    — the emitted rows must equal what a full rescan would produce for
+    that plant, which is exactly the incremental contract (the same
+    equivalence snk_series_refresh pins for the series mart).
+
+    Scale note: the tree here consumes the full merged corpus because
+    the month spine and target month are global aggregates; a
+    production refresh injects the known spine bounds and prunes the
+    fact scan to the touched plant's partitions (the pattern
+    storage.refresh_series_incremental demonstrates) — the per-plant
+    restriction below pushes into the aggregates either way since
+    plant is a grouping key everywhere."""
+    o = load(spark, sf_dir, "orders")
+    batch = (
+        o.where(F.col("o_orderstatus") == "F")
+        .orderBy(F.col("o_orderkey").desc())
+        .limit(20)
+        .withColumn("o_orderkey", F.col("o_orderkey") + _BATCH_KEY_OFFSET)
+    )
+    merged = o.unionByName(batch)
+    touched = [r[0] for r in batch.select("o_orderstatus").distinct().collect()]
+
+    settings_dir = tempfile.mkdtemp(prefix="cae_spark_p6_settings_")
+    spark.createDataFrame(P6_SETTINGS).write.mode("overwrite").json(settings_dir)
+    settings = load_settings(spark, settings_dir)
+
+    tree = rs_tree_relational(spark, sf_dir, orders=merged)
+    base = _with_target(spark, sf_dir, orders=merged)
+    trail = (
+        base.where(F.col("month") >= F.add_months(F.col("target"), -2))
+        .groupBy("status", "priority")
+        .agg(F.sum("n").cast("bigint").alias("trailing_count"))
+    )
+    return flag_alerts(tree, trail, settings).where(
+        F.col("plant").isin(touched)
+    )
