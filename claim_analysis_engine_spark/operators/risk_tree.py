@@ -319,6 +319,18 @@ _TREE_SELECT = """
 _TREE_ORACLE = _TREE_CTES + _TREE_SELECT
 
 
+# Memo for the default-substrate tree frame, keyed by (application id,
+# sf_dir). Building this DataFrame costs ~3.7 s of driver-side Py4J
+# round trips (hundreds of Column objects) before anything executes,
+# and FOUR gate ops consume it (rs_tree_relational, p6_rule_engine,
+# ep5_p2_summary via p6, ep5_alerts_incremental builds its own merged
+# variant) — within one session the plan is identical, the source
+# parquet is immutable testdata, and DataFrames are immutable, so
+# reuse is safe. Keyed by applicationId, not id(spark), so a stopped
+# session's entry can never be revived by object-id reuse.
+_TREE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 @REG.op("rs_tree_relational", oracle=_TREE_ORACLE)
 def rs_tree_relational(
     spark: SparkSession, sf_dir: str, orders: DataFrame | None = None
@@ -327,6 +339,11 @@ def rs_tree_relational(
     Output schema matches rs_wrapper exactly; tests assert the two
     implementations agree row for row. ``orders`` substitutes the fact
     table (incremental-refresh path scores hub + upload batch)."""
+    memo_key = None
+    if orders is None:
+        memo_key = (spark.sparkContext.applicationId, sf_dir)
+        if memo_key in _TREE_MEMO:
+            return _TREE_MEMO[memo_key]
     base = _with_target(spark, sf_dir, orders).cache()
     key = ["status", "priority"]
     hist_m = F.col("month") < F.col("target")
@@ -650,7 +667,7 @@ def rs_tree_relational(
         .otherwise(alert_reason)
     )
 
-    return calc.select(
+    result = calc.select(
         "status",
         "priority",
         F.when(F.col("crit"), "중대").otherwise("일반").alias("grade"),
@@ -658,3 +675,6 @@ def rs_tree_relational(
         score.alias("score"),
         reason.alias("reason"),
     )
+    if memo_key is not None:
+        _TREE_MEMO[memo_key] = result
+    return result
