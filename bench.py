@@ -78,6 +78,16 @@ EXTRA = [
 ]
 
 
+def _cae_dirs() -> list[str]:
+    import glob
+    import tempfile
+
+    return glob.glob(os.path.join(tempfile.gettempdir(), "cae_*"))
+
+
+_PREEXISTING_CAE = set(_cae_dirs())
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -164,13 +174,12 @@ def main() -> None:
 
     # The e2e/sink/streaming ops each stage into fresh cae_*-prefixed
     # temp dirs per query() call — ×3 runs that's dozens of abandoned
-    # dirs per bench invocation. Sweep them on exit; every cae_* dir is
-    # a disposable run artifact by construction.
+    # dirs per bench invocation. Sweep ONLY the dirs this run created
+    # (snapshot diff): a blanket cae_* glob would also delete live
+    # checkpoint/stage dirs of a concurrent pytest or bench process.
     import shutil
-    import tempfile
-    from pathlib import Path
 
-    for p in Path(tempfile.gettempdir()).glob("cae_*"):
+    for p in sorted(set(_cae_dirs()) - _PREEXISTING_CAE):
         shutil.rmtree(p, ignore_errors=True)
 
 

@@ -319,16 +319,21 @@ _TREE_SELECT = """
 _TREE_ORACLE = _TREE_CTES + _TREE_SELECT
 
 
-# Memo for the default-substrate tree frame, keyed by (application id,
-# sf_dir). Building this DataFrame costs ~3.7 s of driver-side Py4J
-# round trips (hundreds of Column objects) before anything executes,
-# and FOUR gate ops consume it (rs_tree_relational, p6_rule_engine,
-# ep5_p2_summary via p6, ep5_alerts_incremental builds its own merged
-# variant) — within one session the plan is identical, the source
-# parquet is immutable testdata, and DataFrames are immutable, so
-# reuse is safe. Keyed by applicationId, not id(spark), so a stopped
-# session's entry can never be revived by object-id reuse.
-_TREE_MEMO: dict[tuple[str, str], DataFrame] = {}
+# Memo for the default-substrate tree frame. Building this DataFrame
+# costs ~3.7 s of driver-side Py4J round trips (hundreds of Column
+# objects) before anything executes, and FOUR gate ops consume it
+# (rs_tree_relational, p6_rule_engine, ep5_p2_summary via p6,
+# ep5_alerts_incremental builds its own merged variant) — the source
+# parquet is immutable testdata and DataFrames are immutable, so reuse
+# is safe. Keyed by (applicationId, id(session), sf_dir): id() alone
+# could be revived by a garbage-collected session's address, but the
+# memoized DataFrame holds a reference to its session, so a keyed
+# session can never be collected while its entry lives — and including
+# id() keeps sibling sessions (spark.newSession(), possibly different
+# confs) from sharing one frame. Bounded: cleared when it outgrows a
+# handful of entries (new app / new sf_dir evicts stale sessions).
+_TREE_MEMO: dict[tuple[str, int, str], DataFrame] = {}
+_TREE_MEMO_MAX = 8
 
 
 @REG.op("rs_tree_relational", oracle=_TREE_ORACLE)
@@ -341,7 +346,7 @@ def rs_tree_relational(
     table (incremental-refresh path scores hub + upload batch)."""
     memo_key = None
     if orders is None:
-        memo_key = (spark.sparkContext.applicationId, sf_dir)
+        memo_key = (spark.sparkContext.applicationId, id(spark), sf_dir)
         if memo_key in _TREE_MEMO:
             return _TREE_MEMO[memo_key]
     base = _with_target(spark, sf_dir, orders).cache()
@@ -676,5 +681,7 @@ def rs_tree_relational(
         reason.alias("reason"),
     )
     if memo_key is not None:
+        if len(_TREE_MEMO) >= _TREE_MEMO_MAX:
+            _TREE_MEMO.clear()
         _TREE_MEMO[memo_key] = result
     return result

@@ -197,6 +197,25 @@ _P6_CTES = (
 _P6_ORACLE = _P6_CTES + " SELECT * FROM alerts"
 
 
+def _staged_settings(spark: SparkSession) -> DataFrame:
+    """Write the P6_SETTINGS presets as real settings-JSON docs and
+    read them back normalized — every scan consumes the document form,
+    never the in-memory fixture directly."""
+    settings_dir = tempfile.mkdtemp(prefix="cae_spark_p6_settings_")
+    spark.createDataFrame(P6_SETTINGS).write.mode("overwrite").json(settings_dir)
+    return load_settings(spark, settings_dir)
+
+
+def _trailing_counts(base: DataFrame) -> DataFrame:
+    """Trailing-3-calendar-month claim counts per series key over a
+    _with_target frame — the user-rule feature ("건수 > N건")."""
+    return (
+        base.where(F.col("month") >= F.add_months(F.col("target"), -2))
+        .groupBy("status", "priority")
+        .agg(F.sum("n").cast("bigint").alias("trailing_count"))
+    )
+
+
 @REG.op("p6_rule_engine", oracle=_P6_ORACLE)
 def p6_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch series scanner end-to-end: settings docs → decision
@@ -204,17 +223,9 @@ def p6_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The returned frame is the FLATTENED read-back of the written
     alerts documents, so the oracle certifies what a consumer of
     alerts.json would actually see."""
-    settings_dir = tempfile.mkdtemp(prefix="cae_spark_p6_settings_")
-    spark.createDataFrame(P6_SETTINGS).write.mode("overwrite").json(settings_dir)
-    settings = load_settings(spark, settings_dir)
-
+    settings = _staged_settings(spark)
     tree = rs_tree_relational(spark, sf_dir)
-    base = _with_target(spark, sf_dir)
-    trail = (
-        base.where(F.col("month") >= F.add_months(F.col("target"), -2))
-        .groupBy("status", "priority")
-        .agg(F.sum("n").cast("bigint").alias("trailing_count"))
-    )
+    trail = _trailing_counts(_with_target(spark, sf_dir))
 
     docs = compose_alerts(tree, trail, settings, AS_OF)
     out = tempfile.mkdtemp(prefix="cae_spark_p6_alerts_")
@@ -342,17 +353,9 @@ def ep5_alerts_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = o.unionByName(batch)
     touched = [r[0] for r in batch.select("o_orderstatus").distinct().collect()]
 
-    settings_dir = tempfile.mkdtemp(prefix="cae_spark_p6_settings_")
-    spark.createDataFrame(P6_SETTINGS).write.mode("overwrite").json(settings_dir)
-    settings = load_settings(spark, settings_dir)
-
+    settings = _staged_settings(spark)
     tree = rs_tree_relational(spark, sf_dir, orders=merged)
-    base = _with_target(spark, sf_dir, orders=merged)
-    trail = (
-        base.where(F.col("month") >= F.add_months(F.col("target"), -2))
-        .groupBy("status", "priority")
-        .agg(F.sum("n").cast("bigint").alias("trailing_count"))
-    )
+    trail = _trailing_counts(_with_target(spark, sf_dir, orders=merged))
     return flag_alerts(tree, trail, settings).where(
         F.col("plant").isin(touched)
     )

@@ -43,11 +43,26 @@ def _events_ts_unit(events_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    def unit_of(f: str) -> str:
+        t = pq.read_schema(f).field("ts").type
+        if pa.types.is_integer(t):
+            return "ns"  # raw epoch-long columns carry nanos by convention
+        return t.unit
+
     files = sorted(glob.glob(f"{events_dir}/*.parquet"))
-    t = pq.read_schema(files[0]).field("ts").type
-    if pa.types.is_integer(t):
-        return "ns"  # raw epoch-long columns carry nanos by convention
-    return t.unit
+    if not files:
+        # a file stream may legitimately start against an empty dir
+        # (files arrive later); assume the current generator's unit
+        return "us"
+    units = {unit_of(f) for f in files}
+    if len(units) > 1:
+        # one explicit schema reads the whole dir — mixed generations
+        # would push some files through the wrong unit (silent ×1000
+        # corruption); refuse instead
+        raise ValueError(
+            f"mixed ts units {sorted(units)} across files in {events_dir}"
+        )
+    return units.pop()
 
 
 def read_events_stream(

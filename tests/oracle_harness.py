@@ -58,7 +58,10 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
-    left = spark_df.toPandas()
+    """spark_df may be a Spark DataFrame or an already-collected pandas
+    frame — the parity test pre-collects so its wall-time guard stops
+    the clock before the DuckDB oracle runs."""
+    left = spark_df if isinstance(spark_df, pd.DataFrame) else spark_df.toPandas()
     right = con.execute(sql).fetchdf()
     if sorted(left.columns) != sorted(right.columns):
         return False, f"columns differ: spark={sorted(left.columns)} duck={sorted(right.columns)}"

@@ -36,10 +36,13 @@ def test_oracle_parity(spark, duck, op_id):
     import time
 
     op = REG[op_id]
+    # the guard times ONLY the Spark side (build + execute + collect);
+    # the DuckDB oracle below can itself be expensive (tree CTEs) and
+    # is not what driver rotation pays for
     t0 = time.perf_counter()
-    df = op.query(spark, SF_ORACLE)
-    ok, msg = compare(df, duck, op.oracle)
+    left = op.query(spark, SF_ORACLE).toPandas()
     elapsed = time.perf_counter() - t0
+    ok, msg = compare(left, duck, op.oracle)
     assert ok, f"{op_id}: {msg}"
     assert elapsed < OP_WALL_TIME_CAP_S, (
         f"{op_id}: {elapsed:.1f}s at sf0.01 exceeds the {OP_WALL_TIME_CAP_S}s "
