@@ -326,23 +326,45 @@ def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means for the IVF coarse quantizer — the
     trained replacement for sim_ivf's first-8-vectors stand-in. Init:
     the 8 seed vectors (vec_id < N_CELLS); then KMEANS_ITERS rounds of
-    assign → mean. Each round is ONE pass over the corpus: centroids
-    (8×64 floats) broadcast into the assignment expression, the new
-    means come from a single groupBy — the canonical Spark shape for
-    iterative ML where the MODEL is tiny and the DATA is huge. At
-    100 TB: k passes over the data, zero driver-side row loops (only
-    the 8-row centroid matrix ever reaches the driver). Empty cells
-    keep their previous centroid (standard Lloyd degeneracy guard).
+    assign → mean. Each round is ONE pass over the corpus. The
+    centroids are broadcast DATA (an 8-row frame), never inline
+    literals: an earlier version baked the 8×64 floats into a nested
+    CASE expression, paying 3–4 MiB task binaries and a full plan
+    recompile per Lloyd round (30 s at sf0.01) — the same anti-pattern
+    sim_pq_adc already fixed (plan size must be independent of model
+    size). Assignment is a broadcast nested-loop join (corpus ×
+    8 centroid rows) + one max-struct aggregate per vector:
+    argmax by (round(cos, 6), then LOWEST cell_id) — identical
+    semantics to the old first-wins CASE cascade. New means come from
+    a single groupBy. The canonical Spark shape for iterative ML
+    where the MODEL is tiny and the DATA is huge. At 100 TB: k passes
+    over the data, zero driver-side row loops (only the 8-row
+    centroid matrix ever reaches the driver), and growing N_CELLS
+    changes only broadcast bytes, not plan size. Empty cells keep
+    their previous centroid (standard Lloyd degeneracy guard).
 
     Returns the trained centroids with member counts and mean
     within-cell cosine — the quantizer-quality report."""
+    import math
+
     emb = load(spark, sf_dir, "embeddings")
+    # Project once: (vec_id, embedding, ‖e‖). Precomputing the vector
+    # norm here means each broadcast-join row evaluates ONE dot product
+    # (e·c) instead of three — the norm would otherwise be recomputed
+    # per centroid pair (8× per vector per round). Cached across the
+    # Lloyd rounds (the canonical Spark iterative-ML choice: the
+    # training set is the reuse unit); unpersisted after training so
+    # nothing leaks into the caller's session.
+    emb_n = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot("embedding", "embedding")).alias("enorm"),
+    ).cache()
     # centroid state lives driver-side as plain lists (8×64 — the model)
     # sorted(): collect() row order follows task completion order, which
-    # varies run-to-run under contention — and assign_col breaks 6dp
-    # cosine ties by LIST position, so an unsorted seed list makes the
-    # "deterministic" training order-dependent (observed as a flaky
-    # in-suite n_members mismatch)
+    # varies run-to-run under contention; sorting pins the frame's row
+    # order (cosmetic now — the max-struct tie-break is by cell_id
+    # VALUE, not list position, so assignment is order-independent)
     cents = sorted(
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in emb.where(F.col("vec_id") < N_CELLS)
@@ -350,28 +372,55 @@ def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
 
-    def assign_col(cent_rows: list[tuple[int, list[float]]]) -> F.Column:
-        """argmax-cosine cell id as one nested CASE expression —
-        centroids are literals, so the whole assignment is codegen'd
-        JVM column math (no UDF, no join)."""
-        best_id, best_cos = None, None
-        for cid, vec in cent_rows:
-            lits = F.array(*[F.lit(v) for v in vec])
-            cos = _dot("embedding", lits) / (
-                F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot(lits, lits))
+    def cent_frame(cent_rows: list[tuple[int, list[float]]]) -> DataFrame:
+        # ‖c‖ rides along as data: math.sqrt(sum(...)) is the same
+        # left-to-right float64 fold as the Spark-side aggregate, so
+        # cosines stay bit-identical to the in-plan formulation
+        return spark.createDataFrame(
+            [
+                (cid, vec, math.sqrt(sum(v * v for v in vec)))
+                for cid, vec in cent_rows
+            ],
+            "cell_id int, centroid array<double>, cnorm double",
+        )
+
+    def assign(cent_rows: list[tuple[int, list[float]]]) -> DataFrame:
+        """(vec_id, embedding, cell_id, cos): nearest-centroid
+        assignment via broadcast join + max-struct argmax. Ties at 6dp
+        cosine go to the lowest cell_id (matches the old cascade's
+        first-wins); `cos` is the winner's unrounded cosine, carried in
+        the struct so the quality report needs no second pass."""
+        cos = _dot("embedding", "centroid") / (F.col("enorm") * F.col("cnorm"))
+        best = F.max(
+            F.struct(
+                F.round(cos, 6).alias("rc"),
+                (-F.col("cell_id")).alias("neg_id"),  # tie → lowest id
+                F.col("cell_id").alias("cid"),
+                cos.alias("cos"),  # never compared: neg_id is unique
             )
-            if best_id is None:
-                best_id, best_cos = F.lit(cid), cos
-            else:
-                cond = F.round(cos, 6) > F.round(best_cos, 6)
-                best_id = F.when(cond, cid).otherwise(best_id)
-                best_cos = F.when(cond, cos).otherwise(best_cos)
-        return best_id
+        ).alias("best")
+        return (
+            emb_n.crossJoin(F.broadcast(cent_frame(cent_rows)))
+            .groupBy("vec_id")
+            .agg(
+                best,
+                # every row in a vec_id group carries the identical
+                # embedding (it's the join's probe side), so any_value
+                # is deterministic here
+                F.any_value("embedding").alias("embedding"),
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                F.col("best")["cid"].alias("cell_id"),
+                F.col("best")["cos"].alias("cos"),
+            )
+        )
 
     for _ in range(KMEANS_ITERS):
-        assigned = emb.select("vec_id", "embedding", assign_col(cents).alias("cell_id"))
         means = (
-            assigned.select(
+            assign(cents)
+            .select(
                 "cell_id",
                 *[F.col("embedding")[d].cast("double").alias(f"d{d}") for d in range(EMB_DIM)],
             )
@@ -394,24 +443,22 @@ def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
 
-    final = emb.select("vec_id", "embedding", assign_col(cents).alias("cell_id"))
-    cent_df = spark.createDataFrame(
-        [(cid, vec) for cid, vec in cents], "cell_id int, centroid array<double>"
-    )
-    within = final.join(F.broadcast(cent_df), "cell_id").select(
-        "cell_id",
-        (
-            _dot("embedding", "centroid")
-            / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("centroid", "centroid")))
-        ).alias("cos"),
-    )
-    return (
-        within.groupBy("cell_id")
+    # final pass: the winner's cosine IS the within-cell cosine (the
+    # assignment maximizes it), so the quality report is one aggregate
+    # over the assignment — no join back to the centroid frame
+    report = (
+        assign(cents)
+        .groupBy("cell_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.round(F.avg("cos"), 4).alias("mean_within_cos"),
         )
     )
+    # training is done — drop the cache now (the returned plan simply
+    # recomputes the projection from parquet when the caller evaluates:
+    # one scan, no leaked cache entry in the caller's session)
+    emb_n.unpersist()
+    return report
 
 
 # ---------------------------------------------------- emb_quantize_int8
