@@ -78,14 +78,19 @@ EXTRA = [
 ]
 
 
-def _cae_dirs() -> list[str]:
-    import glob
-    import tempfile
+# Stage every cae_* temp dir this process creates under ONE
+# per-invocation parent: operators allocate scratch via
+# tempfile.mkdtemp(prefix="cae_..."), which honors tempfile.tempdir,
+# so pointing it at cae_bench_<pid>_* confines this run's staging to a
+# directory no concurrent pytest/bench process touches. The end-of-run
+# sweep removes exactly that parent — a snapshot-diff over the global
+# cae_* glob (the previous scheme) still raced: it deleted any cae_*
+# dir a CONCURRENT process created after our snapshot (live
+# checkpoint/stage dirs).
+import tempfile  # noqa: E402
 
-    return glob.glob(os.path.join(tempfile.gettempdir(), "cae_*"))
-
-
-_PREEXISTING_CAE = set(_cae_dirs())
+_BENCH_TMP_PARENT = tempfile.mkdtemp(prefix=f"cae_bench_{os.getpid()}_")
+tempfile.tempdir = _BENCH_TMP_PARENT
 
 
 def main() -> None:
@@ -174,13 +179,12 @@ def main() -> None:
 
     # The e2e/sink/streaming ops each stage into fresh cae_*-prefixed
     # temp dirs per query() call — ×3 runs that's dozens of abandoned
-    # dirs per bench invocation. Sweep ONLY the dirs this run created
-    # (snapshot diff): a blanket cae_* glob would also delete live
-    # checkpoint/stage dirs of a concurrent pytest or bench process.
+    # dirs per bench invocation. They all live under this run's private
+    # parent (tempfile.tempdir override above), so the sweep is one
+    # rmtree that cannot touch any other process's staging.
     import shutil
 
-    for p in sorted(set(_cae_dirs()) - _PREEXISTING_CAE):
-        shutil.rmtree(p, ignore_errors=True)
+    shutil.rmtree(_BENCH_TMP_PARENT, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -741,9 +741,16 @@ def propagate_min_labels(
     flag — the iteration cap is a safety net, and labels from a
     cap-terminated run are NOT components (a long path graph can need
     diameter rounds); returning them unmarked would silently merge or
-    split clusters downstream."""
+    split clusters downstream.
+
+    Convergence is detected by a no-change round, so a graph whose
+    labels reach fixpoint exactly on round ``max_iters`` still needs
+    one more pass to PROVE it; the loop therefore runs up to
+    max_iters + 1 rounds — the cap bounds label-CHANGING rounds, and
+    the confirming round rides free (otherwise a diameter-==-cap graph
+    with correct labels would be reported non-converged)."""
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iters):
+    for _ in range(max_iters + 1):
         nbr = (
             edges.join(labels, edges.siga == labels.sig)
             .groupBy(F.col("sigb").alias("sig"))

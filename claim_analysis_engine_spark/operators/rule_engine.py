@@ -216,6 +216,20 @@ def _trailing_counts(base: DataFrame) -> DataFrame:
     )
 
 
+# Memo for the flattened alerts read-back frame, same contract as
+# risk_tree._TREE_MEMO: the scan's inputs (immutable testdata parquet,
+# the P6_SETTINGS constant, AS_OF) are fixed per (session, sf_dir), so
+# the WRITTEN alerts artifact is too — re-running the whole pipeline
+# (settings staging, tree, doc-sink write, read-back) on every caller
+# was pure waste (ep5_p2_summary previously re-ran all of it just to
+# join the read-back against a monthly rollup). The memoized value is
+# the read-back DataFrame over the already-written sink dir; it holds
+# a reference to its session, so a keyed session can't be collected
+# while its entry lives. Bounded like the tree memo.
+_ALERTS_MEMO: dict[tuple[str, int, str], DataFrame] = {}
+_ALERTS_MEMO_MAX = 8
+
+
 @REG.op("p6_rule_engine", oracle=_P6_ORACLE)
 def p6_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch series scanner end-to-end: settings docs → decision
@@ -223,6 +237,9 @@ def p6_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The returned frame is the FLATTENED read-back of the written
     alerts documents, so the oracle certifies what a consumer of
     alerts.json would actually see."""
+    memo_key = (spark.sparkContext.applicationId, id(spark), sf_dir)
+    if memo_key in _ALERTS_MEMO:
+        return _ALERTS_MEMO[memo_key]
     settings = _staged_settings(spark)
     tree = rs_tree_relational(spark, sf_dir)
     trail = _trailing_counts(_with_target(spark, sf_dir))
@@ -233,7 +250,7 @@ def p6_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     back = spark.read.schema(_DOC_SCHEMA).json(out)
     a = F.explode("alerts").alias("a")
-    return back.select("plant", a).select(
+    flat = back.select("plant", a).select(
         "plant",
         F.col("a.priority").alias("priority"),
         F.col("a.grade").alias("grade"),
@@ -245,6 +262,10 @@ def p6_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.warning_level").alias("warning_level"),
         F.col("a.alert_source").alias("alert_source"),
     )
+    if len(_ALERTS_MEMO) >= _ALERTS_MEMO_MAX:
+        _ALERTS_MEMO.clear()
+    _ALERTS_MEMO[memo_key] = flat
+    return flat
 
 
 # ------------------------------------------------------- ep5_p2_summary

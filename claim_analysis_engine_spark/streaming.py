@@ -32,33 +32,90 @@ EVENTS_SCHEMA_MICROS = (
 )
 
 
-def _events_ts_unit(events_dir: str) -> str:
+_SUPPORTED_TS_UNITS = ("ns", "us")
+
+
+def _events_ts_unit(events_dir: str, assume_unit: str | None = None) -> str:
     """Physical unit of the ts column in the staged parquet files.
     File streams need an explicit schema, and declaring `ts bigint`
     over a TIMESTAMP(MICROS) column silently coerces micros-to-long —
     a ×1000 time compression that collapses every session gap and
-    watermark horizon. Inspect the footer instead of assuming."""
+    watermark horizon. Inspect the footer instead of assuming:
+
+    * TIMESTAMP-annotated columns carry their unit in the logical
+      type — read it, and refuse units outside {ns, us} (an ms or s
+      file silently routed down the micros branch would be off by
+      ×1000 / ×10⁶);
+    * raw int64 columns (no logical annotation) have NO unit in the
+      footer — classify by the column-chunk min statistic's magnitude
+      (epoch-nanos for any plausible event date is ~1e18, epoch-micros
+      ~1e15: six orders apart, no overlap), and refuse when the file
+      carries no statistics rather than guess;
+    * an EMPTY dir has nothing to inspect: refuse unless the caller
+      states the expected unit via ``assume_unit`` (a stream may
+      legitimately start before its first file arrives, but which
+      generation will write those files is the caller's knowledge,
+      not a safe default).
+
+    A mixed-generation dir (both units present) always refuses: one
+    explicit schema reads the whole dir, so some files would go
+    through the wrong unit — silent corruption."""
     import glob
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if assume_unit is not None and assume_unit not in _SUPPORTED_TS_UNITS:
+        raise ValueError(
+            f"assume_unit={assume_unit!r} unsupported (expected one of "
+            f"{_SUPPORTED_TS_UNITS})"
+        )
+
     def unit_of(f: str) -> str:
         t = pq.read_schema(f).field("ts").type
+        if pa.types.is_timestamp(t):
+            if t.unit not in _SUPPORTED_TS_UNITS:
+                raise ValueError(
+                    f"ts unit {t.unit!r} in {f} unsupported (expected one of "
+                    f"{_SUPPORTED_TS_UNITS})"
+                )
+            return t.unit
         if pa.types.is_integer(t):
-            return "ns"  # raw epoch-long columns carry nanos by convention
-        return t.unit
+            # unannotated epoch-long: the footer stats give the scale
+            meta = pq.ParquetFile(f).metadata
+            rg0 = meta.row_group(0)
+            idx = next(
+                i for i in range(rg0.num_columns)
+                if rg0.column(i).path_in_schema == "ts"
+            )
+            stats = rg0.column(idx).statistics
+            if stats is None or stats.min is None:
+                raise ValueError(
+                    f"raw int64 ts in {f} has no column statistics — "
+                    "cannot classify its epoch unit"
+                )
+            lo = int(stats.min)
+            if lo >= 10**17:  # epoch-nanos ≥ ~1973; micros would be year 5138+
+                return "ns"
+            if lo >= 10**14:  # epoch-micros ≥ ~1973
+                return "us"
+            raise ValueError(
+                f"raw int64 ts in {f} (min={lo}) is neither epoch-nanos nor "
+                "epoch-micros scale — refusing to guess"
+            )
+        raise ValueError(f"ts column in {f} is {t} — not a timestamp or int64")
 
     files = sorted(glob.glob(f"{events_dir}/*.parquet"))
     if not files:
-        # a file stream may legitimately start against an empty dir
-        # (files arrive later); assume the current generator's unit
-        return "us"
+        if assume_unit is not None:
+            return assume_unit
+        raise ValueError(
+            f"no parquet files in {events_dir} to sniff the ts unit from; "
+            "pass assume_unit='ns'|'us' to start a stream against a "
+            "not-yet-populated dir"
+        )
     units = {unit_of(f) for f in files}
     if len(units) > 1:
-        # one explicit schema reads the whole dir — mixed generations
-        # would push some files through the wrong unit (silent ×1000
-        # corruption); refuse instead
         raise ValueError(
             f"mixed ts units {sorted(units)} across files in {events_dir}"
         )
@@ -69,6 +126,7 @@ def read_events_stream(
     spark: SparkSession,
     events_dir: str,
     max_files_per_trigger: int | None = None,
+    assume_unit: str | None = None,
 ) -> DataFrame:
     """File-source stream over events parquet, robust to the ts
     column's physical unit: TIMESTAMP(NANOS) files (older generators)
@@ -79,6 +137,11 @@ def read_events_stream(
     runs UTC so values align with the batch path, and event-time
     watermarks apply.
 
+    ``assume_unit`` ('ns'|'us') is required only when ``events_dir``
+    is still empty at stream start (nothing to sniff); a populated dir
+    is always footer-sniffed and a conflicting assumption is ignored
+    in favor of the actual files.
+
     ``max_files_per_trigger`` bounds each micro-batch to N files
     (honored by availableNow since Spark 3.3), so a multi-file stage
     dir replays as a SEQUENCE of batches with the watermark advancing
@@ -87,7 +150,7 @@ def read_events_stream(
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    if _events_ts_unit(events_dir) == "ns":
+    if _events_ts_unit(events_dir, assume_unit) == "ns":
         raw = reader.schema(EVENTS_SCHEMA_NANOS).parquet(events_dir)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = reader.schema(EVENTS_SCHEMA_MICROS).parquet(events_dir)

@@ -293,3 +293,74 @@ def test_append_finalization_across_many_microbatches(spark):
     }
     assert len(want) > 0
     assert got == want
+
+
+# ---------------------------------------------------- ts-unit matrix
+
+def _write_ts_file(path: Path, unit: str, annotated: bool = True) -> None:
+    """One-row events-shaped parquet whose ts column is either a
+    TIMESTAMP(unit) logical type or a raw unannotated int64 at that
+    unit's epoch scale."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    epoch_s = 1_700_000_000  # 2023-11-14, a plausible event time
+    per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+    val = epoch_s * per_s[unit]
+    ts = pa.array([val], type=pa.timestamp(unit) if annotated else pa.int64())
+    t = pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([1], pa.int64()),
+        "event_type": pa.array(["view"], pa.string()),
+        "value": pa.array([1.0], pa.float64()),
+        "props": pa.array(["{}"], pa.string()),
+    })
+    pq.write_table(t, path)
+
+
+def test_ts_unit_sniffing_matrix(tmp_path):
+    """The footer sniffer must classify every generation the testdata
+    driver has produced (TIMESTAMP(NANOS), TIMESTAMP(MICROS), raw
+    int64 at either scale), refuse mixed dirs and unsupported units,
+    and refuse an empty dir unless the caller states the unit."""
+    import pytest
+
+    from claim_analysis_engine_spark.streaming import _events_ts_unit
+
+    nanos = tmp_path / "nanos"; nanos.mkdir()
+    _write_ts_file(nanos / "a.parquet", "ns")
+    assert _events_ts_unit(str(nanos)) == "ns"
+
+    micros = tmp_path / "micros"; micros.mkdir()
+    _write_ts_file(micros / "a.parquet", "us")
+    assert _events_ts_unit(str(micros)) == "us"
+
+    raw_ns = tmp_path / "raw_ns"; raw_ns.mkdir()
+    _write_ts_file(raw_ns / "a.parquet", "ns", annotated=False)
+    assert _events_ts_unit(str(raw_ns)) == "ns"
+
+    raw_us = tmp_path / "raw_us"; raw_us.mkdir()
+    _write_ts_file(raw_us / "a.parquet", "us", annotated=False)
+    assert _events_ts_unit(str(raw_us)) == "us"
+
+    mixed = tmp_path / "mixed"; mixed.mkdir()
+    _write_ts_file(mixed / "a.parquet", "ns")
+    _write_ts_file(mixed / "b.parquet", "us")
+    with pytest.raises(ValueError, match="mixed ts units"):
+        _events_ts_unit(str(mixed))
+
+    millis = tmp_path / "millis"; millis.mkdir()
+    _write_ts_file(millis / "a.parquet", "ms")
+    with pytest.raises(ValueError, match="unsupported"):
+        _events_ts_unit(str(millis))
+
+    empty = tmp_path / "empty"; empty.mkdir()
+    with pytest.raises(ValueError, match="no parquet files"):
+        _events_ts_unit(str(empty))
+    # a not-yet-populated dir is usable when the caller KNOWS the unit
+    assert _events_ts_unit(str(empty), assume_unit="us") == "us"
+    with pytest.raises(ValueError, match="assume_unit"):
+        _events_ts_unit(str(empty), assume_unit="ms")
+    # a populated dir overrides a (stale) assumption — files win
+    assert _events_ts_unit(str(nanos), assume_unit="us") == "ns"
