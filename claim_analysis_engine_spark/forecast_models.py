@@ -4,9 +4,12 @@ numpy so it runs inside `applyInPandas` with zero extra dependencies).
 
 Model slots mirror the reference's three families:
 
-* ``hw``      — Holt-Winters additive smoothing: the statistical
-  state-space slot (reference SARIMAX, models.py:113-173). When
-  statsmodels is importable the slot upgrades to SARIMAX transparently.
+* ``hw``      — SARIMAX(p,d,q)×(P,D,Q,12) by exact state-space
+  Kalman-filter Gaussian MLE in pure numpy (NumpySarimax — the
+  statistical slot, reference models.py:113-173). When statsmodels is
+  importable the slot upgrades to statsmodels SARIMAX transparently
+  (same orders, same grid). HoltWinters remains exported as the
+  legacy cheap smoother.
 * ``laglin``  — linear regression on lag-k features with RECURSIVE
   multi-step prediction feeding its own outputs (exactly the
   reference's CatBoost feature/predict shape, models.py:206-303, with
@@ -83,9 +86,297 @@ def confidence_interval(forecast: np.ndarray, model_rmse: float):
 
 # ------------------------------------------------------------- models
 
+def _nelder_mead(f, x0, step=0.25, maxfev=None, ftol=1e-5, xtol=1e-4):
+    """Deterministic Nelder-Mead (no scipy in this environment):
+    standard reflection/expansion/contraction/shrink with fixed
+    coefficients and a fixed initial simplex (x0 plus one axis step
+    per dimension) — same inputs, same minimum, every run."""
+    x0 = np.asarray(x0, float)
+    n = len(x0)
+    maxfev = maxfev or 100 * (n + 1)
+    pts = [x0] + [x0 + step * np.eye(n)[i] for i in range(n)]
+    vals = [f(p) for p in pts]
+    nfev = n + 1
+    while nfev < maxfev:
+        order = np.argsort(vals, kind="stable")
+        pts = [pts[i] for i in order]
+        vals = [vals[i] for i in order]
+        if abs(vals[-1] - vals[0]) < ftol and (
+            max(np.max(np.abs(p - pts[0])) for p in pts[1:]) < xtol
+        ):
+            break
+        centroid = np.mean(pts[:-1], axis=0)
+        xr = centroid + (centroid - pts[-1])  # reflection
+        fr = f(xr); nfev += 1
+        if fr < vals[0]:
+            xe = centroid + 2.0 * (centroid - pts[-1])  # expansion
+            fe = f(xe); nfev += 1
+            pts[-1], vals[-1] = (xe, fe) if fe < fr else (xr, fr)
+        elif fr < vals[-2]:
+            pts[-1], vals[-1] = xr, fr
+        else:
+            xc = centroid + 0.5 * (pts[-1] - centroid)  # contraction
+            fc = f(xc); nfev += 1
+            if fc < vals[-1]:
+                pts[-1], vals[-1] = xc, fc
+            else:  # shrink toward the best point
+                pts = [pts[0]] + [pts[0] + 0.5 * (p - pts[0]) for p in pts[1:]]
+                vals = [vals[0]] + [f(p) for p in pts[1:]]
+                nfev += n
+    best = int(np.argmin(vals))
+    return pts[best], vals[best]
+
+
+class NumpySarimax:
+    """SARIMAX(p,d,q)×(P,D,Q,m) by exact state-space Gaussian MLE in
+    pure numpy — the semantically-real stand-in for the reference's
+    statsmodels slot (core/engine/models.py:113-173) in environments
+    where statsmodels cannot be installed (no package-index access,
+    README):
+
+    * the differenced series w = (1−B)^d (1−B^m)^D y follows the
+      multiplicative SARMA φ(B)Φ(B^m) w = θ(B)Θ(B^m) ε, expanded by
+      polynomial convolution into one ARMA(p+mP, q+mQ);
+    * that ARMA runs in Harvey companion state-space form (state dim
+      r = max(p̃, q̃+1)); the Kalman filter yields the prediction-error
+      decomposition of the exact Gaussian likelihood, with σ²
+      concentrated out in closed form;
+    * initialization is approximate-diffuse (κ·I) — the statsmodels
+      behavior under enforce_stationarity=False, which is exactly how
+      the upgraded twin is configured, so the two estimators share
+      their objective;
+    * coefficients minimize the concentrated negative log-likelihood
+      via the deterministic Nelder-Mead above (statsmodels uses
+      L-BFGS; same optimum on these unimodal small problems, fixed
+      trial path here);
+    * exog enters two-step (OLS β on levels, SARIMA on the residual,
+      forecast adds X_future·β) — a documented approximation of the
+      reference's joint regression-with-SARIMA-errors MLE;
+    * forecasts iterate the transition matrix from the last predicted
+      state, integrate the differencing back stage by stage, and clip
+      at 0 — matching the upgraded slot's post-processing.
+
+    Fast path: once the covariance recursion reaches steady state
+    (companion P converges), gain and innovation variance freeze and
+    the remaining filter steps are O(r) — the standard steady-state
+    Kalman shortcut."""
+
+    name = "hw"
+    _KAPPA = 1e6
+
+    def __init__(self, order=(1, 1, 1), seasonal_order=(1, 1, 1, 12)):
+        self.order = tuple(order)
+        self.seasonal_order = tuple(seasonal_order)
+        self._coef: np.ndarray | None = None
+        self._stages: list[tuple[str, np.ndarray]] | None = None
+        self._a_next: np.ndarray | None = None
+        self._T: np.ndarray | None = None
+        self._beta: np.ndarray | None = None
+
+    # ---- SARIMA plumbing
+
+    def _n_coef(self) -> int:
+        p, _, q = self.order
+        P, _, Q, _ = self.seasonal_order
+        return p + q + P + Q
+
+    def _expand(self, coef: np.ndarray):
+        """Multiplicative seasonal polynomials → one ARMA: returns
+        (a, b) with w_t = Σ a_i w_{t−i} + ε_t + Σ b_j ε_{t−j}."""
+        p, _, q = self.order
+        P, _, Q, m = self.seasonal_order
+        phi, theta = coef[:p], coef[p : p + q]
+        Phi, Theta = coef[p + q : p + q + P], coef[p + q + P :]
+        ar = np.concatenate([[1.0], -phi])
+        sar = np.zeros(m * P + 1)
+        sar[0] = 1.0
+        sar[m * np.arange(1, P + 1)] = -Phi
+        ma = np.concatenate([[1.0], theta])
+        sma = np.zeros(m * Q + 1)
+        sma[0] = 1.0
+        sma[m * np.arange(1, Q + 1)] = Theta
+        return -np.convolve(ar, sar)[1:], np.convolve(ma, sma)[1:]
+
+    def _system(self, coef: np.ndarray):
+        """Harvey companion form (T, R) for the expanded ARMA."""
+        a, b = self._expand(coef)
+        r = max(len(a), len(b) + 1)
+        T = np.zeros((r, r))
+        T[: len(a), 0] = a
+        T[np.arange(r - 1), np.arange(1, r)] = 1.0
+        R = np.zeros(r)
+        R[0] = 1.0
+        R[1 : len(b) + 1] = b
+        return T, R
+
+    def _difference(self, y: np.ndarray):
+        _, d, _ = self.order
+        _, D, _, m = self.seasonal_order
+        stages: list[tuple[str, np.ndarray]] = []
+        w = np.asarray(y, float).copy()
+        for _ in range(d):
+            stages.append(("r", w.copy()))
+            w = np.diff(w)
+        for _ in range(D):
+            if len(w) <= m:
+                raise ValueError("series too short for seasonal differencing")
+            stages.append(("s", w.copy()))
+            w = w[m:] - w[:-m]
+        if len(w) < 1:
+            raise ValueError("series too short for requested differencing")
+        return w, stages
+
+    def _integrate(self, fc: np.ndarray) -> np.ndarray:
+        """Invert the recorded differencing stages (innermost first)."""
+        _, _, _, m = self.seasonal_order
+        w = list(fc)
+        for kind, hist in reversed(self._stages):
+            ext = list(hist)
+            lag = m if kind == "s" else 1
+            for v in w:
+                ext.append(v + ext[-lag])
+            w = ext[len(hist) :]
+        return np.array(w)
+
+    def _css(self, w: np.ndarray, coef: np.ndarray) -> float:
+        """Conditional-sum-of-squares negative log-likelihood — the
+        cheap SEARCH objective (R arima's method='CSS'): condition on
+        the first p̃ observations, ε before the sample is 0. The AR
+        part is a handful of vectorized shifts (the expanded SARMA
+        polynomials are sparse — e.g. (1,1,1)×(1,1,1,12) has nonzero
+        lags only at 1, 12, 13); the unavoidable MA recursion runs in
+        plain Python floats, which beats per-element numpy calls by
+        ~10× at these lengths. ~30 µs per eval vs ~3 ms for the exact
+        Kalman objective."""
+        a, b = self._expand(coef)
+        p_ = len(a)
+        n = len(w)
+        if n - p_ < 2:
+            return math.inf
+        ar_res = w[p_:].copy()
+        for i in range(p_):
+            if a[i] != 0.0:
+                ar_res -= a[i] * w[p_ - 1 - i : n - 1 - i]
+        ma_lags = [(j + 1, float(bj)) for j, bj in enumerate(b) if bj != 0.0]
+        if ma_lags:
+            vals = ar_res.tolist()
+            eps: list[float] = []
+            ssq = 0.0
+            for t, v in enumerate(vals):
+                x = v
+                for lag, bj in ma_lags:
+                    if t - lag >= 0:
+                        x -= bj * eps[t - lag]
+                eps.append(x)
+                ssq += x * x
+        else:
+            ssq = float(ar_res @ ar_res)
+        neff = n - p_
+        sigma2 = max(ssq / neff, 1e-300)
+        nll = 0.5 * neff * (math.log(2.0 * math.pi) + 1.0 + math.log(sigma2))
+        return nll if math.isfinite(nll) else math.inf
+
+    def _filter(self, w: np.ndarray, coef: np.ndarray):
+        """Kalman filter over the differenced series: returns
+        (neg_concentrated_loglik, predicted_state_after_last_obs, T).
+        Non-finite/degenerate paths return +inf (failed trial)."""
+        T, R = self._system(coef)
+        r = len(T)
+        a = np.zeros(r)
+        P = self._KAPPA * max(1.0, float(np.var(w))) * np.eye(r)
+        RR = np.outer(R, R)
+        n = len(w)
+        sum_v2F = 0.0
+        sum_logF = 0.0
+        steady = False
+        Fv = K = None
+        for t in range(n):
+            if not steady:
+                Fv = P[0, 0]
+                if not np.isfinite(Fv) or Fv <= 0.0:
+                    return math.inf, None, None
+                K = (T @ P[:, 0]) / Fv
+                P_new = T @ P @ T.T + RR - np.outer(K, K) * Fv
+                # 1e-7 relative: visible likelihood effect ≪ the NM
+                # ftol, so the freeze never moves the optimum
+                if np.max(np.abs(P_new - P)) < 1e-7 * (1.0 + Fv):
+                    steady = True
+                P = P_new
+            v = w[t] - a[0]
+            sum_v2F += v * v / Fv
+            sum_logF += math.log(Fv)
+            a = T @ a + K * v
+        sigma2 = max(sum_v2F / n, 1e-300)
+        nll = 0.5 * (
+            n * (math.log(2.0 * math.pi) + 1.0) + n * math.log(sigma2) + sum_logF
+        )
+        return (nll if np.isfinite(nll) else math.inf), a, T
+
+    # ---- public slot interface
+
+    def fit(self, y, exog=None) -> "NumpySarimax":
+        y = np.asarray(y, float)
+        if exog is not None:
+            X = np.asarray(exog, float)
+            X = X.reshape(-1, 1) if X.ndim == 1 else X
+            self._beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+            y = y - X @ self._beta
+        else:
+            self._beta = None
+        w, self._stages = self._difference(y)
+        k = self._n_coef()
+        if k == 0:
+            coef = np.zeros(0)
+        else:
+            # two-stage estimation (R arima method='CSS-ML'): the cheap
+            # CSS objective does the broad search, then a budget-bounded
+            # NM on the exact Kalman likelihood polishes from the CSS
+            # optimum — the final coefficients are an exact-MLE local
+            # optimum at ~1/20th the cost of searching with the Kalman
+            # objective end-to-end
+            def kalman_nll(c: np.ndarray) -> float:
+                nll, _, _ = self._filter(w, c)
+                return nll
+            c0, _ = _nelder_mead(lambda c: self._css(w, c), np.full(k, 0.1))
+            coef, _ = _nelder_mead(
+                kalman_nll, c0, step=0.05, maxfev=20 * (k + 1)
+            )
+        nll, a_next, T = self._filter(w, coef)
+        if not np.isfinite(nll):
+            raise ValueError("SARIMAX likelihood degenerate for this series")
+        self._coef, self._a_next, self._T = coef, a_next, T
+        return self
+
+    def predict(self, steps: int, exog_future=None) -> np.ndarray:
+        a = self._a_next.copy()
+        w_fc = np.empty(steps)
+        for h in range(steps):
+            w_fc[h] = a[0]
+            a = self._T @ a
+        fc = self._integrate(w_fc)
+        if self._beta is not None:
+            if exog_future is None:
+                # match SarimaxSlot: missing forecast-window exog pads 0
+                exog_future = np.zeros(steps)
+            Xf = np.asarray(exog_future, float)
+            Xf = Xf.reshape(-1, 1) if Xf.ndim == 1 else Xf
+            fc = fc + Xf @ self._beta
+        return np.maximum(0.0, fc)
+
+    def params(self) -> dict:
+        return {
+            "order": list(self.order),
+            "seasonal_order": list(self.seasonal_order),
+        }
+
+
 class HoltWinters:
     """Additive Holt-Winters; degrades to double (no-seasonal)
-    smoothing when the series is shorter than two seasons."""
+    smoothing when the series is shorter than two seasons. LEGACY: the
+    hw slot ran on this through round 5; NumpySarimax (exact
+    state-space MLE) replaced it as the no-statsmodels stand-in. Kept
+    exported — it is still a useful cheap smoother and its unit tests
+    pin the algorithm."""
 
     name = "hw"
 
@@ -447,18 +738,16 @@ def slot_grid(name: str) -> list[dict]:
 # deterministic tuning grids (fixed trial order — the seeded-Optuna
 # equivalent; reference search spaces at trainer.py:199-330)
 GRIDS: dict[str, list[dict]] = {
-    "hw": [
-        {"alpha": a, "beta": b, "gamma": g}
-        for a in (0.2, 0.5, 0.8)
-        for b in (0.05, 0.2)
-        for g in (0.05, 0.2)
-    ],
+    # the hw slot IS a SARIMAX family now (NumpySarimax), so its grid
+    # is the same order grid the statsmodels twin searches — slot and
+    # grid stay constructor-compatible whichever backend engages
+    "hw": UPGRADED_GRIDS["hw"],
     "laglin": [{"lags": k} for k in (2, 3, 6, 12)],
     "snaive": [{"drift_weight": w} for w in (0.0, 0.5, 1.0)],
 }
 
 _FACTORY = {
-    "hw": HoltWinters,
+    "hw": NumpySarimax,
     "laglin": LagLinear,
     "snaive": SeasonalNaiveDrift,
 }

@@ -38,7 +38,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from claim_analysis_engine_spark.registry import OpRegistry
-from claim_analysis_engine_spark.tables import load
+from claim_analysis_engine_spark.tables import fanout_by, load
 
 REG = OpRegistry()
 
@@ -1142,4 +1142,6 @@ def rs_wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    return s.groupBy("status", "priority").applyInPandas(score_group, _WRAPPER_SCHEMA)
+    return fanout_by(s, "status", "priority").groupBy("status", "priority").applyInPandas(
+        score_group, _WRAPPER_SCHEMA
+    )

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from claim_analysis_engine_spark import forecast_models as fm
 from claim_analysis_engine_spark.operators.risk import _SERIES_CTE, _series, _with_target
 from claim_analysis_engine_spark.registry import OpRegistry
-from claim_analysis_engine_spark.tables import load
+from claim_analysis_engine_spark.tables import fanout_by, load
 
 REG = OpRegistry()
 
@@ -231,6 +231,12 @@ def ml_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- per-series model ops (UDF)
 
+def _fanout(df: DataFrame) -> DataFrame:
+    """One-task serialization guard for the model-fitting ops — see
+    tables.fanout_by."""
+    return fanout_by(df, "status", "priority")
+
+
 def _series_pdf_to_values(pdf: pd.DataFrame) -> np.ndarray:
     return pdf.sort_values("month")["n"].to_numpy(dtype=float)
 
@@ -260,7 +266,7 @@ def _forecast_op(model_name: str):
                 }
             )
 
-        return s.groupBy("status", "priority").applyInPandas(
+        return _fanout(s).groupBy("status", "priority").applyInPandas(
             run,
             "status string, priority string, h int, yhat double, "
             "ci_lo double, ci_hi double, model string",
@@ -271,11 +277,13 @@ def _forecast_op(model_name: str):
 
 @REG.op("ml_sarimax")  # per-series model fit — rows-only check
 def ml_sarimax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical-smoothing slot (reference SARIMAX,
-    models.py:113-173): Holt-Winters additive per series via
-    applyInPandas; upgrades to statsmodels SARIMAX when importable
-    (fm.HAVE_STATSMODELS). Tuned on the last-3-month split, CI =
-    ±1.96·RMSE."""
+    """SARIMAX slot (reference models.py:113-173): exact state-space
+    SARIMAX(p,d,q)×(P,D,Q,12) per series via applyInPandas —
+    Kalman-filter Gaussian MLE in pure numpy (fm.NumpySarimax,
+    CSS-searched then exact-likelihood-polished, the R arima CSS-ML
+    strategy); upgrades to statsmodels SARIMAX when importable
+    (fm.HAVE_STATSMODELS) with the same order grid. Tuned on the
+    last-3-month split, CI = ±1.96·RMSE."""
     return _forecast_op("hw")(spark, sf_dir)
 
 
@@ -322,7 +330,7 @@ def ml_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.DataFrame(rows)
 
-    return s.groupBy("status", "priority").applyInPandas(
+    return _fanout(s).groupBy("status", "priority").applyInPandas(
         run,
         "status string, priority string, model string, best_params string, "
         "test_rmse double",
@@ -353,7 +361,7 @@ def ml_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    return s.groupBy("status", "priority").applyInPandas(
+    return _fanout(s).groupBy("status", "priority").applyInPandas(
         run,
         "status string, priority string, model string, test_rmse double, "
         "rank int, is_champion boolean",
@@ -394,7 +402,7 @@ def ml_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    return s.groupBy("status", "priority").applyInPandas(
+    return _fanout(s).groupBy("status", "priority").applyInPandas(
         run,
         "status string, priority string, model string, saved boolean, "
         "reloaded_model string",
@@ -462,7 +470,7 @@ def ml_warning_marking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    return s.groupBy("status", "priority").applyInPandas(
+    return _fanout(s).groupBy("status", "priority").applyInPandas(
         run,
         "status string, priority string, champion string, fcst_slope double, "
         "peak_ratio double, warning_level int",

@@ -57,3 +57,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for spark.sql-style ops)."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fanout_by(df, *keys: str):
+    """Spread a compute-heavy per-group applyInPandas across all cores:
+    AQE coalesces a tiny shuffle to ONE partition (it optimizes shuffle
+    BYTES, not downstream CPU — a few KB of per-series rows can feed
+    seconds of model fitting per group), which serializes every group
+    into a single task. An explicit repartition by the group keys is
+    final (AQE does not coalesce user-specified partition counts) and
+    already satisfies FlatMapGroupsInPandas' HashPartitioning
+    requirement, so no extra exchange appears. Measured: ml_champion
+    12.5 s → ~2 s at sf0.01 on local[8]."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, *keys)

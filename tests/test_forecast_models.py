@@ -78,3 +78,110 @@ def test_persist_round_trip(tmp_path):
     fm.save_champion(str(tmp_path), "PLANT_A", "MAJOR_P", payload)
     assert fm.load_champion(str(tmp_path), "PLANT_A", "MAJOR_P") == payload
     assert fm.load_champion(str(tmp_path), "NOPE", "X") is None
+
+
+# --------------------------------------------------- NumpySarimax MLE
+# Hand-computed goldens for the exact state-space SARIMAX that backs
+# the hw slot when statsmodels is absent (round 6). The fixed-coef
+# cases are closed-form (no estimation): with no measurement noise the
+# filtered state equals the data, so the h-step forecast is the pure
+# ARMA recursion.
+
+def test_sarimax_ar1_fixed_coef_forecast_is_phi_pow_h():
+    """AR(1), φ=0.6, no differencing: ŷ(T+h) = φ^h · y_T exactly."""
+    y = np.array([5.0, 4.0, 4.5, 3.8, 4.2, 4.0, 3.9, 4.1])
+    m = fm.NumpySarimax(order=(1, 0, 0), seasonal_order=(0, 0, 0, 12))
+    w, m._stages = m._difference(y)
+    nll, m._a_next, m._T = m._filter(w, np.array([0.6]))
+    assert np.isfinite(nll)
+    np.testing.assert_allclose(
+        m.predict(3), [0.6 * 4.1, 0.36 * 4.1, 0.216 * 4.1], rtol=1e-12
+    )
+
+
+def test_sarimax_random_walk_forecasts_last_value():
+    """ARIMA(0,1,0) is a random walk: every forecast equals y_T."""
+    y = np.array([5.0, 4.0, 4.5, 3.8, 4.2, 4.0, 3.9, 4.1])
+    m = fm.NumpySarimax(order=(0, 1, 0), seasonal_order=(0, 0, 0, 12)).fit(y)
+    np.testing.assert_allclose(m.predict(3), [4.1, 4.1, 4.1], rtol=1e-12)
+
+
+def test_sarimax_seasonal_random_walk_repeats_season():
+    """(0,0,0)×(0,1,0,12) repeats the last season: ŷ(T+h)=y(T+h−12)."""
+    y = np.arange(30, dtype=float) % 12 + 10
+    m = fm.NumpySarimax(order=(0, 0, 0), seasonal_order=(0, 1, 0, 12)).fit(y)
+    want = [y[30 + h - 12] for h in range(4)]
+    np.testing.assert_allclose(m.predict(4), want, rtol=1e-12)
+
+
+def test_sarimax_mle_recovers_ar_and_ma_coefficients():
+    rng = np.random.default_rng(42)
+    e = rng.normal(0, 1, 200)
+    ar = np.zeros(200)
+    for t in range(1, 200):
+        ar[t] = 0.7 * ar[t - 1] + e[t]
+    m = fm.NumpySarimax(order=(1, 0, 0), seasonal_order=(0, 0, 0, 12)).fit(ar)
+    assert abs(m._coef[0] - 0.7) < 0.1
+    ma = e[1:] + 0.5 * e[:-1]
+    m2 = fm.NumpySarimax(order=(0, 0, 1), seasonal_order=(0, 0, 0, 12)).fit(ma)
+    assert abs(m2._coef[0] - 0.5) < 0.12
+
+
+def test_sarimax_fits_ar1_plus_seasonal_and_is_deterministic():
+    """The VERDICT-mandated shape: AR(1)+seasonal, full seasonal
+    config. The fit must be bit-deterministic and extrapolate the
+    seasonal phase (peak forecast near the historical peak month)."""
+    rng = np.random.default_rng(7)
+    n = 72
+    season = 5 * np.sin(np.arange(n) * 2 * np.pi / 12)
+    ar = np.zeros(n)
+    e = rng.normal(0, 0.5, n)
+    for t in range(1, n):
+        ar[t] = 0.6 * ar[t - 1] + e[t]
+    y = 20 + season + ar
+    m1 = fm.NumpySarimax(order=(1, 1, 1), seasonal_order=(1, 1, 1, 12)).fit(y)
+    m2 = fm.NumpySarimax(order=(1, 1, 1), seasonal_order=(1, 1, 1, 12)).fit(y)
+    np.testing.assert_array_equal(m1._coef, m2._coef)
+    fc1, fc2 = m1.predict(12), m2.predict(12)
+    np.testing.assert_array_equal(fc1, fc2)
+    # season phase: months 72..83 → sin peaks at h where (72+h)%12==3
+    assert abs(int(np.argmax(fc1)) - 3) <= 1
+    assert fc1.max() > 22 and fc1.min() >= 0
+
+
+def test_sarimax_exog_two_step():
+    """Exog enters as OLS-on-levels + SARIMA on the residual; the
+    forecast adds X_future·β, and a missing forecast window pads 0."""
+    x = np.arange(24, dtype=float)
+    y = 3.0 * x  # pure exog signal, zero residual
+    m = fm.NumpySarimax(order=(1, 0, 0), seasonal_order=(0, 0, 0, 12)).fit(
+        y, exog=x
+    )
+    np.testing.assert_allclose(
+        m.predict(2, exog_future=np.array([24.0, 25.0])), [72.0, 75.0], atol=1e-6
+    )
+    # missing exog_future pads zeros (the join_exog_align contract)
+    np.testing.assert_allclose(m.predict(2), [0.0, 0.0], atol=1e-6)
+
+
+def test_sarimax_differencing_integration_round_trip():
+    """Integration inverts differencing on FUTURE values: difference
+    the full series, record stages from the first 35 points only, and
+    integrating the last 5 differenced values must reproduce the last
+    5 raw values exactly."""
+    rng = np.random.default_rng(3)
+    y = rng.normal(10, 2, 40).round(3)
+    m = fm.NumpySarimax(order=(0, 2, 0), seasonal_order=(0, 1, 0, 12))
+    w_full, _ = m._difference(y)
+    _, m._stages = m._difference(y[:35])
+    got = m._integrate(w_full[-5:])
+    np.testing.assert_allclose(got, y[35:], atol=1e-9)
+
+
+def test_sarimax_too_short_series_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        fm.NumpySarimax(order=(0, 1, 0), seasonal_order=(0, 1, 0, 12)).fit(
+            np.arange(10.0)
+        )

@@ -115,7 +115,9 @@ def test_factories_fall_back_to_numpy_without_libs():
     """In this environment the flags are genuinely False, so dispatch
     must return the numpy stand-ins and the matching grids."""
     if not fm.HAVE_STATSMODELS:
-        assert fm.slot_factory("hw") is fm.HoltWinters
+        # since round 6 the no-statsmodels hw slot is the exact numpy
+        # state-space SARIMAX, not the Holt-Winters smoother
+        assert fm.slot_factory("hw") is fm.NumpySarimax
         assert fm.slot_grid("hw") is fm.GRIDS["hw"]
     if not fm.HAVE_CATBOOST:
         assert fm.slot_factory("laglin") is fm.LagLinear
