@@ -107,22 +107,26 @@ def main() -> None:
         # silent shrink of the metric
         raise KeyError(f"bench ops not in registry: {missing}")
 
-    # Per-query median-of-3: one-shot timings made dedup_merge/rs_stl_z
+    # Per-query medians: one-shot timings made dedup_merge/rs_stl_z
     # drift round-over-round with unchanged code, which is unreadable
-    # from the artifact alone. Three executions per query, median
-    # recorded, per-run spread kept alongside so drift vs change is
-    # adjudicable from BENCH_r{N}.json by itself.
-    N_RUNS = 3
+    # from the artifact alone. HEADLINE queries run median-of-5 (the
+    # round-5 artifact showed suite-contention spreads up to 2.1× on
+    # unchanged headline code — e.g. agg_lot_alert [1.04, 1.37, 0.65] —
+    # which median-of-3 cannot absorb); the extras stay median-of-3 to
+    # bound total bench time. Per-run spread is kept alongside so drift
+    # vs change is adjudicable from BENCH_r{N}.json by itself.
+    N_RUNS_HEADLINE = 5
+    N_RUNS_EXTRA = 3
     spread: dict[str, list[float]] = {}
 
-    def run(name: str) -> float:
+    def run(name: str, n_runs: int = N_RUNS_EXTRA) -> float:
         times = []
-        for _ in range(N_RUNS):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             reg[name].query(spark, sf_dir).write.mode("overwrite").format("noop").save()
             times.append(round(time.perf_counter() - t0, 3))
         spread[name] = times
-        return sorted(times)[N_RUNS // 2]
+        return sorted(times)[n_runs // 2]
 
     # Warm-up: absorb one-time JVM/codegen/parquet-footer costs with a
     # throwaway scan+aggregate+noop-write so the first headline query's
@@ -138,7 +142,7 @@ def main() -> None:
     )
 
     for name in HEADLINE:
-        queries[name] = run(name)
+        queries[name] = run(name, N_RUNS_HEADLINE)
         total += queries[name]
 
     # Python-worker warm-up before the extras: the first applyInPandas
@@ -167,9 +171,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "extra_queries": extra,
-                "runs_per_query": N_RUNS,
-                "methodology": "median-of-3 per query (since round 4; "
-                "rounds 1-3 were one-shot incl. first-run warm-up)",
+                "runs_per_query": {
+                    "headline": N_RUNS_HEADLINE,
+                    "extra": N_RUNS_EXTRA,
+                },
+                "methodology": "median-of-5 per headline query, "
+                "median-of-3 per extra (since round 6; round 4-5 were "
+                "median-of-3 everywhere; rounds 1-3 one-shot incl. "
+                "first-run warm-up)",
                 "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -429,10 +429,142 @@ class HoltWinters:
         return {"alpha": self.alpha, "beta": self.beta, "gamma": self.gamma, "m": self.m}
 
 
+class _RegTree:
+    """Exact greedy regression tree (squared loss) for the boosting
+    slot: depth-bounded, threshold = midpoint between consecutive
+    sorted feature values, ties broken by (feature index, threshold) —
+    fully deterministic, no sampling anywhere."""
+
+    __slots__ = ("feature", "threshold", "left", "right", "value")
+
+    def __init__(self, X: np.ndarray, g: np.ndarray, depth: int, min_leaf: int):
+        self.value = float(g.mean())
+        self.feature = None
+        self.threshold = self.left = self.right = None
+        n = len(g)
+        if depth == 0 or n < 2 * min_leaf:
+            return
+        best_gain = 1e-12  # strictly-positive gain required to split
+        for j in range(X.shape[1]):
+            order = np.argsort(X[:, j], kind="stable")
+            xs, gs = X[order, j], g[order]
+            csum = np.cumsum(gs)
+            total = csum[-1]
+            # candidate split after position i (1-indexed count left)
+            for i in range(min_leaf, n - min_leaf + 1):
+                if xs[i - 1] == xs[i]:
+                    continue  # can't separate equal values
+                left_sum = csum[i - 1]
+                gain = (
+                    left_sum**2 / i
+                    + (total - left_sum) ** 2 / (n - i)
+                    - total**2 / n
+                )
+                if gain > best_gain:
+                    best_gain = gain
+                    self.feature = j
+                    self.threshold = (float(xs[i - 1]) + float(xs[i])) / 2.0
+        if self.feature is None:
+            return
+        mask = X[:, self.feature] <= self.threshold
+        n_left = int(mask.sum())
+        if n_left == 0 or n_left == n:
+            # float midpoint collapsed onto one of the neighbors
+            # ((a+b)/2 == a or == b for near-equal values) — the split
+            # can't separate; stay a leaf instead of recursing empty
+            self.feature = self.threshold = None
+            return
+        self.left = _RegTree(X[mask], g[mask], depth - 1, min_leaf)
+        self.right = _RegTree(X[~mask], g[~mask], depth - 1, min_leaf)
+
+    def predict_one(self, x: np.ndarray) -> float:
+        node = self
+        while node.feature is not None:
+            node = node.left if x[node.feature] <= node.threshold else node.right
+        return node.value
+
+
+class NumpyGBDT:
+    """Gradient-boosted regression trees on lag-1..k features with
+    RECURSIVE multi-step prediction — the semantically-real stand-in
+    for the reference's CatBoost slot (models.py:206-303) in
+    environments where catboost cannot be installed: same features,
+    same recursive predict, and genuine boosting-ensemble behavior
+    (piecewise-constant response, no extrapolation beyond the training
+    range — exactly how tree models forecast) instead of the previous
+    linear-OLS approximation. Classic Friedman GBDT with squared loss,
+    depth-3 exact greedy trees, shrinkage 0.1; CatBoost's ordered
+    boosting and oblivious trees remain library-only refinements and
+    engage via the upgraded slot when catboost is importable.
+    Deterministic: no row/feature sampling, stable sorts, fixed
+    tie-breaks."""
+
+    name = "laglin"  # historical slot id: the lag-feature learner
+
+    def __init__(self, lags: int = 3, n_trees: int = 100, learning_rate: float = 0.1,
+                 max_depth: int = 3, min_leaf: int = 2):
+        self.lags = lags
+        self.n_trees = n_trees
+        self.learning_rate = learning_rate
+        self.max_depth = max_depth
+        self.min_leaf = min_leaf
+        self._base = 0.0
+        self._trees: list[_RegTree] = []
+        self._tail: np.ndarray | None = None
+
+    def _features(self, y: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        X = np.array([y[t - k : t][::-1] for t in range(k, len(y))])
+        return X, y[k:]
+
+    def fit(self, y, exog=None) -> "NumpyGBDT":
+        y = np.asarray(y, float)
+        k = min(self.lags, max(1, len(y) - 1))
+        self.lags = k
+        X, t = self._features(y, k)
+        self._base = float(t.mean())
+        pred = np.full(len(t), self._base)
+        self._trees = []
+        for _ in range(self.n_trees):
+            resid = t - pred
+            if float(np.abs(resid).max(initial=0.0)) < 1e-12:
+                break  # exact fit reached — further trees are zeros
+            tree = _RegTree(X, resid, self.max_depth, self.min_leaf)
+            self._trees.append(tree)
+            pred = pred + self.learning_rate * np.array(
+                [tree.predict_one(row) for row in X]
+            )
+        self._tail = y[-k:].copy()
+        return self
+
+    def predict(self, steps: int, exog_future=None) -> np.ndarray:
+        tail = list(self._tail)
+        out = []
+        for _ in range(steps):
+            x = np.array(tail[-self.lags :][::-1])
+            yhat = self._base + self.learning_rate * sum(
+                tr.predict_one(x) for tr in self._trees
+            )
+            yhat = max(0.0, float(yhat))
+            out.append(yhat)
+            tail.append(yhat)  # recursive: feed own prediction
+        return np.array(out)
+
+    def params(self) -> dict:
+        return {
+            "lags": self.lags,
+            "n_trees": self.n_trees,
+            "learning_rate": self.learning_rate,
+            "max_depth": self.max_depth,
+        }
+
+
 class LagLinear:
     """OLS on lag-1..k features, recursive multi-step prediction
     feeding its own outputs (the reference CatBoost shape,
-    models.py:206-303)."""
+    models.py:206-303). LEGACY: the laglin slot ran on this through
+    round 6; NumpyGBDT (real boosted trees) replaced it as the
+    no-catboost stand-in. Kept exported — a useful linear baseline
+    whose unit tests pin the algorithm."""
 
     name = "laglin"
 
@@ -748,7 +880,7 @@ GRIDS: dict[str, list[dict]] = {
 
 _FACTORY = {
     "hw": NumpySarimax,
-    "laglin": LagLinear,
+    "laglin": NumpyGBDT,
     "snaive": SeasonalNaiveDrift,
 }
 

@@ -40,7 +40,7 @@ from claim_analysis_engine_spark.operators.risk_tree import (
 )
 from claim_analysis_engine_spark.operators.storage_ops import _CLAIMS_SQL
 from claim_analysis_engine_spark.registry import OpRegistry
-from claim_analysis_engine_spark.tables import fanout_by, load
+from claim_analysis_engine_spark.tables import fanout_apply, load
 
 REG = OpRegistry()
 
@@ -206,7 +206,9 @@ def ep3_forecast_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return fanout_by(joined, "status", "priority").groupBy("status", "priority").applyInPandas(
+    return fanout_apply(
+        joined,
+        ["status", "priority"],
         run,
         "status string, priority string, h int, yhat double, ci_lo double, "
         "ci_hi double, model string",

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from claim_analysis_engine_spark.registry import OpRegistry
-from claim_analysis_engine_spark.tables import load
+from claim_analysis_engine_spark.tables import load, spread_scan
 
 REG = OpRegistry()
 
@@ -155,7 +155,7 @@ def _minhash_cols() -> list[F.Column]:
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle sets only — the cheap frame for exact-verify joins."""
-    return load(spark, sf_dir, "documents").select(
+    return spread_scan(load(spark, sf_dir, "documents")).select(
         "doc_id", _shingles_col().alias("sh")
     )
 
@@ -398,7 +398,7 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sh = (
-        load(spark, sf_dir, "documents")
+        spread_scan(load(spark, sf_dir, "documents"))
         .select("doc_id", hashed.alias("sh"))
         .cache()
     )
@@ -531,7 +531,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     changing the plan shape; md5/32-bit is kept so DuckDB replicates
     bit-for-bit."""
     toks = F.array_distinct(F.array_remove(F.split("text", " "), ""))
-    docs = load(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
+    docs = spread_scan(load(spark, sf_dir, "documents")).select(
+        "doc_id", toks.alias("toks")
+    )
     hashed = docs.select("doc_id", F.transform("toks", F.md5).alias("hashes"))
 
     def bit(b: int) -> F.Column:
@@ -634,7 +636,7 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine ≥ 0.4 verifies. All-pairs never materializes; the
     verify join runs on the candidate set only. Dot products are
     JVM-side zip_with/aggregate folds in double precision."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread_scan(load(spark, sf_dir, "embeddings"))
 
     def bit(plane: list[int]) -> F.Column:
         lits = F.array(*[F.lit(float(v)) for v in plane])
@@ -819,7 +821,14 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (GraphX/GraphFrames use the same label-propagation core); lineage
     is truncated per round with localCheckpoint so the plan doesn't
     grow with iterations (a cluster deployment would use checkpoint()
-    against the fault-tolerant store instead)."""
+    against the fault-tolerant store instead).
+
+    Deliberately NOT spread_scan'd: unlike the one-pass dedup ops, CC's
+    wall time is dominated by ~diameter ROUNDS of tiny-frame joins
+    (2 255 sig-nodes after collapse), where extra partitions mean extra
+    per-round task overhead — measured +1 s at sf0.1 when the scan was
+    repartitioned to 32. The single md5 signature pass is cheap enough
+    single-split at these SFs; a real corpus arrives multi-split."""
     toks = F.array_distinct(F.array_remove(F.split("text", " "), ""))
     docs = load(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
     hashed = docs.select("doc_id", F.transform("toks", F.md5).alias("hashes"))
@@ -900,7 +909,7 @@ def simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     separately so the recall test can build exact all-pairs ground
     truth over the same signatures."""
     toks = F.array_distinct(F.array_remove(F.split("text", " "), ""))
-    hashed = load(spark, sf_dir, "documents").select(
+    hashed = spread_scan(load(spark, sf_dir, "documents")).select(
         "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("hashes")
     )
 

@@ -32,9 +32,17 @@ from claim_analysis_engine_spark.operators.dedup_text import (
     _dot,
 )
 from claim_analysis_engine_spark.registry import OpRegistry
-from claim_analysis_engine_spark.tables import load
+from claim_analysis_engine_spark.tables import load, spread_scan
 
 REG = OpRegistry()
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan, spread across cores when the file's
+    row-group layout would serialize the scoring stage into one
+    task (tables.spread_scan)."""
+    return spread_scan(load(spark, sf_dir, "embeddings"))
+
 
 TOP_K = 5
 ANN_K = 3
@@ -61,7 +69,7 @@ def _cos(ea: str, eb: str) -> F.Column:
 
 
 def _queries_and_corpus(spark: SparkSession, sf_dir: str):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
     )
@@ -147,7 +155,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     never sees a cross join."""
     from claim_analysis_engine_spark.operators.dedup_text import _PLANES
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
 
     def bit(plane: list[int]) -> F.Column:
         lits = F.array(*[F.lit(float(v)) for v in plane])
@@ -238,7 +246,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores only those cells' members. Centroids broadcast to both the
     assignment and probe steps; the fine search is an equi-join on
     cell_id — cost scales with cell size, not corpus size."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     cent = emb.where(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("ecent")
     )
@@ -301,7 +309,7 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(N²); the corpus-scale all-pairs variant is dedup_embed_cosine
     (LSH-bucketed), and exact all-pairs ground truth lives only in the
     recall TESTS (tests/test_similarity_recall.py), not the registry."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     x = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )
@@ -347,7 +355,7 @@ def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cell cosine — the quantizer-quality report."""
     import math
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     # Project once: (vec_id, embedding, ‖e‖). Precomputing the vector
     # norm here means each broadcast-join row evaluates ONE dot product
     # (e·c) instead of three — the norm would otherwise be recomputed
@@ -510,7 +518,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen — no shuffle, no UDF, and the same projection
     at any corpus size. The mse/max-err columns make quantization loss
     a queryable quantity (pick scale scheme by SQL, not by eyeball)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     xd = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -620,7 +628,7 @@ def sim_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized BRUTE baseline (broadcast query set, like
     sim_topk_brute); a production index composes the same two stages
     with IVF cell probing (sim_ivf) for sublinear candidate counts."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     xd = F.transform("embedding", lambda x: x.cast("double"))
     q8 = emb.select("vec_id", xd.alias("v")).select(
         "vec_id",
@@ -758,7 +766,7 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine (same two-stage contract as sim_ann_int8_rerank).
     Shuffles: one on the 128-key (sub, code) join, one on (query,
     vec) — both bounded by |codes frame|, not by |corpus|²."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     sample = [
         r.v
         for r in emb.where(F.col("vec_id") % PQ_SAMPLE_MOD == 0)
@@ -877,7 +885,7 @@ def emb_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB embedding pipeline runs per ingest batch: model swaps,
     preprocessing changes, and upstream corpus shifts all move the
     centroid long before retrieval metrics notice."""
-    tagged = load(spark, sf_dir, "embeddings").select(
+    tagged = _emb(spark, sf_dir).select(
         (F.col("vec_id") % 2).alias("segment"),
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )

@@ -59,15 +59,63 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def fanout_by(df, *keys: str):
-    """Spread a compute-heavy per-group applyInPandas across all cores:
-    AQE coalesces a tiny shuffle to ONE partition (it optimizes shuffle
-    BYTES, not downstream CPU — a few KB of per-series rows can feed
-    seconds of model fitting per group), which serializes every group
-    into a single task. An explicit repartition by the group keys is
-    final (AQE does not coalesce user-specified partition counts) and
-    already satisfies FlatMapGroupsInPandas' HashPartitioning
-    requirement, so no extra exchange appears. Measured: ml_champion
-    12.5 s → ~2 s at sf0.01 on local[8]."""
+def fanout_apply(df, keys: list[str], run, schema: str):
+    """Compute-parallel replacement for ``groupBy(keys).applyInPandas``
+    when per-group CPU (model fitting) dwarfs per-group bytes.
+
+    The naive shape serializes: AQE coalesces the grouping shuffle to
+    ONE partition because it optimizes shuffle BYTES, not downstream
+    CPU — a few KB of per-series rows can feed seconds of fitting per
+    group, and 15 series then fit serially in one task. Hash
+    repartitions don't help: this Spark's AQE coalesces
+    ``repartition(n, cols)`` exchanges too (measured: 1 partition at
+    sf0.1 either way). The only explicit repartition AQE leaves alone
+    is round-robin ``repartition(n)`` — but round-robin scatters a
+    group's rows.
+
+    So: PACK each group to one row first (collect_list of the non-key
+    columns — the packing aggregate is cheap and welcome to collapse
+    to one partition), round-robin the one-row-per-group frame across
+    defaultParallelism partitions (perfectly balanced, no hash
+    collisions), and run the group function via mapInPandas, where
+    each packed row IS a complete group — reconstructed into exactly
+    the pandas frame applyInPandas would have delivered. ``run`` is
+    unchanged caller code; it must not depend on intra-group row order
+    (every caller sorts by its own time column).
+
+    Measured: ml_champion 11.3 s → ~2 s at sf0.1 on local[32]."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    others = [c for c in df.columns if c not in keys]
+    packed = df.groupBy(*keys).agg(
+        F.collect_list(F.struct(*others)).alias("_rows")
+    )
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism, *keys)
+    rep = packed.repartition(sc.defaultParallelism)
+
+    def process(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                g = pd.DataFrame([dict(r) for r in row["_rows"]])
+                for k in keys:
+                    g[k] = row[k]
+                yield run(g)
+
+    return rep.mapInPandas(process, schema)
+
+
+def spread_scan(df):
+    """Degenerate-layout guard for compute-heavy scans: the synthetic
+    documents/embeddings parquet arrives as ONE row group, so a scan
+    yields one split and everything up to the first shuffle (per-pair
+    cosine scoring, per-doc simhash folds) runs as a single task on a
+    32-core machine. Repartition round-robin to the default parallelism
+    — but ONLY when the scan yields fewer splits than cores: a real
+    100 TB corpus arrives in thousands of row-group splits and must NOT
+    pay a full-corpus shuffle here (this guard is then a no-op)."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < min(n, 8):
+        return df.repartition(n)
+    return df

@@ -185,3 +185,33 @@ def test_sarimax_too_short_series_raises():
         fm.NumpySarimax(order=(0, 1, 0), seasonal_order=(0, 1, 0, 12)).fit(
             np.arange(10.0)
         )
+
+
+# ------------------------------------------------------ NumpyGBDT slot
+
+def test_gbdt_fits_step_function_ols_cannot():
+    """A 6-up/6-down step series is piecewise-constant in lag space —
+    boosted trees fit it (and continue the correct phase); the point
+    of replacing the OLS stand-in."""
+    rng = np.random.default_rng(1)
+    y = np.where(np.arange(60) % 12 < 6, 10.0, 30.0) + rng.normal(0, 0.5, 60)
+    fc = fm.NumpyGBDT(lags=12).fit(y).predict(6)
+    # months 60..65 → phase 0..5 → the 10-level
+    assert np.all(np.abs(fc - 10.0) < 1.5)
+
+
+def test_gbdt_deterministic_and_tree_shaped():
+    rng = np.random.default_rng(2)
+    y = np.abs(20 + 5 * np.sin(np.arange(48) * 2 * np.pi / 12) + rng.normal(0, 2, 48))
+    m1 = fm.NumpyGBDT(lags=6).fit(y)
+    m2 = fm.NumpyGBDT(lags=6).fit(y)
+    np.testing.assert_array_equal(m1.predict(6), m2.predict(6))
+    # trees cannot extrapolate: forecasts stay within the training range
+    fc = m1.predict(12)
+    assert fc.min() >= 0.0 and fc.max() <= y.max() + 1e-9
+
+
+def test_gbdt_handles_constant_series():
+    m = fm.NumpyGBDT(lags=3).fit(np.full(20, 7.0))
+    np.testing.assert_allclose(m.predict(4), np.full(4, 7.0), atol=1e-9)
+    assert len(m._trees) == 0  # residuals are zero from the start

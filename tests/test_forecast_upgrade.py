@@ -120,7 +120,9 @@ def test_factories_fall_back_to_numpy_without_libs():
         assert fm.slot_factory("hw") is fm.NumpySarimax
         assert fm.slot_grid("hw") is fm.GRIDS["hw"]
     if not fm.HAVE_CATBOOST:
-        assert fm.slot_factory("laglin") is fm.LagLinear
+        # since round 6 the no-catboost laglin slot is real boosted
+        # trees (NumpyGBDT), not the lag-OLS approximation
+        assert fm.slot_factory("laglin") is fm.NumpyGBDT
     if not fm.HAVE_TORCH:
         assert fm.slot_factory("snaive") is fm.SeasonalNaiveDrift
 
