@@ -10,13 +10,20 @@ Model slots mirror the reference's three families:
   importable the slot upgrades to statsmodels SARIMAX transparently
   (same orders, same grid). HoltWinters remains exported as the
   legacy cheap smoother.
-* ``laglin``  — linear regression on lag-k features with RECURSIVE
-  multi-step prediction feeding its own outputs (exactly the
-  reference's CatBoost feature/predict shape, models.py:206-303, with
-  OLS instead of boosting; upgrades to CatBoost when importable).
-* ``snaive``  — seasonal naive + drift: the cheap baseline every
-  champion has to beat (stands in for the LSTM slot,
-  models.py:310-474; upgrades to the torch LSTM when importable).
+* ``laglin``  — gradient-boosted regression trees on lag-k features
+  with RECURSIVE multi-step prediction feeding its own outputs
+  (NumpyGBDT — the boosting slot, exactly the reference's CatBoost
+  feature/predict shape, models.py:206-303; upgrades to CatBoost when
+  importable). LagLinear remains exported as the legacy OLS baseline.
+* ``snaive``  — single-layer LSTM + linear head by full numpy BPTT
+  (NumpyLSTM — the sequence slot, reference models.py:310-474, same
+  scale/window/recursive-predict pipeline at a smaller documented
+  config; upgrades to the torch LSTM when importable).
+  SeasonalNaiveDrift remains exported as the legacy cheap baseline.
+
+All three families are therefore semantically REAL in a bare
+numpy environment — genuine SARIMAX MLE, genuine boosting, genuine
+backprop — not linear approximations.
 
 Tuning is a DETERMINISTIC grid (reference uses Optuna TPE seeded 42,
 trainer.py:133-398 — optuna is not in this environment; the grid is
@@ -600,8 +607,160 @@ class LagLinear:
         return {"lags": self.lags}
 
 
+class NumpyLSTM:
+    """Single-layer LSTM + linear head, trained by full backprop
+    through time in pure numpy — the semantically-real stand-in for
+    the reference's torch LSTM slot (models.py:310-474) in
+    environments where torch cannot be installed. Same pipeline as the
+    torch twin: min-max scale to [0,1], sliding lookback windows,
+    LSTM→Linear head, Adam on MSE, recursive multi-step forecast fed
+    its own outputs, rescale, clip at 0. Differences are documented
+    config, not structure: hidden 12 (torch twin: 64), full-batch
+    gradient steps (torch twin: sequential minibatches of 16), 60
+    epochs (100) — sized so a per-series fit stays well under a
+    second; on a cluster with torch installed the upgraded slot runs
+    the reference's exact dimensions. Deterministic: seeded
+    numpy Generator init, no shuffling, fixed float64 math."""
+
+    name = "snaive"  # historical slot id: the sequence-model slot
+
+    def __init__(self, lookback: int = 12, hidden_size: int = 12,
+                 epochs: int = 60, lr: float = 0.02):
+        self.lookback = lookback
+        self.hidden_size = hidden_size
+        self.epochs = epochs
+        self.lr = lr
+        self._params: dict[str, np.ndarray] | None = None
+        self._scale: tuple[float, float] = (0.0, 1.0)
+        self._window: list[float] | None = None
+        self._lb = lookback
+
+    # ---- forward/backward core (float64 throughout)
+
+    @staticmethod
+    def _sigmoid(x: np.ndarray) -> np.ndarray:
+        return 1.0 / (1.0 + np.exp(-x))
+
+    def _forward(self, X: np.ndarray, p: dict[str, np.ndarray]):
+        """X: (B, T). Returns (prediction (B,), cache for backprop)."""
+        B, T = X.shape
+        H = self.hidden_size
+        h = np.zeros((B, H))
+        c = np.zeros((B, H))
+        cache = []
+        for t in range(T):
+            x = X[:, t : t + 1]  # (B, 1)
+            z = x @ p["Wx"] + h @ p["Wh"] + p["b"]  # (B, 4H)
+            i = self._sigmoid(z[:, :H])
+            f = self._sigmoid(z[:, H : 2 * H])
+            g = np.tanh(z[:, 2 * H : 3 * H])
+            o = self._sigmoid(z[:, 3 * H :])
+            c_new = f * c + i * g
+            tc = np.tanh(c_new)
+            h_new = o * tc
+            cache.append((x, h, c, i, f, g, o, c_new, tc))
+            h, c = h_new, c_new
+        pred = h @ p["Wo"] + p["bo"]  # (B,)
+        return pred, (cache, h)
+
+    def _backward(self, X, t_true, p):
+        """One full-batch MSE gradient via BPTT. Returns (loss, grads)."""
+        B, T = X.shape
+        H = self.hidden_size
+        pred, (cache, hT) = self._forward(X, p)
+        err = pred - t_true
+        loss = float((err @ err) / B)
+        g_ = {k: np.zeros_like(v) for k, v in p.items()}
+        g_["Wo"] = hT.T @ (2 * err / B)
+        g_["bo"] = float(np.sum(2 * err / B))
+        dh = np.outer(2 * err / B, p["Wo"])  # (B, H)
+        dc = np.zeros((B, H))
+        for t in range(T - 1, -1, -1):
+            x, h_prev, c_prev, i, f, g, o, c_new, tc = cache[t]
+            do = dh * tc
+            dc = dc + dh * o * (1 - tc**2)
+            di = dc * g
+            df = dc * c_prev
+            dg = dc * i
+            dz = np.concatenate(
+                [
+                    di * i * (1 - i),
+                    df * f * (1 - f),
+                    dg * (1 - g**2),
+                    do * o * (1 - o),
+                ],
+                axis=1,
+            )  # (B, 4H)
+            g_["Wx"] += x.T @ dz
+            g_["Wh"] += h_prev.T @ dz
+            g_["b"] += dz.sum(axis=0)
+            dh = dz @ p["Wh"].T
+            dc = dc * f
+        return loss, g_
+
+    def fit(self, y, exog=None) -> "NumpyLSTM":
+        y = np.asarray(y, float)
+        lo, hi = float(y.min()), float(y.max())
+        scale = (hi - lo) or 1.0
+        self._scale = (lo, scale)
+        ys = (y - lo) / scale
+        lb = min(self.lookback, max(1, len(ys) - 1))
+        self._lb = lb
+        X = np.array([ys[i : i + lb] for i in range(len(ys) - lb)])
+        t = ys[lb:]
+        H = self.hidden_size
+        rng = np.random.default_rng(42)
+        bound = 1.0 / np.sqrt(H)
+        p = {
+            "Wx": rng.uniform(-bound, bound, (1, 4 * H)),
+            "Wh": rng.uniform(-bound, bound, (H, 4 * H)),
+            "b": np.zeros(4 * H),
+            "Wo": rng.uniform(-bound, bound, H),
+            "bo": 0.0,
+        }
+        # Adam, torch defaults
+        m = {k: np.zeros_like(v) for k, v in p.items()}
+        v = {k: np.zeros_like(v_) for k, v_ in p.items()}
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        for step in range(1, self.epochs + 1):
+            _, grads = self._backward(X, t, p)
+            for k in p:
+                m[k] = b1 * m[k] + (1 - b1) * grads[k]
+                v[k] = b2 * v[k] + (1 - b2) * np.square(grads[k])
+                mhat = m[k] / (1 - b1**step)
+                vhat = v[k] / (1 - b2**step)
+                p[k] = p[k] - self.lr * mhat / (np.sqrt(vhat) + eps)
+        self._params = p
+        self._window = list(ys[-lb:])
+        return self
+
+    def predict(self, steps: int, exog_future=None) -> np.ndarray:
+        lo, scale = self._scale
+        window = list(self._window)
+        out = []
+        for _ in range(steps):
+            x = np.array(window[-self._lb :], dtype=float).reshape(1, -1)
+            yhat, _ = self._forward(x, self._params)
+            yhat = float(yhat[0])
+            out.append(yhat)
+            window.append(yhat)  # recursive
+        return np.maximum(0.0, np.array(out) * scale + lo)
+
+    def params(self) -> dict:
+        return {
+            "lookback": self.lookback,
+            "hidden_size": self.hidden_size,
+            "epochs": self.epochs,
+            "lr": self.lr,
+        }
+
+
 class SeasonalNaiveDrift:
-    """y(T+h) = y(T+h−12) (when available, else y(T)) + w·drift·h."""
+    """y(T+h) = y(T+h−12) (when available, else y(T)) + w·drift·h.
+    LEGACY: the snaive slot ran on this through round 6; NumpyLSTM
+    (real BPTT sequence model) replaced it as the no-torch stand-in.
+    Kept exported — still the cheapest sane baseline, pinned by its
+    unit tests."""
 
     name = "snaive"
 
@@ -875,13 +1034,15 @@ GRIDS: dict[str, list[dict]] = {
     # grid stay constructor-compatible whichever backend engages
     "hw": UPGRADED_GRIDS["hw"],
     "laglin": [{"lags": k} for k in (2, 3, 6, 12)],
-    "snaive": [{"drift_weight": w} for w in (0.0, 0.5, 1.0)],
+    # the snaive slot IS a sequence model now (NumpyLSTM): the grid
+    # mirrors the torch twin's lookback search at the numpy config
+    "snaive": [{"lookback": lb} for lb in (6, 12)],
 }
 
 _FACTORY = {
     "hw": NumpySarimax,
     "laglin": NumpyGBDT,
-    "snaive": SeasonalNaiveDrift,
+    "snaive": NumpyLSTM,
 }
 
 

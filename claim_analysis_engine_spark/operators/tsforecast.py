@@ -9,11 +9,13 @@ Split of responsibilities:
   (reference trainer.py:96-123,165-197; pages/4_예측_시뮬레이션.py:321-324).
 * ml_sarimax / ml_catboost / ml_lstm / ml_tune / ml_champion /
   ml_persist run the numpy model family (forecast_models.py) per
-  series via `groupBy(keys).applyInPandas` — embarrassingly parallel,
-  one shuffle on the series key, model fitting on ≤ |months| points
-  per group. Real SARIMAX/CatBoost/LSTM engage automatically when
-  their libraries are importable (forecast_models.HAVE_*); this
-  environment uses the deterministic numpy slot equivalents.
+  series via tables.fanout_apply (pack each series to one row →
+  round-robin → mapInPandas; see that docstring for why plain
+  groupBy().applyInPandas serializes under AQE) — embarrassingly
+  parallel, model fitting on ≤ |months| points per group. The numpy
+  slots are semantically REAL (exact SARIMAX MLE, Friedman GBDT,
+  BPTT LSTM); the library twins engage automatically when importable
+  (forecast_models.HAVE_*).
 
 Scale shape: identical to the reference's intent — the fact table
 collapses to (keys × months) BEFORE any Python runs; a 1000-executor
@@ -302,9 +304,12 @@ def ml_catboost(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.op("ml_lstm")  # per-series model fit — rows-only check
 def ml_lstm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-model slot (reference torch LSTM, models.py:310-474):
-    seasonal-naive + drift baseline stands in (upgrades when torch is
-    importable). Clip-at-zero predictions mirror the reference's
-    post-processing."""
+    a real single-layer LSTM trained by full numpy backprop through
+    time (fm.NumpyLSTM — same scale/window/recursive-predict pipeline
+    as the torch twin at a smaller documented config; gradients
+    verified against numerical differentiation). Upgrades to the torch
+    LSTM when importable. Clip-at-zero predictions mirror the
+    reference's post-processing."""
     return _forecast_op("snaive")(spark, sf_dir)
 
 

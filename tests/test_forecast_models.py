@@ -215,3 +215,50 @@ def test_gbdt_handles_constant_series():
     m = fm.NumpyGBDT(lags=3).fit(np.full(20, 7.0))
     np.testing.assert_allclose(m.predict(4), np.full(4, 7.0), atol=1e-9)
     assert len(m._trees) == 0  # residuals are zero from the start
+
+
+# ------------------------------------------------------ NumpyLSTM slot
+
+def test_lstm_bptt_gradients_match_numerical():
+    """Analytic BPTT gradients agree with central differences on a
+    tiny configuration — the correctness proof of the backward pass."""
+    m = fm.NumpyLSTM(lookback=4, hidden_size=3)
+    rng = np.random.default_rng(0)
+    X = rng.normal(0, 1, (5, 4))
+    t = rng.normal(0, 1, 5)
+    bound = 1 / np.sqrt(3)
+    p = {
+        "Wx": rng.uniform(-bound, bound, (1, 12)),
+        "Wh": rng.uniform(-bound, bound, (3, 12)),
+        "b": rng.normal(0, 0.1, 12),
+        "Wo": rng.uniform(-bound, bound, 3),
+        "bo": 0.1,
+    }
+    _, grads = m._backward(X, t, p)
+    eps = 1e-6
+    for key, idx in [("Wx", 3), ("Wh", 7), ("b", 2), ("Wo", 1)]:
+        shape = np.shape(p[key])
+        pp = {k: np.array(v, dtype=float, copy=True) for k, v in p.items()}
+        flat = pp[key].reshape(-1)
+        orig = flat[idx]
+        flat[idx] = orig + eps
+        pp[key] = flat.reshape(shape)
+        l1, _ = m._backward(X, t, pp)
+        flat2 = pp[key].reshape(-1).copy()
+        flat2[idx] = orig - eps
+        pp[key] = flat2.reshape(shape)
+        l2, _ = m._backward(X, t, pp)
+        num = (l1 - l2) / (2 * eps)
+        ana = np.asarray(grads[key]).reshape(-1)[idx]
+        assert abs(ana - num) < 1e-5 * (1 + abs(num)), key
+
+
+def test_lstm_learns_seasonal_pattern_and_is_deterministic():
+    y = 20 + 5 * np.sin(np.arange(48) * 2 * np.pi / 12)
+    m1 = fm.NumpyLSTM().fit(y)
+    m2 = fm.NumpyLSTM().fit(y)
+    fc1, fc2 = m1.predict(6), m2.predict(6)
+    np.testing.assert_array_equal(fc1, fc2)
+    truth = 20 + 5 * np.sin((48 + np.arange(6)) * 2 * np.pi / 12)
+    assert fm.rmse(fc1, truth) < 2.0  # tracks the season, not the mean
+    assert (fc1 >= 0).all()

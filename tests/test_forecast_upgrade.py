@@ -124,7 +124,9 @@ def test_factories_fall_back_to_numpy_without_libs():
         # trees (NumpyGBDT), not the lag-OLS approximation
         assert fm.slot_factory("laglin") is fm.NumpyGBDT
     if not fm.HAVE_TORCH:
-        assert fm.slot_factory("snaive") is fm.SeasonalNaiveDrift
+        # since round 6 the no-torch snaive slot is a real numpy-BPTT
+        # LSTM, not the seasonal-naive baseline
+        assert fm.slot_factory("snaive") is fm.NumpyLSTM
 
 
 # ------------------------------------------------- statsmodels slot

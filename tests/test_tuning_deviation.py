@@ -37,6 +37,9 @@ for the CatBoost family), moving laglin's RMSEs: trees don't fit the
 linear trend exactly (0.186075 on seasonal_trend), near-fit the
 periodic bursts (3.9e-05), and tie snaive at 0.816497 on the short
 flat series — where the name tie-break now makes laglin champion.
+Finally the snaive slot became NumpyLSTM (real BPTT sequence model,
+grid = 2 lookbacks), so snaive's RMSEs are now learned-model scores
+(1.165786 / 0.680621 / 0.830958) instead of the naive baseline's.
 """
 
 from __future__ import annotations
@@ -71,7 +74,7 @@ def test_grid_champion_frozen_seasonal_trend():
     assert _leaderboard(y) == [
         (1, "hw", 0.0),
         (2, "laglin", 0.186075),
-        (3, "snaive", 2.0),
+        (3, "snaive", 1.165786),
     ]
 
 
@@ -84,20 +87,19 @@ def test_grid_champion_frozen_sparse_bursts():
     assert res.champion == "hw"
     assert _leaderboard(y) == [
         (1, "hw", 0.0),
-        (2, "snaive", 0.0),
-        (3, "laglin", 3.9e-05),
+        (2, "laglin", 3.9e-05),
+        (3, "snaive", 0.680621),
     ]
 
 
 def test_grid_champion_frozen_short_flat():
     y = np.array([4.0, 5.0, 4.0, 5.0, 4.0, 5.0])
     res = fm.select_champion(y)
-    # laglin (GBDT) and snaive tie at 0.816497; name tie-break ascending
     assert res.champion == "laglin"
     assert res.leaderboard[0]["params"] == {"lags": 2}
     assert _leaderboard(y) == [
         (1, "laglin", 0.816497),
-        (2, "snaive", 0.816497),
+        (2, "snaive", 0.830958),
         (3, "hw", 0.981804),
     ]
 
@@ -108,7 +110,7 @@ def test_grid_is_the_declared_search_space():
     assert {name: len(g) for name, g in fm.GRIDS.items()} == {
         "hw": 4,  # the 4 SARIMAX orders — same grid as the statsmodels twin
         "laglin": 4,  # lags 2, 3, 6, 12
-        "snaive": 3,  # drift 0.0, 0.5, 1.0
+        "snaive": 2,  # LSTM lookbacks 6, 12
     }
     # trial order is list order and first-minimum-wins: the first grid
     # entry is the fallback when every fit fails (reference: failed
