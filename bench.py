@@ -75,6 +75,12 @@ EXTRA = [
     "evt_sessionize_stream",
     "evt_tumbling_stream",
     "dedup_simhash_fast",
+    # round-6 surface: the real-model champion pipeline (SARIMAX MLE +
+    # GBDT + BPTT LSTM per series), the bigram-LM quality scorer, and
+    # the oracle-checked ANN recall instrument
+    "ml_sarimax",
+    "txt_lm_perplexity",
+    "sim_recall_report",
 ]
 
 

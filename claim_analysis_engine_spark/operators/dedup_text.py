@@ -642,11 +642,23 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         lits = F.array(*[F.lit(float(v)) for v in plane])
         return F.when(_dot("embedding", lits) > 0, "1").otherwise("0")  # type: ignore[arg-type]
 
-    bands = None
-    for b in range(EMB_BANDS):
-        sig = F.concat(*[bit(_PLANES[b * EMB_BAND_BITS + r]) for r in range(EMB_BAND_BITS)])
-        part = emb.select("vec_id", F.lit(b).alias("band"), sig.alias("sig"))
-        bands = part if bands is None else bands.unionByName(part)
+    # all 8 band signatures in ONE scan pass, exploded to (vec_id,
+    # band, sig) — the 8-way unionByName form re-ran the scan (and its
+    # spread repartition) once per band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[bit(_PLANES[b * EMB_BAND_BITS + r]) for r in range(EMB_BAND_BITS)]
+                ).alias("sig"),
+            )
+            for b in range(EMB_BANDS)
+        ]
+    )
+    bands = emb.select("vec_id", F.explode(band_structs).alias("bs")).select(
+        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
     cand = (
         bands.alias("a")
         .join(

@@ -161,13 +161,23 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lits = F.array(*[F.lit(float(v)) for v in plane])
         return F.when(_dot("embedding", lits) > 0, "1").otherwise("0")
 
-    bands = None
-    for b in range(EMB_BANDS):
-        sig = F.concat(
-            *[bit(_PLANES[b * EMB_BAND_BITS + r]) for r in range(EMB_BAND_BITS)]
-        )
-        part = emb.select("vec_id", F.lit(b).alias("band"), sig.alias("sig"))
-        bands = part if bands is None else bands.unionByName(part)
+    # all 8 band signatures in ONE scan pass, exploded to (vec_id,
+    # band, sig) rows — an earlier 8-way unionByName re-ran the scan
+    # (and its spread repartition) once per band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[bit(_PLANES[b * EMB_BAND_BITS + r]) for r in range(EMB_BAND_BITS)]
+                ).alias("sig"),
+            )
+            for b in range(EMB_BANDS)
+        ]
+    )
+    bands = emb.select("vec_id", F.explode(band_structs).alias("bs")).select(
+        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
     qb = bands.where(F.col("vec_id") % QUERY_MOD == 0)
     cand = (
         qb.alias("q")
@@ -928,4 +938,56 @@ def emb_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.round(F.sqrt("l2") * 1000, 4).alias("centroid_l2_e3"),
         )
+    )
+
+
+# --------------------------------------------------- sim_recall_report
+
+# Compose the two existing oracles as derived tables (DuckDB allows a
+# WITH inside a parenthesized subquery), so the recall instrument gets
+# a full value oracle rather than a rows-only check.
+_ANN_ORACLE = REG.ops["sim_ann_lsh"].oracle
+_BRUTE_ORACLE = REG.ops["sim_topk_brute"].oracle
+
+
+@REG.op(
+    "sim_recall_report",
+    oracle=f"""
+    WITH ann AS (SELECT * FROM ({_ANN_ORACLE})),
+    truth AS (SELECT * FROM ({_BRUTE_ORACLE}))
+    SELECT t.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           round(count(a.neighbor_id) / {ANN_K}.0, 4) AS recall_at_k
+    FROM truth t LEFT JOIN ann a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    WHERE t.rank <= {ANN_K}
+    GROUP BY 1
+    """,
+)
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a first-class MEASURABLE: per-query recall@k of
+    the LSH index against the exact brute-force top-k — the continuous
+    health check a production vector pipeline runs after every index
+    rebuild (an index that silently degrades recall is worse than a
+    slow one). One left join of the exact top-ANN_K against the ANN
+    candidates, one count per query; both inputs are this module's own
+    registered ops, so the report's oracle composes their oracles
+    verbatim. Scale: the join keys on (query_id, neighbor_id) — tiny
+    relative to the index build it audits; on a 100 TB corpus the
+    truth side comes from a sampled query set exactly like this one
+    (exact top-k over ALL queries would defeat the point of the ANN)."""
+    truth = (
+        sim_topk_brute(spark, sf_dir)
+        .where(F.col("rank") <= ANN_K)
+        .select(F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn"))
+    )
+    ann = sim_ann_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    joined = truth.join(
+        ann, (F.col("aq") == F.col("tq")) & (F.col("an") == F.col("tn")), "left"
+    )
+    return joined.groupBy(F.col("tq").alias("query_id")).agg(
+        F.count("an").alias("hits"),
+        F.round(F.count("an") / F.lit(float(ANN_K)), 4).alias("recall_at_k"),
     )

@@ -563,3 +563,90 @@ def txt_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (n_boiler.cast("double") / F.size("grams") > 0.5)
         ).alias("is_boilerplate"),
     )
+
+
+# --------------------------------------------------- txt_lm_perplexity
+
+LM_ADD_K = 0.5  # add-k smoothing constant
+
+
+@REG.op(
+    "txt_lm_perplexity",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    d2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> struct_pack(w1 := toks[i],
+                                                    w2 := toks[i + 1]))) AS bg
+      FROM d2
+    ),
+    p2 AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM pairs),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM p2 GROUP BY 1, 2),
+    uni AS (SELECT w1, count(*) AS c1 FROM p2 GROUP BY 1),
+    voc AS (SELECT count(DISTINCT tok) AS v
+            FROM (SELECT unnest(toks) AS tok FROM t)),
+    scored AS (
+      SELECT p.doc_id,
+             -log2((b.c12 + {LM_ADD_K}) / (u.c1 + {LM_ADD_K} * voc.v)) AS nll
+      FROM p2 p JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+      JOIN uni u ON u.w1 = p.w1, voc
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(pow(2, avg(nll)), 4) AS ppl
+    FROM scored GROUP BY 1
+    """,
+)
+def txt_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model perplexity per document —
+    the classic LM-based quality signal a training-data pipeline runs
+    before mixing sources (documents whose token transitions surprise
+    the corpus LM are boilerplate, garbled extraction, or wrong-domain
+    text). Model: add-k-smoothed bigram probabilities
+    P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V) trained on the SAME corpus
+    (self-scoring, the standard first pass); score: per-doc perplexity
+    2^(mean −log₂ P) over its adjacent-token pairs. Docs with fewer
+    than two tokens have no bigrams and are absent by construction.
+
+    Scale shape: bigram extraction is one array transform per row (no
+    Python); the model is two hash aggregates over the exploded pairs;
+    scoring is a shuffle join on the (w1, w2) key — uniform token
+    keys, partitioned like any fact-fact join. At 100 TB the model
+    table itself is big (vocab²-bounded) and this full-join form is
+    the exact path; production pipelines that can tolerate it prune
+    the model to top-N bigrams and broadcast instead — a LIMIT on the
+    `big` aggregate, no plan-shape change."""
+    from claim_analysis_engine_spark.tables import spread_scan
+
+    t = spread_scan(load(spark, sf_dir, "documents")).select(
+        "doc_id", _tokens_col().alias("toks")
+    )
+    d2 = t.where(F.size("toks") >= 2)
+    pairs = d2.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    voc = t.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    nll = -F.log2(
+        (F.col("c12") + F.lit(LM_ADD_K)) / (F.col("c1") + F.lit(LM_ADD_K) * F.col("v"))
+    )
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(voc))
+        .select("doc_id", nll.alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.pow(F.lit(2.0), F.avg("nll")), 4).alias("ppl"),
+    )
