@@ -524,3 +524,129 @@ def corpus_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fill_ratio"),
     )
+
+
+# ------------------------------------------------- corpus_dedup_chunks
+
+CHUNK_TOKENS = 16  # consecutive tokens per dedup unit
+
+
+@REG.op(
+    "corpus_dedup_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    n AS (
+      SELECT doc_id, toks,
+             CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT) AS n_chunks
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, n_chunks,
+             unnest(range(n_chunks)) AS chunk_idx, toks
+      FROM n WHERE n_chunks > 0
+    ),
+    chunks AS (
+      SELECT doc_id, n_chunks, chunk_idx,
+             array_to_string(
+               toks[chunk_idx * {CHUNK_TOKENS} + 1
+                    : (chunk_idx + 1) * {CHUNK_TOKENS}], ' ') AS chunk
+      FROM c
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    ),
+    agg AS (
+      SELECT doc_id,
+             sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+             md5(coalesce(
+               string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                          ORDER BY chunk_idx), '')) AS clean_hash
+      FROM ranked GROUP BY 1
+    )
+    SELECT n.doc_id,
+           n.n_chunks,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CASE WHEN n.n_chunks = 0 THEN 1.0
+                ELSE round(a.n_kept * 1.0 / n.n_chunks, 4) END AS kept_frac,
+           coalesce(a.clean_hash, md5('')) AS clean_hash
+    FROM n LEFT JOIN agg a ON a.doc_id = n.doc_id
+    """,
+)
+def corpus_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact deduplication — the C4/RefinedWeb line-dedup
+    pass lifted to fixed 16-token chunks (the synthetic docs have no
+    line structure): each document is cut into consecutive 16-token
+    chunks, a chunk's globally FIRST occurrence (ordered by doc_id,
+    then position) is kept, every later repetition is dropped, and the
+    document is reassembled from its surviving chunks in order. Output
+    per doc: chunk counts, kept fraction, and the md5 of the cleaned
+    text as a reassembly witness. Unlike whole-doc dedup this removes
+    duplicated PASSAGES inside otherwise-distinct documents — the
+    dominant duplication mode in web corpora.
+
+    Scale shape: one shuffle partitions chunks by their md5 key for
+    the first-occurrence window (the hash bounds shuffle width no
+    matter how long chunks get), one hash re-aggregate by doc_id
+    reassembles; no Python, no driver state, no pairwise anything —
+    at 100 TB this is the same two-exchange plan as a fact-level
+    groupBy. First-occurrence choice is totally ordered by
+    (doc_id, chunk_idx) so reruns are bit-stable."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _tokens_col().alias("toks")
+    )
+    n = docs.select(
+        "doc_id",
+        "toks",
+        F.ceil(F.size("toks") / float(CHUNK_TOKENS)).cast("bigint").alias("n_chunks"),
+    )
+    chunk_strs = F.transform(
+        F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice("toks", i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+        ),
+    )
+    chunks = (
+        n.where(F.col("n_chunks") > 0)
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.posexplode(chunk_strs).alias("chunk_idx", "chunk"),
+        )
+    )
+    w = W.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept_chunk = F.when(F.col("rn") == 1, F.col("chunk"))
+    agg = ranked.groupBy("doc_id").agg(
+        F.sum((F.col("rn") == 1).cast("int")).alias("n_kept"),
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("rn") == 1,
+                                    F.struct("chunk_idx", kept_chunk.alias("chunk")),
+                                )
+                            )
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            )
+        ).alias("clean_hash"),
+    )
+    n_kept = F.coalesce("n_kept", F.lit(0)).cast("bigint")
+    return n.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        n_kept.alias("n_kept"),
+        F.when(F.col("n_chunks") == 0, F.lit(1.0))
+        .otherwise(F.round(n_kept.cast("double") / F.col("n_chunks"), 4))
+        .alias("kept_frac"),
+        F.coalesce("clean_hash", F.md5(F.lit(""))).alias("clean_hash"),
+    )

@@ -650,3 +650,94 @@ def txt_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.pow(F.lit(2.0), F.avg("nll")), 4).alias("ppl"),
     )
+
+
+# --------------------------------------------------- txt_ngram_novelty
+
+NOV_NGRAM = 5  # word n-gram length treated as a content unit
+
+
+@REG.op(
+    "txt_ngram_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {NOV_NGRAM}
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(toks) - {NOV_NGRAM - 1}),
+                         i -> array_to_string(toks[i:i+{NOV_NGRAM - 1}], ' ')))
+                  ELSE [] END AS grams
+      FROM t
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    f AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY gram) AS first_doc
+      FROM e
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_grams,
+             sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS n_novel
+      FROM f GROUP BY 1
+    )
+    SELECT g.doc_id,
+           CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(a.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 1.0
+                ELSE round(a.n_novel * 1.0 / a.n_grams, 4) END AS novelty
+    FROM g LEFT JOIN agg a ON a.doc_id = g.doc_id
+    """,
+)
+def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word 5-grams whose globally FIRST occurrence (minimum
+    doc_id — ingest order) is this document. Documents that mostly
+    repeat content already present earlier in the corpus score near 0;
+    fresh content scores near 1 — the incremental-information signal
+    curation pipelines use to rank which near-duplicates to keep
+    (complementary to txt_boilerplate_frac, which flags corpus-COMMON
+    n-grams regardless of who wrote them first). Gramless docs
+    (< 5 tokens) are vacuously novel (1.0).
+
+    Scale shape: one shuffle partitions the exploded grams by gram key
+    for the min-over-window (map-side distinct bounds the explosion),
+    one hash re-aggregate by doc — the same two-exchange plan as any
+    fact-level self-join, no driver state, no Python. At 100 TB the
+    gram key is uniform (5-gram collisions don't skew) so no salting
+    is needed."""
+    from claim_analysis_engine_spark.tables import spread_scan
+    from pyspark.sql import Window as W
+
+    docs = spread_scan(load(spark, sf_dir, "documents")).select(
+        "doc_id", _tokens_col().alias("toks")
+    )
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (NOV_NGRAM - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("toks", i + k) for k in range(NOV_NGRAM)]
+        ),
+    )
+    g = docs.select(
+        "doc_id",
+        F.when(F.size("toks") >= NOV_NGRAM, F.array_distinct(gram))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    e = g.select("doc_id", F.explode("grams").alias("gram"))
+    f = e.select(
+        "doc_id", F.min("doc_id").over(W.partitionBy("gram")).alias("first_doc")
+    )
+    agg = f.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum((F.col("doc_id") == F.col("first_doc")).cast("int")).alias("n_novel"),
+    )
+    n_grams = F.coalesce("n_grams", F.lit(0)).cast("bigint")
+    n_novel = F.coalesce("n_novel", F.lit(0)).cast("bigint")
+    return g.join(agg, "doc_id", "left").select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_novel.alias("n_novel"),
+        F.when(n_grams == 0, F.lit(1.0))
+        .otherwise(F.round(n_novel.cast("double") / n_grams, 4))
+        .alias("novelty"),
+    )

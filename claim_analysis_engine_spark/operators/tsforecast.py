@@ -439,13 +439,18 @@ def warning_from_forecast(y: np.ndarray, horizon: int = HORIZON):
     slope = float(np.polyfit(np.arange(len(fc)), fc, 1)[0]) if len(fc) > 1 else 0.0
     hist_max = float(max(y.max(), 1.0)) if len(y) else 1.0
     ratio = float(fc.max() / hist_max) if len(fc) else 0.0
+    # Decide on the SAME 4dp-rounded values the function returns: polyfit
+    # over an exactly-flat forecast yields an ulp-scale slope (~4e-16
+    # observed), and grading the raw value while reporting the rounded
+    # one let a flat series read "slope 0.0" yet grade as rising.
+    slope, ratio = round(slope, 4), round(ratio, 4)
     if ratio >= WARN_RATIO_RED and slope > 0:
         level = 2
     elif ratio >= WARN_RATIO_YELLOW or slope > 0:
         level = 1
     else:
         level = 0
-    return champion, round(slope, 4), round(ratio, 4), level
+    return champion, slope, ratio, level
 
 
 @REG.op("ml_warning_marking")  # champion forecast per series — rows-only
