@@ -180,3 +180,37 @@ def evt_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = streaming.read_events_stream(spark, stage)
     result = streaming.tumbling_counts(stream, watermark=TUMBLING_WM)
     return _drain_to_parquet(spark, result)
+
+
+# --------------------------------------------------- evt_join_stream
+
+@REG.op(
+    "evt_join_stream",
+    oracle=f"""
+    SELECT a.user_id,
+           a.event_id AS view_id,
+           b.event_id AS purchase_id,
+           CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT)
+             AS secs_to_purchase
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view'
+     AND b.event_type = 'purchase'
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL {streaming.ATTRIB_WINDOW_S} SECONDS
+    """,
+)
+def evt_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the hash gate: the staged
+    event stream self-joins views to same-user purchases within 1 hour
+    (attribution), both branches watermarked so join state is bounded
+    — the fourth Structured Streaming capability certified by a batch
+    oracle (after dedup, custom state, and watermark finalization).
+    Inner matches emit as soon as both rows arrive, so the drained
+    sink must equal the batch interval join row-for-row."""
+    stage = _stage_events(sf_dir, copies=1)
+    stream = streaming.read_events_stream(spark, stage)
+    joined = streaming.attribution_join(stream)
+    back = _drain_to_parquet(spark, joined)
+    return back.select("user_id", "view_id", "purchase_id", "secs_to_purchase")

@@ -306,3 +306,57 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
         F.col("ts").cast("long").alias("ts_s"),
         "value",
     )
+
+
+# --------------------------------- stream-stream interval (attribution) join
+
+ATTRIB_WINDOW_S = 3600  # purchase attributed to a view within 1 hour
+
+
+def attribution_join(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window_s: int = ATTRIB_WINDOW_S,
+) -> DataFrame:
+    """Stream-stream INTERVAL self-join: attribute every purchase to
+    each view by the same user in the preceding ``window_s`` seconds.
+    Both branches carry an event-time watermark and the join condition
+    bounds purchase time on both sides of view time, which is exactly
+    what Structured Streaming needs to bound join state: a view's row
+    can be dropped from state once the watermark passes
+    ``view.ts + window_s``, a purchase's once the watermark passes its
+    own event time — state is O(events inside the watermark horizon),
+    independent of stream length. Inner-join matches are emitted as
+    soon as both rows have arrived (no finalization delay), so the
+    availableNow drain over a staged file equals the batch interval
+    join row-for-row.
+
+    On a batch frame the same plan is an ordinary range join (the
+    watermark call is skipped); one function serves stream and oracle
+    twin. Scale shape: one exchange hash-partitions both branches by
+    user_id; the per-key interval probe never turns cartesian."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {window_s} SECONDS"))
+    )
+    return views.join(purchases, cond, "inner").select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (F.col("p_ts").cast("long") - F.col("v_ts").cast("long"))
+        .cast("bigint")
+        .alias("secs_to_purchase"),
+    )
