@@ -81,6 +81,11 @@ EXTRA = [
     "ml_sarimax",
     "txt_lm_perplexity",
     "sim_recall_report",
+    # round-6 additions: chunk-level passage dedup, n-gram novelty,
+    # and the stream-stream attribution join gate
+    "corpus_dedup_chunks",
+    "txt_ngram_novelty",
+    "evt_join_stream",
 ]
 
 

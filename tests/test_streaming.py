@@ -364,3 +364,65 @@ def test_ts_unit_sniffing_matrix(tmp_path):
         _events_ts_unit(str(empty), assume_unit="ms")
     # a populated dir overrides a (stale) assumption — files win
     assert _events_ts_unit(str(nanos), assume_unit="us") == "ns"
+
+
+# ------------------------------------- stream-stream attribution join
+
+def test_attribution_join_multibatch_equals_batch(spark):
+    """Stream-stream interval join replayed one file per micro-batch
+    (time-contiguous split, watermark advancing between batches) must
+    emit EXACTLY the batch interval join. Cross-batch matches are the
+    point: a view arriving in batch k must still be in join state when
+    its purchase arrives in batch k+1 — with a 2 h watermark delay and
+    a 1 h join window no view eligible for a future match is ever
+    evicted early, so any missing pair means premature state cleanup
+    and any extra pair means duplicate emission across batches."""
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.tables import load
+
+    events = load(spark, SF_SMALL, "events")
+    stage = Path(tempfile.mkdtemp(prefix="cae_attrib_multibatch_"))
+    n_files = 6
+    bucket = F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
+    ranked = events.withColumn("b", bucket).cache()
+    for i in range(1, n_files + 1):
+        (
+            ranked.where(F.col("b") == i)
+            .drop("b")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(stage / f"b{i:02d}"))
+        )
+        time.sleep(0.05)  # distinct mtimes: files arrive oldest-first
+
+    out = tempfile.mkdtemp(prefix="cae_attrib_out_")
+    ckpt = tempfile.mkdtemp(prefix="cae_attrib_ckpt_")
+    stream = streaming.read_events_stream(
+        spark, str(stage / "*"), max_files_per_trigger=1
+    )
+    joined = streaming.attribution_join(stream)
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= n_files - 1  # the knob worked
+
+    got = sorted(
+        (r.user_id, r.view_id, r.purchase_id, r.secs_to_purchase)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.user_id, r.view_id, r.purchase_id, r.secs_to_purchase)
+        for r in streaming.attribution_join(events).collect()
+    )
+    assert len(want) > 0
+    assert got == want
