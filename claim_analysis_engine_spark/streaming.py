@@ -335,6 +335,9 @@ def attribution_join(
     watermark call is skipped); one function serves stream and oracle
     twin. Scale shape: one exchange hash-partitions both branches by
     user_id; the per-key interval probe never turns cartesian."""
+    # normalize: the batch loader yields TIMESTAMP_NTZ (which refuses a
+    # direct cast to long); the session runs UTC so the cast is lossless
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     if events.isStreaming:
         events = events.withWatermark("ts", watermark)
     views = events.where(F.col("event_type") == "view").select(
