@@ -44,19 +44,35 @@ def _stage_events(sf_dir: str, copies: int) -> str:
     return str(stage)
 
 
+# State partition count for the gate streams. A stateful streaming
+# query creates ONE state store (+ per-batch checkpoint commit files)
+# per shuffle partition, locked in at query start — so at gate scale
+# the fixed per-store overhead dominates: the stream-stream join ran
+# 5.5 s with the session's 32 partitions and 2.4 s with 8, identical
+# results. This is the real production knob too (sized to the cluster
+# and keyspace, not inherited from the batch default); 8 stores is
+# right for the gate's data volume.
+STREAM_STATE_PARTITIONS = 8
+
+
 def _drain_to_parquet(spark: SparkSession, result: DataFrame) -> DataFrame:
     """Run an append-mode stream to a parquet sink and read it back."""
     out = tempfile.mkdtemp(prefix="cae_stream_out_")
     ckpt = tempfile.mkdtemp(prefix="cae_stream_ckpt_")
-    q = (
-        result.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     back = spark.read.parquet(out)
     # An append-mode stateful stream that finalizes nothing writes an
     # empty sink — indistinguishable downstream from "no alerts". Every
