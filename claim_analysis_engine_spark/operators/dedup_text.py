@@ -613,6 +613,39 @@ def _dot(a: str, b: str) -> F.Column:
     )
 
 
+def band_sigs(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(vec_id, band, sig) hyperplane band signatures with the planes
+    shipped as broadcast DATA — one row per band carrying its 4 plane
+    arrays — instead of 2,048 inline literals. The literal form paid
+    ~3 s of driver-side plan construction (thousands of Py4J column
+    calls) plus outsized codegen on every invocation: the third
+    instance of the sim_pq_adc lesson (model state as data, never as
+    expression text). Sign bits are identical either way — same double
+    values, same zip_with fold order — so the DuckDB oracles, which
+    keep the planes as SQL literals, are unaffected."""
+    rows = [
+        tuple(
+            [b]
+            + [
+                [float(v) for v in _PLANES[b * EMB_BAND_BITS + r]]
+                for r in range(EMB_BAND_BITS)
+            ]
+        )
+        for b in range(EMB_BANDS)
+    ]
+    schema = "band int, " + ", ".join(
+        f"p{r} array<double>" for r in range(EMB_BAND_BITS)
+    )
+    planes = F.broadcast(spark.createDataFrame(rows, schema))
+    sig = F.concat(
+        *[
+            F.when(_dot("embedding", f"p{r}") > 0, "1").otherwise("0")
+            for r in range(EMB_BAND_BITS)
+        ]
+    )
+    return emb.crossJoin(planes).select("vec_id", "band", sig.alias("sig"))
+
+
 @REG.op(
     "dedup_embed_cosine",
     oracle=f"""
@@ -637,28 +670,7 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify join runs on the candidate set only. Dot products are
     JVM-side zip_with/aggregate folds in double precision."""
     emb = spread_scan(load(spark, sf_dir, "embeddings"))
-
-    def bit(plane: list[int]) -> F.Column:
-        lits = F.array(*[F.lit(float(v)) for v in plane])
-        return F.when(_dot("embedding", lits) > 0, "1").otherwise("0")  # type: ignore[arg-type]
-
-    # all 8 band signatures in ONE scan pass, exploded to (vec_id,
-    # band, sig) — the 8-way unionByName form re-ran the scan (and its
-    # spread repartition) once per band
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(
-                    *[bit(_PLANES[b * EMB_BAND_BITS + r]) for r in range(EMB_BAND_BITS)]
-                ).alias("sig"),
-            )
-            for b in range(EMB_BANDS)
-        ]
-    )
-    bands = emb.select("vec_id", F.explode(band_structs).alias("bs")).select(
-        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    bands = band_sigs(spark, emb)
     cand = (
         bands.alias("a")
         .join(

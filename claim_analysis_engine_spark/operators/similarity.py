@@ -153,31 +153,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5-seeded planes shared with dedup_embed_cosine).
     Candidate generation is a band-key equi-join — the big vector side
     never sees a cross join."""
-    from claim_analysis_engine_spark.operators.dedup_text import _PLANES
+    from claim_analysis_engine_spark.operators.dedup_text import band_sigs
 
     emb = _emb(spark, sf_dir)
-
-    def bit(plane: list[int]) -> F.Column:
-        lits = F.array(*[F.lit(float(v)) for v in plane])
-        return F.when(_dot("embedding", lits) > 0, "1").otherwise("0")
-
-    # all 8 band signatures in ONE scan pass, exploded to (vec_id,
-    # band, sig) rows — an earlier 8-way unionByName re-ran the scan
-    # (and its spread repartition) once per band
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(
-                    *[bit(_PLANES[b * EMB_BAND_BITS + r]) for r in range(EMB_BAND_BITS)]
-                ).alias("sig"),
-            )
-            for b in range(EMB_BANDS)
-        ]
-    )
-    bands = emb.select("vec_id", F.explode(band_structs).alias("bs")).select(
-        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    # planes as broadcast DATA (see dedup_text.band_sigs): the literal
+    # form paid ~3 s of driver-side plan build per call
+    bands = band_sigs(spark, emb)
     qb = bands.where(F.col("vec_id") % QUERY_MOD == 0)
     cand = (
         qb.alias("q")
