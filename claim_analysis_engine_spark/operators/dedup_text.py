@@ -646,6 +646,16 @@ def band_sigs(spark: SparkSession, emb: DataFrame) -> DataFrame:
     return emb.crossJoin(planes).select("vec_id", "band", sig.alias("sig"))
 
 
+_NORM_SQL = (
+    "sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "d -> CAST(embedding[d] AS DOUBLE) * CAST(embedding[d] AS DOUBLE))))"
+)
+
+_NDOT_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), d -> x.ne[d] * y.ne[d]))"
+)
+
+
 @REG.op(
     "dedup_embed_cosine",
     oracle=f"""
@@ -654,21 +664,31 @@ def band_sigs(spark: SparkSession, emb: DataFrame) -> DataFrame:
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    normed AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            v -> CAST(v AS DOUBLE) / {_NORM_SQL}) AS ne
+      FROM embeddings
     )
-    SELECT c.vec_a, c.vec_b, round({_COS_SQL}, 4) AS cosine
+    SELECT c.vec_a, c.vec_b, round({_NDOT_SQL}, 4) AS cosine
     FROM cand c
-    JOIN embeddings x ON x.vec_id = c.vec_a
-    JOIN embeddings y ON y.vec_id = c.vec_b
-    WHERE {_COS_SQL} >= {COSINE_T}
+    JOIN normed x ON x.vec_id = c.vec_a
+    JOIN normed y ON y.vec_id = c.vec_b
+    WHERE {_NDOT_SQL} >= {COSINE_T}
     """,
 )
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH: 32 deterministic
-    ±1 hyperplanes (md5-seeded, embedded as literals in BOTH engines)
-    → 8 bands of 4 sign-bits → candidates share a band signature →
-    exact cosine ≥ 0.4 verifies. All-pairs never materializes; the
-    verify join runs on the candidate set only. Dot products are
-    JVM-side zip_with/aggregate folds in double precision."""
+    ±1 hyperplanes (md5-seeded, shipped as broadcast data on the Spark
+    side, literals in the oracle SQL — identical sign bits) → 8 bands
+    of 4 sign-bits → candidates share a band signature → exact cosine
+    verifies. All-pairs never materializes; the verify join runs on
+    the candidate set only, against vectors NORMALIZED ONCE per row —
+    one dot fold per candidate pair instead of three (cos = dot of
+    unit vectors), the dominant cost when data geometry makes the
+    candidate set large. Both engines compute the identical normalized
+    fold, so the value gate is unaffected."""
     emb = spread_scan(load(spark, sf_dir, "embeddings"))
     bands = band_sigs(spark, emb)
     cand = (
@@ -682,11 +702,14 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    x = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    y = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = _dot("ea", "eb") / (
-        F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))
+    norm = F.sqrt(_dot("embedding", "embedding"))
+    normed = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double") / norm).alias("ne"),
     )
+    x = normed.select(F.col("vec_id").alias("vec_a"), F.col("ne").alias("ea"))
+    y = normed.select(F.col("vec_id").alias("vec_b"), F.col("ne").alias("eb"))
+    cos = _dot("ea", "eb")
     return (
         cand.join(x, "vec_a")
         .join(y, "vec_b")
