@@ -1038,3 +1038,65 @@ def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("keep_min", "doc_id").alias("keep_id"),
         F.col("keep_min").isNotNull().alias("is_dup"),
     )
+
+
+# ----------------------------------------------- dedup_canonical_pick
+
+# compose the CC oracle (a WITH RECURSIVE query) as a derived table —
+# same technique as sim_recall_report's composed oracle
+_CC_ORACLE = REG.ops["dedup_cluster_cc"].oracle
+
+
+@REG.op(
+    "dedup_canonical_pick",
+    oracle=f"""
+    WITH cc AS (SELECT * FROM ({_CC_ORACLE})),
+    sized AS (
+      SELECT c.doc_id, c.root_id, c.cluster_size, d.n_chars
+      FROM cc c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    canon AS (
+      SELECT root_id, doc_id AS canonical_id FROM (
+        SELECT root_id, doc_id,
+               row_number() OVER (PARTITION BY root_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM sized) WHERE rn = 1
+    )
+    SELECT s.doc_id, s.root_id, CAST(c.canonical_id AS BIGINT) AS canonical_id,
+           s.doc_id = c.canonical_id AS keep, s.cluster_size
+    FROM sized s JOIN canon c ON c.root_id = s.root_id
+    """,
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-one-per-cluster step that completes the near-dup
+    pipeline: given the transitive clusters from dedup_cluster_cc,
+    elect the LONGEST document (n_chars, ties to the smallest doc_id)
+    as each cluster's canonical survivor and mark every other member
+    for removal — the standard curation policy (keep the richest copy,
+    drop the rest) after CC has merged a-keeps-b/b-keeps-c chains.
+    Output: one row per doc with its cluster root, the elected
+    canonical, a keep flag, and the cluster size.
+
+    Scale: the per-cluster election is one window over the CC labels
+    (|docs| rows, partitioned by root — cluster sizes are bounded by
+    near-dup geometry, no skew) plus a small join of the elected
+    canonicals back; the CC pass itself is the dominant cost and this
+    adds two exchanges over its output."""
+    from pyspark.sql import Window as W
+
+    cc = dedup_cluster_cc(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sized = cc.join(d, "doc_id")
+    w = W.partitionBy("root_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    canon = (
+        sized.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("root_id", F.col("doc_id").alias("canonical_id"))
+    )
+    return sized.join(canon, "root_id").select(
+        "doc_id",
+        "root_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+        "cluster_size",
+    )
