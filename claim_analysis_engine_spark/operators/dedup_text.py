@@ -797,27 +797,41 @@ def propagate_min_labels(
     one more pass to PROVE it; the loop therefore runs up to
     max_iters + 1 rounds — the cap bounds label-CHANGING rounds, and
     the confirming round rides free (otherwise a diameter-==-cap graph
-    with correct labels would be reported non-converged)."""
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iters + 1):
-        nbr = (
-            edges.join(labels, edges.siga == labels.sig)
-            .groupBy(F.col("sigb").alias("sig"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        labels = (
-            labels.join(nbr, "sig", "left")
-            .select(
-                "sig",
-                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+    with correct labels would be reported non-converged).
+
+    The loop runs with a handful of shuffle partitions: after the
+    sig-collapse the frames are thousands of rows, and ~diameter
+    rounds of 32-partition shuffles pay ~diameter × 32 task launches
+    for nothing (the streaming-gate state-store lesson applied to
+    iteration). Both inputs arrive localCheckpointed and every round's
+    result is materialized eagerly, so the shrunken conf never leaks
+    into callers' plans; restored on exit."""
+    spark = labels.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        for _ in range(max_iters + 1):
+            nbr = (
+                edges.join(labels, edges.siga == labels.sig)
+                .groupBy(F.col("sigb").alias("sig"))
+                .agg(F.min("label").alias("nbr_min"))
             )
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            return labels, True
-        prev_sum = cur_sum
-    return labels, False
+            labels = (
+                labels.join(nbr, "sig", "left")
+                .select(
+                    "sig",
+                    F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if cur_sum == prev_sum:
+                return labels, True
+            prev_sum = cur_sum
+        return labels, False
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 @REG.op(
