@@ -173,3 +173,132 @@ def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile_approx("v", 0.99, 10000), 2).alias("approx_p99"),
         F.round(F.percentile("v", F.lit(0.99)), 2).alias("exact_p99"),
     )
+
+
+# ------------------------------------------------- sort_global_shards
+
+N_RANGE_SHARDS = 8
+
+
+def sorted_export_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame sort_global_shards writes: rows keyed to deterministic
+    range shards, range-repartitioned so each shard is one partition in
+    shard order, sorted within partitions. Exposed separately so the
+    plan test can assert the WRITE plan's rangepartitioning exchange
+    (the op's returned profile reads the files back, by which point the
+    exchange has already executed)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    mx = o.agg(F.max("o_orderkey").alias("mk"))
+    keyed = o.crossJoin(F.broadcast(mx)).select(
+        "o_orderkey",
+        F.least(
+            F.floor(
+                F.col("o_orderkey") * float(N_RANGE_SHARDS) / (F.col("mk") + 1)
+            ).cast("int"),
+            F.lit(N_RANGE_SHARDS - 1),
+        ).alias("shard"),
+    )
+    return keyed.repartitionByRange(N_RANGE_SHARDS, "shard").sortWithinPartitions(
+        "shard", "o_orderkey"
+    )
+
+
+@REG.op(
+    "sort_global_shards",
+    oracle=f"""
+    WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+    keyed AS (
+      SELECT o_orderkey,
+             least(CAST(floor(o_orderkey * {N_RANGE_SHARDS}.0 / (mk + 1))
+                        AS INT), {N_RANGE_SHARDS - 1}) AS shard
+      FROM orders, mx
+    )
+    SELECT shard, count(*) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM keyed GROUP BY 1
+    """,
+)
+def sort_global_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally ordered export without a single reducer — the pattern
+    for writing a 100 TB table in total key order: deterministic range
+    boundaries (fixed fractions of the key maximum, so both engines
+    replicate them) assign each row a shard, `repartitionByRange` puts
+    each shard's rows on one partition IN SHARD ORDER, rows sort
+    within partitions, and the sink writes one run per shard. The
+    returned per-shard (n_rows, min_key, max_key) profile proves the
+    total order: shard ranges are disjoint and increasing, which
+    tests/test_scale_patterns.py asserts along with the plan's
+    rangepartitioning exchange. (Spark's own repartitionByRange
+    samples its boundaries — run-dependent — which is why the SHARD
+    column, not the sampler, carries the contract here.)"""
+    out = tempfile.mkdtemp(prefix="cae_spark_sorted_")
+    sorted_export_frame(spark, sf_dir).write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+# --------------------------------------------------- join_skew_salted
+
+@REG.op(
+    "join_skew_salted",
+    oracle="""
+    WITH dim AS (
+      SELECT l_returnflag,
+             round(avg(CAST(l_discount AS DOUBLE)), 6) AS ref_discount
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag, count(*) AS n_rows,
+           round(sum(abs(CAST(l.l_discount AS DOUBLE) - d.ref_discount)), 2)
+             AS total_abs_dev
+    FROM lineitem l JOIN dim d ON d.l_returnflag = l.l_returnflag
+    GROUP BY 1
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join on a pathologically skewed key: l_returnflag
+    has 3 values (one carrying ~half the rows), so a plain shuffle join
+    lands whole key populations on single reducers. The salt spreads
+    each key over 16 reducers: the fact side salts by row hash, the dim
+    side replicates each key x 16 salts, and the join runs on
+    (key, salt) — the standard fix when the dim side is TOO BIG to
+    broadcast (here it is tiny, so the broadcast path is disabled via
+    a SHUFFLE_HASH hint to keep the demonstrated plan honest; the plan
+    assertion pins the salted keys and the absence of a broadcast).
+    AQE's skew-join split covers sort-merge cases adaptively; explicit
+    salting is the design-time form that also covers aggregates and
+    works under any join strategy."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_discount").cast("double").alias("disc"),
+    )
+    dim = li.groupBy("l_returnflag").agg(
+        F.round(F.avg("disc"), 6).alias("ref_discount")
+    )
+    salted_dim = dim.select(
+        "l_returnflag",
+        "ref_discount",
+        F.explode(F.array(*[F.lit(s) for s in range(N_SALTS)])).alias("salt"),
+    )
+    # deterministic per-row salt from the line's natural key
+    fact = li.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALTS)).cast(
+            "int"
+        ),
+    )
+    joined = fact.join(
+        salted_dim.hint("SHUFFLE_HASH"), ["l_returnflag", "salt"]
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.abs(F.col("disc") - F.col("ref_discount"))), 2).alias(
+            "total_abs_dev"
+        ),
+    )
