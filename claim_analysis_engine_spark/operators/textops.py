@@ -533,9 +533,12 @@ def txt_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", _tokens_col().alias("toks")
     )
+    # cached: g feeds the exploded frame twice (common-gram aggregate,
+    # per-doc hit counts) AND the final per-doc join — without the
+    # cache the gram construction runs three times
     g = docs.select(
         "doc_id", F.array_distinct(_word_ngrams(BP_NGRAM)).alias("grams")
-    )
+    ).cache()
     e = g.select("doc_id", F.explode("grams").alias("gram"))
     common = (
         e.groupBy("gram")
@@ -714,9 +717,12 @@ def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_scan(load(spark, sf_dir, "documents")).select(
         "doc_id", _tokens_col().alias("toks")
     )
+    # cached: the gram frame feeds both the per-doc size projection and
+    # the exploded first-owner aggregate — without the cache the gram
+    # construction runs twice (the corpus_contamination lesson)
     g = docs.select(
         "doc_id", F.array_distinct(_word_ngrams(NOV_NGRAM)).alias("grams")
-    )
+    ).cache()
     e = g.select("doc_id", F.explode("grams").alias("gram"))
     firsts = e.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     novel = firsts.groupBy("first_doc").agg(
