@@ -241,6 +241,13 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.where(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("ecent")
     )
+    return _ivf_search(emb, cent)
+
+
+def _ivf_search(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """The IVF probe/search given ANY (cell_id, ecent) centroid frame —
+    shared by sim_ivf (first-8 stand-in, oracle-replicable) and
+    sim_ivf_search_trained (Lloyd-trained centroids)."""
     assign0 = (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "embedding", "cell_id", _cos("embedding", "ecent").alias("cos"))
@@ -319,6 +326,31 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_ITERS = 3  # each round recompiles the assignment cascade; 3 converges on this corpus
 
 
+# Trained centroids memoized per (application, session, sf_dir): the
+# training inputs are immutable testdata parquet, so re-running the
+# Lloyd loop for every consumer (quality report, trained search) in one
+# session is pure waste — the risk_tree/_ALERTS_MEMO pattern. The value
+# is 8 plain Python rows, so nothing pins JVM state. Bounded.
+_IVF_CENT_MEMO: dict[tuple[str, int, str], list[tuple[int, list[float]]]] = {}
+_IVF_CENT_MEMO_MAX = 8
+
+
+def train_ivf_centroids(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[float]]]:
+    """Run the Lloyd training (see sim_ivf_train) and return the final
+    (cell_id, centroid) rows — the model handoff for
+    sim_ivf_search_trained. Memoized per (session, sf_dir)."""
+    memo_key = (spark.sparkContext.applicationId, id(spark), sf_dir)
+    if memo_key in _IVF_CENT_MEMO:
+        return _IVF_CENT_MEMO[memo_key]
+    cents, _report = _train_ivf(spark, sf_dir)
+    if len(_IVF_CENT_MEMO) >= _IVF_CENT_MEMO_MAX:
+        _IVF_CENT_MEMO.pop(next(iter(_IVF_CENT_MEMO)))
+    _IVF_CENT_MEMO[memo_key] = cents
+    return cents
+
+
 @REG.op("sim_ivf_train")  # iterative algorithm — not ANSI-SQL-expressible;
 # determinism + quality asserted in tests/test_similarity_recall.py
 def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,6 +376,21 @@ def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns the trained centroids with member counts and mean
     within-cell cosine — the quantizer-quality report."""
+    cents, report = _train_ivf(spark, sf_dir)
+    # side-populate the centroid memo so a later trained search in the
+    # same session skips retraining
+    memo_key = (spark.sparkContext.applicationId, id(spark), sf_dir)
+    if len(_IVF_CENT_MEMO) >= _IVF_CENT_MEMO_MAX:
+        _IVF_CENT_MEMO.pop(next(iter(_IVF_CENT_MEMO)))
+    _IVF_CENT_MEMO[memo_key] = cents
+    return report
+
+
+def _train_ivf(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Lloyd training core → (final centroids, quality-report frame).
+    See sim_ivf_train's docstring for the design rationale."""
     import math
 
     emb = _emb(spark, sf_dir)
@@ -457,7 +504,30 @@ def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputes the projection from parquet when the caller evaluates:
     # one scan, no leaked cache entry in the caller's session)
     emb_n.unpersist()
-    return report
+    return cents, report
+
+
+# --------------------------------------------- sim_ivf_search_trained
+
+@REG.op("sim_ivf_search_trained")  # rows-only: the trained quantizer is
+# an iterative model; recall vs exact top-k asserted in
+# tests/test_similarity_recall.py
+def sim_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete IVF lifecycle in one op: Lloyd-train the coarse
+    quantizer (sim_ivf_train's exact loop), then run the probe/search
+    over the TRAINED cells — the production IVF path, replacing
+    sim_ivf's oracle-replicable first-8-vectors stand-in. Same search
+    plan (_ivf_search): assign corpus to nearest trained cell, probe
+    each query's 2 best cells, exact-score only those members, top-k.
+    Trained cells are balanced where the stand-in's are arbitrary, so
+    probing the same number of cells scans fewer, better-targeted
+    members — the quality/cost trade a real vector index tunes."""
+    cents = train_ivf_centroids(spark, sf_dir)
+    cent = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        "cell_id int, ecent array<double>",
+    )
+    return _ivf_search(_emb(spark, sf_dir), cent)
 
 
 # ---------------------------------------------------- emb_quantize_int8

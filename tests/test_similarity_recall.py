@@ -135,3 +135,28 @@ def test_pq_adc_determinism_and_recall(spark):
     assert top1 / len(queries) >= 0.9
     hits = sum(r1.get(k, (None,))[0] == v for k, v in exact.items())
     assert hits / len(exact) >= 0.6
+
+
+def test_ivf_trained_search_ranked_and_recalls(spark, truth):
+    """The trained IVF search must return a well-formed ranked top-k
+    per query and recall a meaningful share of the exact top-k. The
+    floor is deliberately loose (the synthetic vectors are near-random,
+    so 2-of-8-cell probing caps recall well below 1); the contract is
+    shape + non-degeneracy, the quality trade-off itself is reported by
+    sim_ivf_train's mean_within_cos."""
+    from claim_analysis_engine_spark.operators.similarity import (
+        ANN_K,
+        sim_ivf_search_trained,
+    )
+
+    rows = sim_ivf_search_trained(spark, SF_ORACLE).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert per_q, "no queries returned"
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+        assert len(ranks) <= ANN_K
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    hits = len(truth & got)
+    assert hits / len(truth) >= 0.3, f"trained-IVF recall {hits}/{len(truth)}"
