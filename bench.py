@@ -82,10 +82,13 @@ EXTRA = [
     "txt_lm_perplexity",
     "sim_recall_report",
     # round-6 additions: chunk-level passage dedup, n-gram novelty,
-    # and the stream-stream attribution join gate
+    # the stream-stream attribution join gate, and the plan-asserted
+    # scale patterns (range-shard total-order export, salted skew join)
     "corpus_dedup_chunks",
     "txt_ngram_novelty",
     "evt_join_stream",
+    "sort_global_shards",
+    "join_skew_salted",
 ]
 
 
