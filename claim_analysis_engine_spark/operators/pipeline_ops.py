@@ -650,3 +650,74 @@ def corpus_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_frac"),
         F.coalesce("clean_hash", F.md5(F.lit(""))).alias("clean_hash"),
     )
+
+
+# --------------------------------------------------- ep6_curation_e2e
+
+EP6_KEEP_FRAC_MIN = 0.75  # drop docs that are mostly repeated passages
+EP6_NOVELTY_MIN = 0.5  # drop docs whose content mostly first appeared elsewhere
+
+
+def _ep6_oracle() -> str:
+    from claim_analysis_engine_spark.operators.textops import REG as TREG
+
+    chunks_sql = REG.ops["corpus_dedup_chunks"].oracle
+    novelty_sql = TREG.ops["txt_ngram_novelty"].oracle
+    return f"""
+    WITH chunks AS (SELECT * FROM ({chunks_sql})),
+    nov AS (SELECT * FROM ({novelty_sql})),
+    toks AS (
+      SELECT doc_id, source, len({_TOKENS_SQL}) AS n_tokens FROM documents
+    ),
+    kept AS (
+      SELECT t.doc_id, t.source, t.n_tokens, n.novelty
+      FROM toks t
+      JOIN chunks c ON c.doc_id = t.doc_id
+      JOIN nov n ON n.doc_id = t.doc_id
+      WHERE c.kept_frac >= {EP6_KEEP_FRAC_MIN}
+        AND n.novelty >= {EP6_NOVELTY_MIN}
+    )
+    SELECT {_SPLIT_SQL} AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(novelty), 4) AS avg_novelty,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM kept GROUP BY 1
+    """
+
+
+@REG.op("ep6_curation_e2e", oracle=_ep6_oracle())
+def ep6_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 curation capstone: the chunk-dedup and novelty signals
+    composed into a curated training split — documents that survive
+    passage-level dedup (≥ 75% of their chunks globally first) AND the
+    novelty gate (≥ 50% of their 5-grams first seen in them) flow into
+    the deterministic md5 train/val/test split with per-split token
+    accounting. The oracle composes the two ops' own oracles as
+    derived tables, so the e2e result is value-checked through every
+    stage. Scale: each input op is its own bounded-shuffle plan; the
+    composition adds two doc_id equi-joins (co-partitioned after the
+    inputs' final doc aggregates) and one split aggregate."""
+    from claim_analysis_engine_spark.operators.textops import txt_ngram_novelty
+
+    chunks = corpus_dedup_chunks(spark, sf_dir).select("doc_id", "kept_frac")
+    nov = txt_ngram_novelty(spark, sf_dir).select("doc_id", "novelty")
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(_tokens_col()).alias("n_tokens")
+    )
+    kept = (
+        toks.join(chunks, "doc_id")
+        .join(nov, "doc_id")
+        .where(
+            (F.col("kept_frac") >= EP6_KEEP_FRAC_MIN)
+            & (F.col("novelty") >= EP6_NOVELTY_MIN)
+        )
+    )
+    return kept.select(
+        _split_col("doc_id").alias("split"), "doc_id", "n_tokens", "novelty"
+    ).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("novelty"), 4).alias("avg_novelty"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
