@@ -26,6 +26,11 @@ REG = OpRegistry()
 N_BUCKETS = 8
 N_SALTS = 16
 
+# bucketed-table names this session has created (see join_bucketed —
+# each invocation drops its predecessor's pair so the warehouse dir
+# doesn't accumulate one table pair per run)
+_BUCKETED_TABLES: list[str] = []
+
 
 # ------------------------------------------------------ join_bucketed
 
@@ -45,9 +50,16 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     either side — the layout investment that makes repeated fact-fact
     joins affordable at 100 TB (verified by plan assertion in tests:
     zero Exchange between the scans and the SortMergeJoin). Tables get
-    unique names per invocation so concurrent sessions can't collide."""
+    unique names per invocation so concurrent sessions can't collide;
+    THIS session's previous pair is dropped first (managed tables, so
+    the warehouse files go too) — without that, every invocation left
+    a table pair behind forever."""
+    for stale in _BUCKETED_TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS {stale}")
+    _BUCKETED_TABLES.clear()
     tag = uuid.uuid4().hex[:8]
     t_orders, t_lineitem = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    _BUCKETED_TABLES.extend([t_orders, t_lineitem])
     (
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey")
