@@ -248,3 +248,86 @@ def mm_bytes_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_bytes").alias("total_bytes"))
     )
+
+
+# ------------------------------------------------------ mm_phash_groups
+
+# 16 histogram classes for the perceptual signature — the most common
+# English letters; over real media the classes are luma-histogram bins
+# from the decoded payload (same bit rule, different feature source)
+_PHASH_CLASSES = "etaoinsrhldcumfp"
+
+
+def _phash_terms_sql() -> tuple[str, str]:
+    """(count expressions CTE body, signature expression) for DuckDB."""
+    cnts = ", ".join(
+        f"length(text) - length(replace(text, '{ch}', '')) AS c{i}"
+        for i, ch in enumerate(_PHASH_CLASSES)
+    )
+    total = " + ".join(f"c{i}" for i in range(len(_PHASH_CLASSES)))
+    sig = " + ".join(
+        f"(CASE WHEN c{i} * 16 > ({total}) THEN {1 << i} ELSE 0 END)"
+        for i in range(len(_PHASH_CLASSES))
+    )
+    return cnts, sig
+
+
+_PHASH_CNTS_SQL, _PHASH_SIG_SQL = _phash_terms_sql()
+
+
+@REG.op(
+    "mm_phash_groups",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT doc_id, {_PHASH_CNTS_SQL} FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, CAST({_PHASH_SIG_SQL} AS INT) AS sig FROM cnt
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, sig,
+           CAST(count(*) OVER (PARTITION BY sig) AS BIGINT) AS n_same_sig,
+           CAST(min(doc_id) OVER (PARTITION BY sig) AS BIGINT)
+             AS canonical_id,
+           doc_id = min(doc_id) OVER (PARTITION BY sig) AS is_canonical
+    FROM sig
+    """,
+)
+def mm_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash grouping over opaque payloads: a 16-bit
+    signature where bit i says histogram class i is over-represented
+    (count·16 > total — i.e. above the uniform share), then exact-sig
+    grouping with a canonical (min-id) representative per group. This
+    is the image-dedup shape (pHash → bucket → keep one) with the
+    decode stubbed: over real media the class counts come from the
+    decoded luma histogram via the `mm_decode_stub` mapInPandas stage;
+    here they come from the blob's character histogram, computed as
+    pure JVM column math (`length - length(replace(...))` per class —
+    no explode, no UDF). Scale: per-row projection + ONE window
+    shuffle on the 16-bit signature (at most 65,536 groups,
+    perfectly partitionable); group size and canonical id come from
+    the same window pass, and per-doc keep decisions stay linear —
+    never a pairwise plan."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cnts = [
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(ch)))
+        ).alias(f"c{i}")
+        for i, ch in enumerate(_PHASH_CLASSES)
+    ]
+    cnt = d.select("doc_id", *cnts)
+    total = sum(F.col(f"c{i}") for i in range(len(_PHASH_CLASSES)))
+    sig = sum(
+        F.when(F.col(f"c{i}") * 16 > total, F.lit(1 << i)).otherwise(0)
+        for i in range(len(_PHASH_CLASSES))
+    )
+    sigd = cnt.select("doc_id", sig.cast("int").alias("sig"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("sig")
+    return sigd.select(
+        "doc_id",
+        "sig",
+        F.count(F.lit(1)).over(w).alias("n_same_sig"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )

@@ -721,3 +721,153 @@ def ep6_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("novelty"), 4).alias("avg_novelty"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# ------------------------------------------------ corpus_shuffle_epoch
+
+SHUFFLE_EPOCHS = (1, 2)
+_HEX = "0123456789abcdef"
+
+
+@REG.op(
+    "corpus_shuffle_epoch",
+    oracle=f"""
+    WITH sh AS (
+      SELECT e.epoch, d.doc_id,
+             md5(concat('ep', CAST(e.epoch AS VARCHAR), ':',
+                        CAST(d.doc_id AS VARCHAR))) AS h
+      FROM documents d, (SELECT unnest([1, 2]) AS epoch) e
+    )
+    SELECT epoch,
+           CAST(instr('{_HEX}', substring(h, 1, 1)) - 1 AS INT) AS shard,
+           count(*) AS n_docs, min(h) AS first_h, max(h) AS last_h,
+           CAST(min_by(doc_id, h) AS BIGINT) AS first_doc
+    FROM sh GROUP BY 1, 2
+    """,
+)
+def corpus_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle — the training-order
+    generator: each epoch orders the corpus by `md5('ep<e>:' || doc_id)`
+    and shards on the hash's first hex digit, so every epoch is a
+    different but REPRODUCIBLE permutation, shards are balanced by
+    construction (equal hash-space slices), and no single reducer ever
+    sees the whole corpus (materialization rides the
+    `sort_global_shards` range-shard pattern; this op emits the order
+    contract itself). The profile returns each (epoch, shard)'s hash
+    range and the first document a reader of that shard sees —
+    value-checked against the oracle; cross-epoch decorrelation is
+    asserted in tests/test_shuffle_epoch.py. Scale: one projection +
+    one aggregate per epoch, no joins; epochs fan out by `explode`, so
+    N epochs is N× one pass, never N passes over the driver."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(e) for e in SHUFFLE_EPOCHS])).alias("epoch"),
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.lit("ep"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    sh = sh.withColumn(
+        "shard", F.expr(f"locate(substring(h, 1, 1), '{_HEX}') - 1").cast("int")
+    )
+    return sh.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("h").alias("first_h"),
+        F.max("h").alias("last_h"),
+        F.min_by("doc_id", "h").alias("first_doc"),
+    )
+
+
+# -------------------------------------------------- corpus_quality_lr
+
+LR_TRAIN_MOD = 4    # doc_id % 4 == 0 → training sample (driver-side numpy)
+LR_ITERS = 1000
+LR_RATE = 5.0
+LR_TOKEN_TARGET = 55  # label: doc has >= 55 tokens (median split here)
+
+
+def _lr_feature_cols() -> list[F.Column]:
+    """Three JVM-side features (+ implicit bias): log char length,
+    distinct-token ratio, stopword rate. NOTE the deliberate target
+    choice: the synthetic corpus draws every language's text from the
+    same vocabulary, so `lang` carries NO content signal (measured:
+    stopword rates are identical across langs) — a language target
+    would make any accuracy claim fake. The length-class target is
+    honestly learnable from these features without being a projection
+    of any one of them."""
+    toks = F.array_remove(F.split("text", " "), "")
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    stop_arr = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to", "in"))
+    stop_hits = F.expr(
+        "size(filter(array_remove(split(text, ' '), ''), "
+        f"t -> array_contains(array({stop_arr}), t)))"
+    )
+    return [
+        (F.log1p(F.length("text")) / 10.0).alias("f_len"),
+        (F.size(F.array_distinct(toks)).cast("double") / n).alias("f_distinct"),
+        (stop_hits.cast("double") / n).alias("f_stop"),
+    ]
+
+
+def _train_lr(rows) -> list[float]:
+    """Deterministic batch gradient descent on the driver: zero init,
+    fixed iteration count and rate, float64, rows sorted by doc_id —
+    byte-stable across runs. The training set is a bounded hash-sample
+    (doc_id % LR_TRAIN_MOD), collected once; at 100 TB the same sample
+    is a TABLESAMPLE with the identical modulo predicate, still
+    driver-sized."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r.doc_id)
+    x = np.array([[1.0, r.f_len, r.f_distinct, r.f_stop] for r in rows])
+    y = np.array([1.0 if r.label else 0.0 for r in rows])
+    w = np.zeros(x.shape[1])
+    for _ in range(LR_ITERS):
+        p = 1.0 / (1.0 + np.exp(-(x @ w)))
+        w -= LR_RATE * (x.T @ (p - y)) / len(y)
+    return [float(v) for v in w]
+
+
+@REG.op("corpus_quality_lr")  # rows-only: the scoring weights are
+# LEARNED floats, so no static SQL oracle can exist; determinism and
+# held-out accuracy are pinned in tests/test_shuffle_epoch.py
+def corpus_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned document classifier — the fastText-shaped quality gate
+    every web-scale corpus pipeline runs: extract cheap JVM-side
+    features, train a logistic regression on the driver over a
+    deterministic hash-sample (the only collect, bounded at 1/4 of
+    docs here and a fixed-size TABLESAMPLE at scale), then score the
+    FULL corpus distributed with the learned weights as literal
+    coefficients (4 floats — constant plan size, the legitimate use of
+    literals vs the broadcast-DATA rule for model-sized state). The
+    demo target is a length-class gate (see _lr_feature_cols for why
+    the synthetic corpus admits no language target); swapping target
+    and features changes nothing about the Spark shape."""
+    toks = F.array_remove(F.split("text", " "), "")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.size(toks) >= LR_TOKEN_TARGET).alias("label"),
+        *_lr_feature_cols(),
+    )
+    train = d.where(F.col("doc_id") % LR_TRAIN_MOD == 0).collect()
+    w = _train_lr(train)
+    logit = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("f_len")
+        + F.lit(w[2]) * F.col("f_distinct")
+        + F.lit(w[3]) * F.col("f_stop")
+    )
+    return d.select(
+        "doc_id",
+        "label",
+        (F.col("doc_id") % LR_TRAIN_MOD == 0).alias("in_train"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+        (logit > 0).alias("pred"),
+    )

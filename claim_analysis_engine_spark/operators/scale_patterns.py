@@ -254,6 +254,162 @@ def sort_global_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- sort_zorder
+
+Z_BITS = 8          # bits kept per dimension (bx, by ∈ [0, 255])
+Z_SHARDS = 16       # top 4 z-bits → 2 leading bits of EACH dimension
+
+
+def _interleave_sql(bx: str, by: str) -> str:
+    """DuckDB expression interleaving the low Z_BITS of two ints:
+    bit i of bx lands at position 2i+1, bit i of by at 2i."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"(({bx} >> {i}) & 1) * {1 << (2 * i + 1)}")
+        terms.append(f"(({by} >> {i}) & 1) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def _interleave_col(bx: F.Column, by: F.Column) -> F.Column:
+    out = F.lit(0)
+    for i in range(Z_BITS):
+        out = out + F.shiftright(bx, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        out = out + F.shiftright(by, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+    return out
+
+
+@REG.op(
+    "sort_zorder",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 256 AS INT) AS bx,
+             CAST((year(o_orderdate) * 12 + month(o_orderdate) - 1) % 256
+                  AS INT) AS by
+      FROM orders
+    ),
+    z AS (
+      SELECT o_orderkey, bx, by,
+             CAST({_interleave_sql('bx', 'by')} AS INT) AS zval
+      FROM keyed
+    )
+    SELECT CAST(zval >> {16 - 4} AS INT) AS shard, count(*) AS n_rows,
+           CAST(min(bx) AS INT) AS min_bx, CAST(max(bx) AS INT) AS max_bx,
+           CAST(min(by) AS INT) AS min_by, CAST(max(by) AS INT) AS max_by
+    FROM z GROUP BY 1
+    """,
+)
+def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering for multi-dimension data skipping:
+    interleave the low 8 bits of two frequently-filtered dimensions
+    (customer bucket, month index), range-shard on the z-value, sort
+    within shards, and write — so each output file's min/max footer
+    stats are TIGHT in BOTH dimensions (a linear sort is tight in one
+    and spans the full range in the other). The returned per-shard
+    profile proves it: with 16 shards (top 4 z-bits = 2 leading bits
+    of each dimension), every shard spans ≤ a quarter of EACH dim's
+    range — asserted in tests/test_scale_patterns.py, alongside the
+    skipping contrast vs a single-dim sort. At 100 TB this is the
+    layout that lets a scan on either predicate prune ~15/16 of files
+    without any index."""
+    out = tempfile.mkdtemp(prefix="cae_spark_zorder_")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("int").alias("bx"),
+        (
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1) % 256
+        ).cast("int").alias("by"),
+    )
+    z = o.withColumn("zval", _interleave_col(F.col("bx"), F.col("by")).cast("int"))
+    sharded = z.withColumn(
+        "shard", F.shiftright("zval", 2 * Z_BITS - 4).cast("int")
+    )
+    (
+        sharded.repartitionByRange(Z_SHARDS, "shard")
+        .sortWithinPartitions("shard", "zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("bx").alias("min_bx"),
+        F.max("bx").alias("max_bx"),
+        F.min("by").alias("min_by"),
+        F.max("by").alias("max_by"),
+    )
+
+
+# -------------------------------------------------------- snk_compaction
+
+FRAGMENT_FILES = 64          # staged small-file count (the problem)
+COMPACT_ROWS_PER_FILE = 4096  # target rows/file — stands in for the
+# 128 MB byte target a production compactor sizes from sampled row
+# width; a row-count contract keeps the oracle engine-independent
+# (byte sizes vary with compression/writer version)
+
+
+# (frag_dir, compacted_dir) of the most recent invocation — lets the
+# test cross-check the engine-side file counts against the filesystem
+_LAST_COMPACTION_DIRS: list[str] = []
+
+
+@REG.op(
+    "snk_compaction",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           {FRAGMENT_FILES} AS n_files_before,
+           CAST(ceil(count(*) / {COMPACT_ROWS_PER_FILE}.0) AS INT)
+             AS n_files_after,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    """,
+)
+def snk_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every long-lived
+    100 TB table needs: streaming/incremental writers leave thousands
+    of KB-sized files whose per-file open/footer cost dominates scans.
+    Stage the problem (round-robin write into 64 fragments), then
+    compact: read back, round-robin `repartition(ceil(rows/target))`
+    (AQE leaves explicit round-robin repartitions alone — measured in
+    round 6), rewrite. File counts are measured ENGINE-SIDE (distinct
+    `input_file_name()`, which works on any filesystem Spark can read,
+    not just local paths) and the decimal sum proves content equality
+    through both rewrites. Tests additionally assert the physical
+    file counts on disk match the reported ones."""
+    frag = tempfile.mkdtemp(prefix="cae_spark_frag_")
+    compacted = tempfile.mkdtemp(prefix="cae_spark_compact_")
+    _LAST_COMPACTION_DIRS[:] = [frag, compacted]
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    o.repartition(FRAGMENT_FILES).write.mode("overwrite").parquet(frag)
+
+    staged = spark.read.parquet(frag)
+    n_rows = staged.count()
+    n_target = -(-n_rows // COMPACT_ROWS_PER_FILE)  # ceil
+    staged.repartition(n_target).write.mode("overwrite").parquet(compacted)
+
+    def n_files(path: str):
+        return (
+            spark.read.parquet(path)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    final = spark.read.parquet(compacted)
+    return final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(n_files(frag)).alias("n_files_before"),
+        F.lit(n_files(compacted)).alias("n_files_after"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total"),
+    )
+
+
 # --------------------------------------------------- join_skew_salted
 
 @REG.op(

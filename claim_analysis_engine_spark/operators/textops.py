@@ -740,3 +740,80 @@ def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(n_novel.cast("double") / n_grams, 4))
         .alias("novelty"),
     )
+
+
+# ------------------------------------------------------ txt_idf_topterms
+
+IDF_TOP_K = 3
+
+
+@REG.op(
+    "txt_idf_topterms",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             tf.tf * n.n_docs / CAST(dfreq.df AS DOUBLE) AS raw
+      FROM tf JOIN dfreq USING (term), n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, df, raw,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY raw DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rnk AS INT) AS rnk,
+           term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round(raw, 4) AS score
+    FROM ranked WHERE rnk <= {IDF_TOP_K}
+    """,
+)
+def txt_idf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top-terms — the distinctive-term extractor
+    behind corpus topic profiling and keyword indexing. idf is the raw
+    ratio N/df (the unsmoothed variant): with integer tf·N < 2^53 the
+    score is ONE IEEE double division, bit-identical in any engine, so
+    the rank ordering is deterministic cross-engine — a log-idf would
+    rank on `ln` ulps where JVM and DuckDB may differ in the last bit.
+    Plan shape: explode → (doc,term) count, with the term-frequency dim
+    (vocabulary-sized, tiny) BROADCAST back onto it; corpus size joins
+    in as a broadcast scalar; one window per doc ranks. Two hash
+    aggregates + one window — no fact-sized shuffle beyond the
+    (doc,term) aggregate itself. The (doc,term) frame feeds both the
+    tf and df branches, so it is cached for the run."""
+    d = load(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(_tokens_col()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.cache()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "raw",
+            F.col("tf") * F.col("n_docs") / F.col("df").cast("double"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("raw"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= IDF_TOP_K)
+        .select(
+            "doc_id",
+            "rnk",
+            "term",
+            "tf",
+            "df",
+            F.round("raw", 4).alias("score"),
+        )
+    )

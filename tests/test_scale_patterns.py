@@ -137,3 +137,42 @@ def test_salted_join_runs_on_salted_keys_without_broadcast(spark):
     # formatted explain puts the keys in the detail block
     key_lines = [l for l in plan.splitlines() if "keys" in l and "salt" in l]
     assert key_lines, plan
+
+
+def test_zorder_shards_bound_both_dimensions(spark):
+    """With 16 z-shards (= top 4 Morton bits = 2 leading bits of each
+    dimension pinned), every shard must span at most a quarter of BOTH
+    dimension ranges — the property that makes either-predicate file
+    skipping work. A single-dimension sort bounds one dim and spans
+    the other; the final assert shows the contrast isn't vacuous."""
+    from claim_analysis_engine_spark.operators.scale_patterns import sort_zorder
+
+    rows = sort_zorder(spark, SF_SMALL).collect()
+    assert len(rows) > 4
+    for r in rows:
+        assert r.max_bx - r.min_bx <= 63, r
+        assert r.max_by - r.min_by <= 63, r
+    # the data itself spans (much) more than one shard's window in bx,
+    # so the per-shard bound is a real clustering effect
+    assert max(r.max_bx for r in rows) - min(r.min_bx for r in rows) > 63
+
+
+def test_compaction_reduces_files_and_reports_truthfully(spark):
+    import glob
+
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        _LAST_COMPACTION_DIRS,
+        COMPACT_ROWS_PER_FILE,
+        FRAGMENT_FILES,
+        snk_compaction,
+    )
+
+    row = snk_compaction(spark, SF_SMALL).collect()[0]
+    assert row.n_files_before == FRAGMENT_FILES
+    assert row.n_files_after == -(-row.n_rows // COMPACT_ROWS_PER_FILE)
+    assert row.n_files_after < row.n_files_before
+    # the engine-side counts (distinct input_file_name) must agree with
+    # the filesystem — the report is not self-referential bookkeeping
+    frag, compacted = _LAST_COMPACTION_DIRS
+    assert len(glob.glob(f"{frag}/*.parquet")) == row.n_files_before
+    assert len(glob.glob(f"{compacted}/*.parquet")) == row.n_files_after
