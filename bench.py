@@ -89,6 +89,15 @@ EXTRA = [
     "evt_join_stream",
     "sort_global_shards",
     "join_skew_salted",
+    # round-7 additions: data-layout maintenance (z-order clustering,
+    # small-file compaction), the per-epoch training shuffle, the
+    # learned quality gate, TF-IDF top terms, and pHash grouping
+    "sort_zorder",
+    "snk_compaction",
+    "corpus_shuffle_epoch",
+    "corpus_quality_lr",
+    "txt_idf_topterms",
+    "mm_phash_groups",
 ]
 
 

@@ -634,6 +634,10 @@ def txt_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # the pair stream feeds THREE consumers (bigram counts, unigram
+    # counts, scoring join) — cache it so the explode runs once, and so
+    # the CacheManager's plan matching reuses it across invocations
+    pairs = pairs.cache()
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     voc = t.select(F.explode("toks").alias("tok")).agg(
