@@ -98,6 +98,7 @@ EXTRA = [
     "corpus_quality_lr",
     "txt_idf_topterms",
     "mm_phash_groups",
+    "ep7_retrieval_e2e",
 ]
 
 

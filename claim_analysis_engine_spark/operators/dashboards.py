@@ -478,3 +478,101 @@ def ep4_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return funnel
+
+
+# --------------------------------------------------- ep7_retrieval_e2e
+
+def _ep7_oracle() -> str:
+    from claim_analysis_engine_spark.operators.similarity import (
+        ANN_K,
+        QUERY_MOD,
+        REG as SREG,
+    )
+
+    exact_sql = SREG.ops["sim_topk_brute"].oracle
+    ann_sql = SREG.ops["sim_ann_int8_rerank"].oracle
+    qz_sql = SREG.ops["emb_quantize_int8"].oracle
+    return f"""
+    WITH exact AS (SELECT * FROM ({exact_sql})),
+    ann AS (SELECT * FROM ({ann_sql})),
+    qz AS (SELECT * FROM ({qz_sql})),
+    q AS (SELECT vec_id, label FROM embeddings
+          WHERE vec_id % {QUERY_MOD} = 0),
+    hits AS (
+      SELECT a.query_id, count(*) AS n_hit
+      FROM ann a JOIN exact e ON e.query_id = a.query_id
+        AND e.neighbor_id = a.neighbor_id AND e.rank <= {ANN_K}
+      GROUP BY 1
+    ),
+    top1 AS (SELECT query_id, cosine FROM exact WHERE rank = 1)
+    SELECT q.label, count(*) AS n_queries,
+           CAST(sum(coalesce(h.n_hit, 0)) AS BIGINT) AS n_hits,
+           round(sum(coalesce(h.n_hit, 0))
+                 / CAST(count(*) * {ANN_K} AS DOUBLE), 4) AS recall_at_k,
+           round(avg(t.cosine), 4) AS avg_top1_cos,
+           round(avg(z.mse_e6), 2) AS avg_mse_e6
+    FROM q
+    LEFT JOIN hits h ON h.query_id = q.vec_id
+    JOIN top1 t ON t.query_id = q.vec_id
+    JOIN qz z ON z.vec_id = q.vec_id
+    GROUP BY 1
+    """
+
+
+@REG.op("ep7_retrieval_e2e", oracle=_ep7_oracle())
+def ep7_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-retrieval capstone: the quantize → coarse-ANN →
+    exact-rerank → evaluate lifecycle composed into one per-label
+    quality report — the dashboard a vector-corpus owner watches
+    (recall of the cheap int8 path vs exact, retrieval margin, and
+    quantization loss, sliced by label segment). Composes three
+    oracle-checked ops — `sim_ann_int8_rerank`'s top-k against
+    `sim_topk_brute`'s ground truth, with `emb_quantize_int8`'s error
+    profile on the query vectors — and the oracle composes those ops'
+    OWN oracles as derived tables, so the e2e numbers are value-checked
+    through every stage. Scale: the expensive stages are the two ops'
+    existing bounded plans (broadcast query set, no corpus×corpus
+    join); the composition adds only query-set-sized joins and one
+    final label aggregate."""
+    from claim_analysis_engine_spark.operators.similarity import (
+        ANN_K,
+        QUERY_MOD,
+        emb_quantize_int8,
+        sim_ann_int8_rerank,
+        sim_topk_brute,
+    )
+
+    exact = sim_topk_brute(spark, sf_dir)
+    ann = sim_ann_int8_rerank(spark, sf_dir)
+    qz = emb_quantize_int8(spark, sf_dir)
+    q = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", "label")
+    )
+    exact3 = exact.where(F.col("rank") <= ANN_K).select("query_id", "neighbor_id")
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(exact3, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    top1 = exact.where(F.col("rank") == 1).select("query_id", "cosine")
+    joined = (
+        q.join(hits, q.vec_id == hits.query_id, "left")
+        .drop("query_id")
+        .join(top1, q.vec_id == top1.query_id)
+        .drop("query_id")
+        .join(qz.select("vec_id", "mse_e6"), "vec_id")
+    )
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.coalesce("n_hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce("n_hit", F.lit(0)))
+            / (F.count(F.lit(1)) * ANN_K).cast("double"),
+            4,
+        ).alias("recall_at_k"),
+        F.round(F.avg("cosine"), 4).alias("avg_top1_cos"),
+        F.round(F.avg("mse_e6"), 2).alias("avg_mse_e6"),
+    )
