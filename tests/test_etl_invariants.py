@@ -66,3 +66,17 @@ def test_lag_valid_implies_nonnegative_lag(spark):
     # dates (orderkey % 4 == 3) must still be present with lag_valid=False
     flagged = out.where(~F.col("lag_valid")).count()
     assert flagged > 0
+
+
+def test_every_registered_op_is_documented_in_survey():
+    """SURVEY.md §2 is the coverage contract the registry implements:
+    every registered op id must appear there by name (in its own row
+    or named inside a family row), so the inventory and the code can't
+    silently drift apart."""
+    from pathlib import Path
+
+    from claim_analysis_engine_spark.registry import registry
+
+    survey = Path(__file__).resolve().parent.parent.joinpath("SURVEY.md").read_text()
+    missing = [op_id for op_id in registry() if op_id not in survey]
+    assert not missing, f"ops registered but absent from SURVEY.md: {missing}"
