@@ -76,7 +76,18 @@ def merge_upsert(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    deduped.write.partitionBy(*HUB_PARTITIONS).mode("overwrite").parquet(hub_path)
+    # re-cluster on the partition keys before the partitioned write:
+    # straight from the claim_id window shuffle, EVERY task holds rows
+    # of EVERY (year, month) and the sink writes tasks×dirs files (the
+    # small-file explosion snk_compaction exists to clean up). One
+    # extra exchange makes each directory the product of exactly one
+    # task — bounded files per dir and parallel directory writes. (AQE
+    # may coalesce the exchange when volumes are small; coalesced
+    # buckets keep whole (year, month) groups together, so the
+    # one-file-per-dir property survives.)
+    deduped.repartition(*HUB_PARTITIONS).write.partitionBy(
+        *HUB_PARTITIONS
+    ).mode("overwrite").parquet(hub_path)
 
 
 def available_periods(spark: SparkSession, hub_path: str) -> DataFrame:
