@@ -99,6 +99,7 @@ EXTRA = [
     "txt_idf_topterms",
     "mm_phash_groups",
     "ep7_retrieval_e2e",
+    "evt_mart_refresh_stream",
 ]
 
 

@@ -426,3 +426,33 @@ def test_attribution_join_multibatch_equals_batch(spark):
     )
     assert len(want) > 0
     assert got == want
+
+
+def test_mart_refresh_is_genuinely_incremental(spark):
+    """The mart-refresh gate must run as MULTIPLE micro-batches whose
+    foreachBatch merges are key-scoped: every version after the first
+    carries the previous version's untouched keys forward unchanged,
+    and key counts only grow (running totals in update mode). The
+    oracle already proves final == full batch aggregate; this pins the
+    refresh being incremental rather than one recompute-everything
+    batch."""
+    from claim_analysis_engine_spark.operators.streaming_gate import (
+        MART_REFRESH_SPLITS,
+        evt_mart_refresh_stream,
+    )
+    from tests.conftest import SF_SMALL
+
+    evt_mart_refresh_stream(spark, SF_SMALL).collect()
+    versions = evt_mart_refresh_stream.last_versions
+    assert len(versions) == MART_REFRESH_SPLITS
+    seen: dict[tuple, int] = {}
+    for v in versions:
+        cur = {
+            (r.event_type, r.day): r.n_events
+            for r in spark.read.parquet(v).collect()
+        }
+        for k, n in seen.items():
+            assert k in cur, (v, k)  # carried forward, never dropped
+            assert cur[k] >= n, (v, k)  # running totals only grow
+        seen = cur
+    assert sum(seen.values()) > 0
