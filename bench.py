@@ -100,6 +100,8 @@ EXTRA = [
     "mm_phash_groups",
     "ep7_retrieval_e2e",
     "evt_mart_refresh_stream",
+    "dedup_cluster_cc_star",
+    "src_schema_evolution",
 ]
 
 

@@ -890,6 +890,30 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round task overhead — measured +1 s at sf0.1 when the scan was
     repartitioned to 32. The single md5 signature pass is cheap enough
     single-split at these SFs; a real corpus arrives multi-split."""
+    sigs, nodes, edges = _cc_sig_graph(spark, sf_dir)
+
+    labels, converged = propagate_min_labels(nodes, edges)
+
+    per_doc = sigs.join(labels, "sig").select(
+        "doc_id", F.col("label").alias("root_id")
+    )
+    sizes = per_doc.groupBy("root_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    # contract column, oracle-checked: the recursive-CTE oracle emits
+    # TRUE, so a cap-terminated (non-converged) run hash-mismatches at
+    # the gate instead of passing partial labels off as components
+    return per_doc.join(sizes, "root_id").select(
+        "doc_id", "root_id", "cluster_size", F.lit(converged).alias("converged")
+    )
+
+
+def _cc_sig_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared near-dup graph substrate for both CC implementations:
+    (sigs, nodes, edges) — per-doc simhash signatures, one labeled node
+    per DISTINCT signature, and symmetric pigeonhole-block edges."""
     toks = F.array_distinct(F.array_remove(F.split("text", " "), ""))
     docs = load(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
     hashed = docs.select("doc_id", F.transform("toks", F.md5).alias("hashes"))
@@ -935,21 +959,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = half.unionByName(
         half.select(F.col("sigb").alias("siga"), F.col("siga").alias("sigb"))
     ).localCheckpoint()
-
-    labels, converged = propagate_min_labels(nodes, edges)
-
-    per_doc = sigs.join(labels, "sig").select(
-        "doc_id", F.col("label").alias("root_id")
-    )
-    sizes = per_doc.groupBy("root_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    # contract column, oracle-checked: the recursive-CTE oracle emits
-    # TRUE, so a cap-terminated (non-converged) run hash-mismatches at
-    # the gate instead of passing partial labels off as components
-    return per_doc.join(sizes, "root_id").select(
-        "doc_id", "root_id", "cluster_size", F.lit(converged).alias("converged")
-    )
+    return sigs, nodes, edges
 
 
 # --------------------------------------------------- dedup_simhash_fast
@@ -1113,4 +1123,147 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_id",
         (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
         "cluster_size",
+    )
+
+
+# ----------------------------------------------- dedup_cluster_cc_star
+
+CC_STAR_MAX_ROUNDS = 16  # each round is large-star + small-star
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (min, max) orientation, no
+    self-loops, distinct."""
+    return (
+        e.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+
+
+def star_components(
+    edges: DataFrame, max_rounds: int = CC_STAR_MAX_ROUNDS
+) -> tuple[DataFrame, bool, int]:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): each round rewires every node toward its
+    neighborhood minimum — large-star hangs strictly larger neighbors
+    under min(Γ(u) ∪ {u}), small-star re-hangs smaller-or-equal
+    neighbors — and the edge set provably converges to per-component
+    STARS in O(log n) rounds on ANY graph. This is the scale
+    complement to propagate_min_labels, whose round count is the graph
+    DIAMETER: on near-clique near-dup graphs the two tie, but a
+    100 TB corpus with chained duplicates (doc A≈B≈C≈… across crawls)
+    produces long paths where diameter rounds are unaffordable and
+    log-rounds is the published fix (same core as GraphX/GraphFrames
+    CC). tests/test_dedup_recall.py pins exactly that separation on a
+    synthetic path graph — min-propagation blows its cap while the
+    star loop converges — and label agreement with the iterative op.
+
+    `edges`: undirected (u, v) pairs over orderable bigint node ids.
+    Returns (assign, converged, rounds): assign maps each node that
+    appears in `edges` to its component minimum (`root`). Runs on few
+    shuffle partitions for the same reason propagate_min_labels does;
+    every round localCheckpoints both frames (lineage must not grow
+    with rounds)."""
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        e = _canon(edges).localCheckpoint()
+
+        def checksum(frame: DataFrame):
+            # decimal accumulator: a long sum of 2^63-scale hashes
+            # overflows under ANSI mode
+            row = frame.agg(
+                F.coalesce(
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            return (row.h, row.n)
+
+        prev = checksum(e)
+        converged, rounds = False, 0
+        for rounds in range(1, max_rounds + 1):
+            # large-star: for every node u, hang each STRICTLY LARGER
+            # neighbor v under m = min(Γ(u) ∪ {u})
+            g = _sym(e)
+            m = g.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            large = (
+                g.join(m, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            e = _canon(large).localCheckpoint()
+            # small-star: orient edges large→small, re-hang every
+            # smaller neighbor (and u itself) under the minimum
+            h = e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            mn = h.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                h.join(mn, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(
+                    mn.select(F.col("u"), F.col("m").alias("v"))
+                )
+            )
+            e = _canon(small).localCheckpoint()
+            cur = checksum(e)
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
+        # final state is a star per component: every node's min over
+        # its (symmetric) neighborhood and itself IS the component root
+        g = _sym(e)
+        assign = g.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("root")
+        )
+        return assign, converged, rounds
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@REG.op(
+    "dedup_cluster_cc_star",
+    # identical contract to dedup_cluster_cc — the SAME recursive-CTE
+    # oracle value-checks both the diameter-round and the log-round
+    # implementation
+    oracle=REG.ops["dedup_cluster_cc"].oracle,
+)
+def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_cluster_cc's transitive-clustering contract computed by
+    the O(log n)-round alternating-star algorithm instead of
+    diameter-round label propagation (see star_components). Shares the
+    signature/pigeonhole edge construction with dedup_cluster_cc and
+    the SAME DuckDB oracle, so the driver's hash gate certifies that
+    two independently-shaped iterative programs agree with the
+    recursive-CTE ground truth."""
+    sigs, nodes, edges = _cc_sig_graph(spark, sf_dir)
+    star_edges = edges.select(
+        F.col("siga").alias("u"), F.col("sigb").alias("v")
+    )
+    assign, converged, _rounds = star_components(star_edges)
+    # sig-level components → min-doc labels per component; sigs with no
+    # edges are their own singleton components
+    comp = nodes.join(
+        assign.select(F.col("u").alias("sig"), "root"), "sig", "left"
+    ).select("sig", "label", F.coalesce("root", "sig").alias("root_sig"))
+    root_label = comp.groupBy("root_sig").agg(F.min("label").alias("root_id"))
+    sig_root = comp.join(root_label, "root_sig").select("sig", "root_id")
+    per_doc = sigs.join(sig_root, "sig").select("doc_id", "root_id")
+    sizes = per_doc.groupBy("root_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return per_doc.join(sizes, "root_id").select(
+        "doc_id", "root_id", "cluster_size", F.lit(converged).alias("converged")
     )

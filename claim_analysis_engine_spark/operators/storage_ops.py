@@ -433,3 +433,51 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------- src_schema_evolution
+
+@REG.op(
+    "src_schema_evolution",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS y, count(*) AS n_rows,
+           CAST(count(o_totalprice) AS BIGINT) AS n_with_price,
+           CAST(count(CASE WHEN year(o_orderdate) >= 1997
+                           THEN o_orderpriority END) AS BIGINT)
+             AS n_with_priority
+    FROM orders GROUP BY 1
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across partition generations — the 100 TB
+    reality every long-lived hub hits: old partitions were written
+    before a column existed. Years < 1997 are written WITHOUT
+    `o_orderpriority` (the pre-evolution generation), years ≥ 1997
+    with it; the read
+    mounts both generations in ONE scan via mergeSchema, and rows from
+    old files surface the missing column as NULL instead of failing or
+    silently dropping files (the reference handles this reindex-style
+    per upload, core/storage.py:107-119 — here the SCAN layer absorbs
+    it). The per-year profile counts the column's population so the
+    oracle proves old partitions read as null-filled and new ones keep
+    their values. Plan note: mergeSchema reconciles footers at
+    planning; per-row cost is zero, which is why evolution-by-null is
+    the lakehouse norm while full rewrites are compaction-sized
+    events."""
+    out = tempfile.mkdtemp(prefix="cae_spark_evolve_")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.year("o_orderdate").alias("y"),
+    )
+    old = o.where(F.col("y") < 1997).drop("o_orderpriority")
+    new = o.where(F.col("y") >= 1997)
+    old.write.partitionBy("y").mode("overwrite").parquet(out)
+    new.write.partitionBy("y").mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy("y").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_with_price"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+    )

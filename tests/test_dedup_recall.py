@@ -238,3 +238,59 @@ def test_cc_propagation_surfaces_cap_hit(spark):
     assert {(r.sig, r.label) for r in labels.collect()} == {
         (10, 10), (20, 10), (30, 10), (40, 10)
     }
+
+
+def test_star_cc_converges_where_diameter_propagation_cannot(spark):
+    """The separation that justifies the alternating-star variant: on a
+    64-node PATH graph (diameter 63), min-label propagation needs
+    ~diameter rounds and must blow its 20-round cap, while the
+    large-star/small-star loop converges in O(log n) rounds — the
+    chained-duplicate topology (A≈B≈C≈… across crawls) a 100 TB corpus
+    actually produces."""
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        CC_MAX_ITERS,
+        propagate_min_labels,
+        star_components,
+    )
+    from pyspark.sql import functions as F
+
+    n = 64
+    assert n - 1 > CC_MAX_ITERS
+    path = [(i, i + 1) for i in range(n - 1)]
+    nodes = spark.createDataFrame(
+        [(i, i) for i in range(n)], "sig bigint, label bigint"
+    ).localCheckpoint()
+    sym = path + [(b, a) for a, b in path]
+    edges = spark.createDataFrame(
+        sym, "siga bigint, sigb bigint"
+    ).localCheckpoint()
+
+    _labels, converged = propagate_min_labels(nodes, edges)
+    assert not converged  # diameter-bound: the cap is genuinely hit
+
+    star_edges = spark.createDataFrame(path, "u bigint, v bigint")
+    assign, star_conv, rounds = star_components(star_edges)
+    assert star_conv
+    assert rounds <= 12, rounds  # O(log n), not O(diameter)
+    roots = {r.u: r.root for r in assign.collect()}
+    assert set(roots.values()) == {0}  # one component, min-id root
+
+
+def test_star_cc_agrees_with_propagation_cc(spark):
+    """Both CC implementations must emit identical (doc, root, size)
+    clusterings over the real near-dup graph."""
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        dedup_cluster_cc,
+        dedup_cluster_cc_star,
+    )
+    from tests.conftest import SF_SMALL
+
+    a = {
+        (r.doc_id, r.root_id, r.cluster_size)
+        for r in dedup_cluster_cc(spark, SF_SMALL).collect()
+    }
+    b = {
+        (r.doc_id, r.root_id, r.cluster_size)
+        for r in dedup_cluster_cc_star(spark, SF_SMALL).collect()
+    }
+    assert a == b
