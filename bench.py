@@ -102,6 +102,7 @@ EXTRA = [
     "evt_mart_refresh_stream",
     "dedup_cluster_cc_star",
     "src_schema_evolution",
+    "agg_kanon_suppress",
 ]
 
 

@@ -587,3 +587,75 @@ def agg_window_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("n").over(w).cast("bigint").alias("prev_n"),
         F.lead("n").over(w).cast("bigint").alias("next_n"),
     )
+
+
+# --------------------------------------------------- agg_kanon_suppress
+
+KANON_K = 20  # minimum group size an exported aggregate row may reveal
+
+
+@REG.op(
+    "agg_kanon_suppress",
+    oracle=f"""
+    WITH g AS (
+      SELECT n_name AS nation, c_mktsegment AS segment, count(*) AS n,
+             round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_bal
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY 1, 2
+    ),
+    marked AS (SELECT *, n >= {KANON_K} AS keep FROM g)
+    SELECT nation, segment, n, total_bal, FALSE AS suppressed
+    FROM marked WHERE keep
+    UNION ALL
+    SELECT nation, 'OTHER' AS segment,
+           CAST(sum(n) AS BIGINT) AS n,
+           round(sum(total_bal), 2) AS total_bal,
+           TRUE AS suppressed
+    FROM marked WHERE NOT keep
+    GROUP BY nation
+    """,
+)
+def agg_kanon_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression for published aggregates — the release
+    gate a data-sharing pipeline applies before any per-segment table
+    leaves the boundary: groups smaller than k (here 20) would let a
+    reader triangulate individuals, so they are folded into a
+    per-nation 'OTHER' bucket whose totals stay accurate while no
+    emitted row describes fewer than k people (unless even the fold is
+    small — which the `suppressed` flag makes auditable). One grouped
+    aggregate plus one re-aggregate of ONLY the small groups; the
+    broadcast nation dim joins before the aggregate so grouping runs
+    on the joined key directly. Decimal sums keep the folded totals
+    exactly equal to the sum of their parts."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation")
+    )
+    g = (
+        c.join(F.broadcast(n), "c_nationkey")
+        .groupBy("nation", F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_bal"),
+        )
+    )
+    kept = g.where(F.col("n") >= KANON_K).withColumn("suppressed", F.lit(False))
+    folded = (
+        g.where(F.col("n") < KANON_K)
+        .groupBy("nation")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("total_bal"), 2).alias("total_bal"),
+        )
+        .select(
+            "nation",
+            F.lit("OTHER").alias("segment"),
+            "n",
+            "total_bal",
+            F.lit(True).alias("suppressed"),
+        )
+    )
+    return kept.unionByName(folded)

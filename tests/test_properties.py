@@ -108,3 +108,56 @@ def test_champion_leaderboard_well_formed(values):
         for a, b in zip(rmses, rmses[1:])
     )
     assert res.champion == res.leaderboard[0]["model"]
+
+
+def _py_interleave(bx: int, by: int) -> int:
+    z = 0
+    for i in range(8):
+        z |= ((bx >> i) & 1) << (2 * i + 1)
+        z |= ((by >> i) & 1) << (2 * i)
+    return z
+
+
+@settings(max_examples=200, deadline=None)
+@given(bx=st.integers(0, 255), by=st.integers(0, 255))
+def test_morton_interleave_is_a_bijection_with_locality(bx, by):
+    """The z-order key must decode back to its inputs (bijection — a
+    lossy code would silently merge cells) and preserve the prefix
+    property sort_zorder's sharding relies on: the top 2k z-bits pin
+    the top k bits of BOTH dimensions."""
+    z = _py_interleave(bx, by)
+    assert 0 <= z < 1 << 16
+    back_x = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+    back_y = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+    assert (back_x, back_y) == (bx, by)
+    # the pinning sort_zorder's 16 shards rely on: the shard id IS the
+    # top-2 bits of each dimension, interleaved
+    shard = z >> 12
+    assert shard == (
+        ((bx >> 7) << 3)
+        | ((by >> 7) << 2)
+        | (((bx >> 6) & 1) << 1)
+        | ((by >> 6) & 1)
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sql_terms=st.integers(0, 255),
+    by=st.integers(0, 255),
+)
+def test_morton_sql_and_python_agree(sql_terms, by):
+    """The DuckDB oracle expression and the Column builder must encode
+    the same function; evaluate the SQL string form in DuckDB against
+    the reference Python bit math."""
+    import duckdb
+
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        _interleave_sql,
+    )
+
+    bx = sql_terms
+    got = duckdb.sql(
+        f"SELECT {_interleave_sql(str(bx), str(by))} AS z"
+    ).fetchone()[0]
+    assert got == _py_interleave(bx, by)
