@@ -103,6 +103,7 @@ EXTRA = [
     "dedup_cluster_cc_star",
     "src_schema_evolution",
     "agg_kanon_suppress",
+    "join_dpp",
 ]
 
 

@@ -470,3 +470,50 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_abs_dev"
         ),
     )
+
+
+# ------------------------------------------------------------ join_dpp
+
+@REG.op(
+    "join_dpp",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT year(o_orderdate) AS y
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+        AND year(o_orderdate) >= 2000
+    )
+    SELECT f.y, f.o_orderstatus, count(*) AS n
+    FROM (SELECT year(o_orderdate) AS y, o_orderstatus FROM orders) f
+    JOIN dim ON dim.y = f.y
+    GROUP BY 1, 2
+    """,
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the third pruning mode after static
+    partition filters (prune_partition) and column pruning: the fact
+    side is partitioned by year, the dim side's qualifying years are
+    only known at RUNTIME (a non-partition predicate selects them), and
+    Spark injects the dim's build-side keys as a runtime filter into
+    the fact SCAN, so unqualified year directories are never read. At
+    100 TB this is the difference between scanning 25 years and the 2
+    the dim actually selects — with no static predicate available to
+    write. The plan assertion in tests/test_scale_patterns.py pins the
+    `dynamicpruningexpression` on the fact scan's partition filters."""
+    hub = tempfile.mkdtemp(prefix="cae_spark_dpp_")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.year("o_orderdate").alias("y"),
+    )
+    o.write.partitionBy("y").mode("overwrite").parquet(hub)
+    fact = spark.read.parquet(hub)
+    dim = (
+        fact.where(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("y") >= 2000)
+        )
+        .select("y")
+        .distinct()
+    )
+    joined = fact.join(F.broadcast(dim), "y")
+    return joined.groupBy("y", "o_orderstatus").agg(F.count(F.lit(1)).alias("n"))

@@ -176,3 +176,13 @@ def test_compaction_reduces_files_and_reports_truthfully(spark):
     frag, compacted = _LAST_COMPACTION_DIRS
     assert len(glob.glob(f"{frag}/*.parquet")) == row.n_files_before
     assert len(glob.glob(f"{compacted}/*.parquet")) == row.n_files_after
+
+
+def test_dpp_injects_runtime_filter_into_fact_scan(spark):
+    """The fact scan's partition filters must carry a
+    dynamicpruningexpression — proof the dim's runtime keys reached the
+    directory listing, not just the join."""
+    from claim_analysis_engine_spark.operators.scale_patterns import join_dpp
+
+    plan = _plan(join_dpp(spark, SF_SMALL))
+    assert "dynamicpruning" in plan.lower(), plan
