@@ -104,6 +104,7 @@ EXTRA = [
     "src_schema_evolution",
     "agg_kanon_suppress",
     "join_dpp",
+    "corpus_pack_sequences",
 ]
 
 

@@ -871,3 +871,65 @@ def corpus_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
         (logit > 0).alias("pred"),
     )
+
+
+# ---------------------------------------------- corpus_pack_sequences
+
+PACK_SEP = "\x1e"  # ASCII record separator between packed documents
+
+
+@REG.op(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text, len({_TOKENS_SQL}) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, text, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+                                             ORDER BY doc_id) - 1)
+                        * 1.0 / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_id
+      FROM t
+    )
+    SELECT source, shard_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(sum(length(text)) + count(*) - 1 AS BIGINT) AS payload_chars,
+           md5(string_agg(text, chr(30) ORDER BY doc_id)) AS payload_md5
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED form of corpus_pack_shards: each shard's
+    documents concatenate in doc_id order with a record-separator
+    byte into the training payload the tokenizer job consumes, and
+    the op emits the payload's md5 + exact length beside the token
+    accounting — a byte-level witness that shard assembly is
+    deterministic and boundary-stable (the md5 oracle-matches only if
+    both engines pack the same docs, in the same order, with the same
+    separator). Concatenation happens per shard group (collect_list →
+    sort by doc_id → join), so the heaviest string lives exactly as
+    long as one aggregate row — no cross-shard state; shard size is
+    budget-bounded, so the payload column is too (the point of packing
+    by tokens first)."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.size(_tokens_col()).alias("n_tokens")
+    )
+    w = W.partitionBy("source").orderBy("doc_id")
+    packed = t.withColumn(
+        "shard_id",
+        F.floor((F.sum("n_tokens").over(w) - 1) / SHARD_TOKEN_BUDGET).cast("bigint"),
+    )
+    payload = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda x: x.getField("text"),
+        ),
+        PACK_SEP,
+    )
+    return packed.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        F.length(payload).cast("bigint").alias("payload_chars"),
+        F.md5(payload).alias("payload_md5"),
+    )
