@@ -105,6 +105,7 @@ EXTRA = [
     "agg_kanon_suppress",
     "join_dpp",
     "corpus_pack_sequences",
+    "dq_expectations",
 ]
 
 

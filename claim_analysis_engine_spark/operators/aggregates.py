@@ -659,3 +659,111 @@ def agg_kanon_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kept.unionByName(folded)
+
+
+# ---------------------------------------------------- dq_expectations
+
+DQ_MAX_VIOLATION_PCT = 0.0  # every declared rule must hold exactly
+
+
+@REG.op(
+    "dq_expectations",
+    oracle="""
+    WITH checks AS (
+      SELECT count(*) AS n_rows,
+             count(*) - count(o_orderkey) AS v_key_null,
+             -- dup rule counts only NON-NULL keys: a null key is
+             -- key_not_null's violation, not a duplicate
+             count(o_orderkey) - count(DISTINCT o_orderkey) AS v_key_dup,
+             count(*) FILTER (o_totalprice <= 0) AS v_price_pos,
+             count(*) FILTER (month(o_orderdate) < 1
+                              OR month(o_orderdate) > 12) AS v_month_range,
+             count(*) FILTER (o_orderstatus NOT IN ('F', 'O', 'P'))
+               AS v_status_domain,
+             count(*) FILTER (o_orderdate < DATE '1990-01-01'
+                              OR o_orderdate > DATE '2030-12-31')
+               AS v_date_bounds
+      FROM orders
+    )
+    SELECT r.rule, r.n_violations, c.n_rows AS n_checked,
+           r.n_violations = 0 AS pass
+    FROM checks c, LATERAL (VALUES
+      ('key_not_null',  CAST(c.v_key_null AS BIGINT)),
+      ('key_unique',    CAST(c.v_key_dup AS BIGINT)),
+      ('price_positive', CAST(c.v_price_pos AS BIGINT)),
+      ('month_in_range', CAST(c.v_month_range AS BIGINT)),
+      ('status_in_domain', CAST(c.v_status_domain AS BIGINT)),
+      ('date_in_bounds', CAST(c.v_date_bounds AS BIGINT))
+    ) AS r(rule, n_violations)
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations evaluated in ONE pass —
+    the contract gate a 100 TB ingest runs before publishing a batch
+    (the Deequ/expectations pattern), extending the reference's upload
+    quality report (core/etl.py:74-102) from counts to named
+    pass/fail rules: key completeness + uniqueness, value positivity,
+    calendar range, categorical domain, date sanity. Every row-level
+    rule is a conditional count inside ONE aggregate (map-side
+    combinable; zero extra scans however many rules are declared);
+    uniqueness rides the same pass as a distinct count. The result
+    unpivots to one row per rule so downstream alerting/selection is
+    relational — and the oracle re-derives every rule's violation
+    count independently. The testdata is clean, so the oracle shows
+    all-pass; tests/test_etl_invariants.py plants every violation
+    class in a dirty frame and asserts each rule fires."""
+    return dq_check(load(spark, sf_dir, "orders"))
+
+
+def dq_check(o: DataFrame) -> DataFrame:
+    """The expectations evaluator itself, over any orders-shaped frame
+    (separated from the op so tests can feed it dirty data)."""
+    n = F.count(F.lit(1))
+
+    def violations(cond: F.Column) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    checks = o.agg(
+        n.alias("n_rows"),
+        (n - F.count("o_orderkey")).alias("v_key_null"),
+        (F.count("o_orderkey") - F.countDistinct("o_orderkey")).alias("v_key_dup"),
+        violations(F.col("o_totalprice") <= 0).alias("v_price_pos"),
+        violations(
+            (F.month("o_orderdate") < 1) | (F.month("o_orderdate") > 12)
+        ).alias("v_month_range"),
+        violations(~F.col("o_orderstatus").isin("F", "O", "P")).alias(
+            "v_status_domain"
+        ),
+        violations(
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("date"))
+            | (F.col("o_orderdate") > F.lit("2030-12-31").cast("date"))
+        ).alias("v_date_bounds"),
+    )
+    rules = [
+        ("key_not_null", "v_key_null"),
+        ("key_unique", "v_key_dup"),
+        ("price_positive", "v_price_pos"),
+        ("month_in_range", "v_month_range"),
+        ("status_in_domain", "v_status_domain"),
+        ("date_in_bounds", "v_date_bounds"),
+    ]
+    long = checks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(col).cast("bigint").alias("n_violations"),
+                        F.col("n_rows").alias("n_checked"),
+                    )
+                    for name, col in rules
+                ]
+            )
+        ).alias("r")
+    )
+    return long.select(
+        "r.rule",
+        "r.n_violations",
+        "r.n_checked",
+        (F.col("r.n_violations") == 0).alias("pass"),
+    )

@@ -80,3 +80,37 @@ def test_every_registered_op_is_documented_in_survey():
     survey = Path(__file__).resolve().parent.parent.joinpath("SURVEY.md").read_text()
     missing = [op_id for op_id in registry() if op_id not in survey]
     assert not missing, f"ops registered but absent from SURVEY.md: {missing}"
+
+
+def test_dq_expectations_fire_on_planted_violations(spark):
+    """The all-pass oracle result on clean testdata proves agreement,
+    not sensitivity — here every violation class is planted once and
+    each named rule must fire with the exact count."""
+    import datetime
+
+    from claim_analysis_engine_spark.operators.aggregates import dq_check
+
+    d = datetime.date
+    rows = [
+        # (orderkey, totalprice, orderdate, status)
+        (1, 10.0, d(1998, 3, 1), "F"),      # clean
+        (None, 10.0, d(1998, 3, 1), "F"),   # key_not_null
+        (2, 10.0, d(1998, 3, 1), "F"),
+        (2, 10.0, d(1998, 3, 1), "O"),      # key_unique (dup of 2)
+        (3, -5.0, d(1998, 3, 1), "F"),      # price_positive
+        (4, 10.0, d(1998, 3, 1), "X"),      # status_in_domain
+        (5, 10.0, d(1931, 1, 1), "F"),      # date_in_bounds
+    ]
+    dirty = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_totalprice double, o_orderdate date, "
+        "o_orderstatus string",
+    )
+    got = {r.rule: (r.n_violations, r.pass_) if hasattr(r, "pass_")
+           else (r.n_violations, r["pass"]) for r in dq_check(dirty).collect()}
+    assert got["key_not_null"] == (1, False)
+    assert got["key_unique"] == (1, False)
+    assert got["price_positive"] == (1, False)
+    assert got["status_in_domain"] == (1, False)
+    assert got["date_in_bounds"] == (1, False)
+    assert got["month_in_range"] == (0, True)
