@@ -106,6 +106,7 @@ EXTRA = [
     "join_dpp",
     "corpus_pack_sequences",
     "dq_expectations",
+    "agg_hll_union_rollup",
 ]
 
 

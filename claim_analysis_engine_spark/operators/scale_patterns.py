@@ -517,3 +517,38 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = fact.join(F.broadcast(dim), "y")
     return joined.groupBy("y", "o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------- agg_hll_union_rollup
+
+@REG.op("agg_hll_union_rollup")  # rows-only: HLL estimates are
+# engine-specific; tests/test_scale_patterns.py bounds the error AND
+# asserts the union path equals re-sketching (mergeability)
+def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches matter at 100 TB: MERGEABILITY.
+    Distinct customers are sketched once per (status, year) — the fine
+    grain — and the yearly rollup comes from `hll_union_agg` over the
+    stored sketches, never from re-scanning the fact table. The op
+    emits, per status: the union-of-sketches estimate, the direct
+    one-pass sketch estimate over the same rows, and the exact count —
+    so both the merge identity (union ≈ direct, same sketch family)
+    and the error bound are observable. A production pipeline
+    materializes the fine-grain sketch table and answers every
+    coarser distinct-count rollup from it in sketch space: bytes per
+    group instead of a key-universe shuffle per question."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey", F.year("o_orderdate").alias("y")
+    )
+    fine = o.groupBy("o_orderstatus", "y").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    unioned = fine.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est")
+    )
+    direct = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("direct_est"),
+        F.countDistinct("o_custkey").alias("exact"),
+    )
+    return unioned.join(direct, "o_orderstatus").select(
+        "o_orderstatus", "union_est", "direct_est", "exact"
+    )

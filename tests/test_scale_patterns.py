@@ -186,3 +186,17 @@ def test_dpp_injects_runtime_filter_into_fact_scan(spark):
 
     plan = _plan(join_dpp(spark, SF_SMALL))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_hll_union_rollup_merges_within_error(spark):
+    """The union-of-fine-sketches estimate must track both the direct
+    one-pass sketch and the exact count within HLL's error envelope —
+    the mergeability contract that lets a sketch table answer every
+    coarser rollup without re-scanning facts."""
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        agg_hll_union_rollup,
+    )
+
+    for r in agg_hll_union_rollup(spark, SF_SMALL).collect():
+        assert abs(r.union_est - r.exact) / max(1, r.exact) < 0.05, r
+        assert abs(r.union_est - r.direct_est) / max(1, r.direct_est) < 0.05, r
