@@ -73,20 +73,24 @@ def registry() -> dict[str, Op]:
 
     merged: dict[str, Op] = {}
     # Registry order drives the driver's correctness sampling window
-    # (it takes the first ~50 entries). Round-5's rotation certified
-    # risk/forecast/storage/sales/dedup; ROUND6_FRONT below finishes
-    # the job at OP granularity — the 52 ops that have never had a
-    # driver row (all of similarity/textops/pipeline_ops/multimodal/
-    # scale_patterns/streaming_gate/dashboards/joins_temporal, the
-    # non-r2 events ops, the scalars tail, pvt_cube) plus
-    # evt_sessionize (whose only driver row ever is the r2 FAIL —
-    # fixed in r3, locally green since, never re-certified). 53
-    # candidates for a 50-slot window: the 3 with the simplest
-    # semantics and strongest local oracles (f_math, f_polyfit_slope,
-    # pvt_cube) sit last and absorb the overflow. Everything
-    # driver-green in r1–r5 moves behind; the local DuckDB-oracle
-    # replicas (tests/test_oracle_parity.py) keep covering every op
-    # each run regardless of position.
+    # (it takes the first ~50 entries). Rounds 1–5 certified the whole
+    # §2 core (relational/aggregates/pivots/risk/forecast/storage/
+    # sales/dedup). ROUND7_FRONT below queues everything that has
+    # never had a driver row — the round-6 rotation targets
+    # (similarity/textops/pipeline_ops/multimodal/scale_patterns/
+    # streaming_gate/dashboards/joins_temporal/events/scalars-tail)
+    # whose CORRECTNESS_r06 never materialized, PLUS every operator
+    # added in rounds 6–7 (ep6/ep7 capstones, star CC, stream join +
+    # mart refresh, layout/curation ops, dq_expectations, k-anon) —
+    # 78 candidates for a ~50-slot window, ordered so the
+    # product-critical compositions (dashboards, stream gates,
+    # similarity, dedup variants, textops) land inside the window and
+    # simple-scalar overflow sits last. Within a family,
+    # oracle-bearing ops lead rows-only ones (a hash row certifies
+    # more than a rows-only row). Everything driver-green in r1–r5
+    # moves behind; the local DuckDB-oracle replicas
+    # (tests/test_oracle_parity.py) keep covering every op each run
+    # regardless of position.
     for mod in (
         risk,
         risk_tree,
@@ -114,33 +118,54 @@ def registry() -> dict[str, Op]:
                 raise ValueError(f"duplicate op id across modules: {op_id!r}")
             merged[op_id] = op
 
-    missing = [op_id for op_id in ROUND6_FRONT if op_id not in merged]
+    missing = [op_id for op_id in ROUND7_FRONT if op_id not in merged]
     if missing:  # a typo here would silently shrink the sampling window
-        raise ValueError(f"ROUND6_FRONT ids not in registry: {missing}")
-    front = {op_id: merged[op_id] for op_id in ROUND6_FRONT}
+        raise ValueError(f"ROUND7_FRONT ids not in registry: {missing}")
+    front = {op_id: merged[op_id] for op_id in ROUND7_FRONT}
     front.update((op_id, op) for op_id, op in merged.items() if op_id not in front)
     return front
 
 
-# Exact driver-sampling order for round 6 (see comment in registry()).
-ROUND6_FRONT: tuple[str, ...] = (
+# Exact driver-sampling order for round 7 (see comment in registry()).
+# Every entry has never had a driver correctness row (except
+# evt_sessionize — re-certification of the fixed r2 FAIL). Ordered so
+# a ~50-entry prefix covers: the product's end-to-end compositions,
+# all five streaming gates, the similarity family, both new dedup
+# variants, all of textops, the corpus pipeline core, multimodal
+# metadata ops, and the headline scale patterns (bucketed join, DPP,
+# partition pruning, data-quality gate). The tail past the window
+# boundary holds ops whose local checks are strongest relative to
+# what a driver row would add (rows-only model-state ops pinned by
+# determinism/golden tests, trivial scalars).
+ROUND7_FRONT: tuple[str, ...] = (
     # re-certification: the one historical driver FAIL (r2), fixed r3
     "evt_sessionize",
-    # end-to-end dashboard compositions — the product's full semantics
+    # end-to-end compositions — the product's full semantics
     "ep2_risk_radar",
     "ep2_trend_3yr",
-    "ep3_forecast_e2e",
     "ep1_ingest_e2e",
     "ep4_corpus_e2e",
-    # similarity family
+    "ep6_curation_e2e",
+    "ep7_retrieval_e2e",
+    "ep3_forecast_e2e",
+    # streaming gates (real availableNow runs, batch-equivalence oracles)
+    "evt_tumbling_stream",
+    "evt_sessionize_stream",
+    "evt_dedup_stream",
+    "evt_join_stream",
+    "evt_mart_refresh_stream",
+    # similarity family (oracle-bearing first)
     "sim_ann_lsh",
     "sim_ivf",
     "sim_pairs_threshold",
-    "sim_ivf_train",
     "emb_quantize_int8",
     "sim_ann_int8_rerank",
-    "sim_pq_adc",
     "emb_drift_monitor",
+    "sim_recall_report",
+    "sim_ivf_train",
+    # round-6/7 dedup variants
+    "dedup_canonical_pick",
+    "dedup_cluster_cc_star",
     # text analysis
     "txt_tokens",
     "txt_quality",
@@ -151,41 +176,53 @@ ROUND6_FRONT: tuple[str, ...] = (
     "txt_repetition",
     "txt_pii_scrub",
     "txt_boilerplate_frac",
-    # corpus pipeline
+    "txt_lm_perplexity",
+    "txt_ngram_novelty",
+    "txt_idf_topterms",
+    # corpus pipeline core
     "corpus_split_hash",
     "corpus_contamination",
     "corpus_pack_shards",
     "corpus_quality_funnel",
     "corpus_sample_stratified",
     "corpus_budget_mix",
-    # multimodal plumbing
+    "corpus_dedup_chunks",
+    # multimodal metadata ops
     "mm_blob_meta",
-    "mm_decode_stub",
-    "mm_frame_sample",
-    "mm_assembly_profile",
+    "mm_phash_groups",
     "mm_bytes_histogram",
-    # scale patterns
+    # headline scale patterns
     "join_bucketed",
-    "agg_salted",
+    "join_dpp",
     "prune_partition",
-    "agg_approx_distinct",
-    "agg_sketch_quantiles",
-    # streaming gates
-    "evt_dedup_stream",
-    "evt_sessionize_stream",
-    "evt_tumbling_stream",
-    # temporal joins
+    "dq_expectations",
+    "evt_funnel",
+    # --- overflow boundary (~50-slot window) ---
+    "agg_salted",
+    "join_skew_salted",
     "join_asof",
     "join_range_bucketed",
-    # batch events never sampled
-    "evt_funnel",
     "evt_retention",
     "evt_error_burst",
     "evt_sessionize_native",
-    # scalars tail
+    "src_schema_evolution",
+    "agg_kanon_suppress",
+    "sort_global_shards",
+    "sort_zorder",
+    "snk_compaction",
+    "agg_approx_distinct",
+    "agg_sketch_quantiles",
+    "agg_hll_union_rollup",
+    "corpus_shuffle_epoch",
+    "corpus_pack_sequences",
+    "corpus_quality_lr",
+    "sim_ivf_search_trained",
+    "sim_pq_adc",
+    "mm_frame_sample",
+    "mm_assembly_profile",
+    "mm_decode_stub",
     "f_str_sanitize",
     "f_str_parse_label",
-    # --- overflow boundary (~50-slot window) — simplest semantics last
     "f_math",
     "f_polyfit_slope",
     "pvt_cube",
