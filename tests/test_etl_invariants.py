@@ -82,6 +82,17 @@ def test_every_registered_op_is_documented_in_survey():
     assert not missing, f"ops registered but absent from SURVEY.md: {missing}"
 
 
+def test_sampling_front_is_duplicate_free_and_leads_the_registry():
+    """The driver certifies the first ~50 registry entries. registry()
+    already raises on ids missing from the merged map, but a DUPLICATE
+    inside the front tuple would dedupe silently in the dict build and
+    shrink the window by one slot — pin both properties."""
+    from claim_analysis_engine_spark.registry import ROUND7_FRONT, registry
+
+    assert len(set(ROUND7_FRONT)) == len(ROUND7_FRONT), "duplicate id in front"
+    assert list(registry())[: len(ROUND7_FRONT)] == list(ROUND7_FRONT)
+
+
 def test_dq_expectations_fire_on_planted_violations(spark):
     """The all-pass oracle result on clean testdata proves agreement,
     not sensitivity — here every violation class is planted once and
