@@ -82,6 +82,27 @@ def test_every_registered_op_is_documented_in_survey():
     assert not missing, f"ops registered but absent from SURVEY.md: {missing}"
 
 
+def test_readme_verification_counts_match_the_registry():
+    """README's verification-model paragraph states concrete operator
+    counts; they have drifted silently before (187/18 while the
+    registry held 188/19) — derive them from the registry instead of
+    trusting the prose."""
+    import re
+    from pathlib import Path
+
+    from claim_analysis_engine_spark.registry import registry
+
+    reg = registry()
+    n_ops = len(reg)
+    n_oracle = sum(1 for op in reg.values() if op.oracle is not None)
+    readme = Path(__file__).resolve().parent.parent.joinpath("README.md").read_text()
+    m = re.search(
+        r"\((\d+) operators, (\d+) oracle-checked, (\d+) rows-only", readme
+    )
+    assert m, "README verification-model counts sentence not found"
+    assert tuple(map(int, m.groups())) == (n_ops, n_oracle, n_ops - n_oracle)
+
+
 def test_sampling_front_is_duplicate_free_and_leads_the_registry():
     """The driver certifies the first ~50 registry entries. registry()
     already raises on ids missing from the merged map, but a DUPLICATE
