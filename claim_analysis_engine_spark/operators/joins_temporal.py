@@ -213,3 +213,105 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
     )
+
+
+# ------------------------------------------------------------ dim_scd2
+
+# Sentinel "open interval" end (epoch seconds, year 2286): SCD2 readers
+# filter `valid_from <= t < valid_to` without null-handling, and the
+# driver hash needs a non-null BIGINT (a nullable one renders float64
+# from the oracle).
+SCD2_OPEN_END = 9_999_999_999
+
+
+@REG.op(
+    "dim_scd2",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             event_id, event_type
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, ts_s, event_type,
+             row_number() OVER (PARTITION BY user_id, ts_s
+                                ORDER BY event_id DESC) AS rn
+      FROM e
+    ),
+    s AS (SELECT user_id, ts_s, event_type FROM r WHERE rn = 1),
+    c AS (
+      SELECT user_id, ts_s, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts_s) AS prev_attr
+      FROM s
+    ),
+    v AS (
+      SELECT user_id, ts_s AS valid_from, event_type AS attr
+      FROM c WHERE prev_attr IS NULL OR prev_attr <> event_type
+    )
+    SELECT user_id, attr,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from) AS BIGINT) AS version,
+           valid_from,
+           coalesce(lead(valid_from) OVER (PARTITION BY user_id
+                                           ORDER BY valid_from),
+                    {SCD2_OPEN_END}) AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) IS NULL AS is_current
+    FROM v
+    """,
+)
+def dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history: compress each user's event_type
+    stream into change-versioned validity intervals [valid_from,
+    valid_to) with a version number and an is_current flag — the
+    standard slowly-changing-dimension build (Kimball SCD2), and the
+    substrate a point-in-time-correct feature lookup (join_asof /
+    `valid_from <= t < valid_to`) reads to avoid label leakage. The
+    reference keeps only latest-state rows (keep-last dedup,
+    core/etl.py:203-207); versioned history is a beyond-reference
+    extension (SURVEY §2.12).
+
+    Construction is change-detection over one (user_id)-keyed
+    ordering: dedupe to one event per (user, second) keeping max
+    event_id (the join_asof tie convention) via lag(ts_s) over a
+    (ts_s, event_id DESC) sort — NOT a (user, second)-partitioned
+    window, which would force a second exchange — then open a new
+    version only where lag(attr) differs, and close each version with
+    lead(valid_from). All three windows share the user_id
+    partitioning: ONE shuffle and one sort per partition serve the
+    whole plan (plan-asserted), linear at 100 TB.
+    Open intervals get the SCD2_OPEN_END sentinel instead of null so
+    readers range-filter without null branches (and the driver hash
+    sees a non-null BIGINT)."""
+    e = _events_epoch(spark, sf_dir)
+    # rows arrive (ts_s asc, event_id desc): the FIRST row of each
+    # second carries that second's max event_id, so "new second" ⇔
+    # "survives the dedupe" — same user_id partitioning as the later
+    # windows, no extra exchange
+    wd = W.partitionBy("user_id").orderBy("ts_s", F.col("event_id").desc())
+    s = (
+        e.withColumn("prev_ts", F.lag("ts_s").over(wd))
+        .where(F.col("prev_ts").isNull() | (F.col("prev_ts") != F.col("ts_s")))
+        .select("user_id", "ts_s", "event_type")
+    )
+    wu = W.partitionBy("user_id").orderBy("ts_s")
+    changed = s.withColumn("prev_attr", F.lag("event_type").over(wu)).where(
+        F.col("prev_attr").isNull()
+        | (F.col("prev_attr") != F.col("event_type"))
+    )
+    v = changed.select(
+        "user_id",
+        F.col("ts_s").alias("valid_from"),
+        F.col("event_type").alias("attr"),
+    )
+    wv = W.partitionBy("user_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(wv)
+    return v.select(
+        "user_id",
+        "attr",
+        F.row_number().over(wv).cast("bigint").alias("version"),
+        "valid_from",
+        F.coalesce(nxt, F.lit(SCD2_OPEN_END)).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

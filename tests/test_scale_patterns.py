@@ -200,3 +200,72 @@ def test_hll_union_rollup_merges_within_error(spark):
     for r in agg_hll_union_rollup(spark, SF_SMALL).collect():
         assert abs(r.union_est - r.exact) / max(1, r.exact) < 0.05, r
         assert abs(r.union_est - r.direct_est) / max(1, r.direct_est) < 0.05, r
+
+
+def test_scd2_intervals_on_planted_change_sequence(spark):
+    """dim_scd2's oracle proves engine agreement on real data; this
+    plants a known change sequence and checks the SCD2 semantics
+    themselves: consecutive repeats compress into one version,
+    same-second duplicates resolve to the max event_id, intervals
+    chain gaplessly, and only the last version per user is current."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators.joins_temporal import (
+        SCD2_OPEN_END,
+        dim_scd2,
+    )
+
+    rows = [
+        # user 1: A at t=10, repeat A at t=20 (compressed), B at t=30,
+        # same-second conflict at t=30 (event 5 beats event 4), A at t=50
+        (1, 10, 1, "A"),
+        (2, 20, 1, "A"),
+        (4, 30, 1, "Z"),
+        (5, 30, 1, "B"),
+        (6, 50, 1, "A"),
+        # user 2: single version
+        (7, 15, 2, "C"),
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="cae_scd2_") as d:
+        (
+            spark.createDataFrame(
+                rows, "event_id long, ts_l long, user_id long, event_type string"
+            )
+            .select(
+                "event_id",
+                F.timestamp_seconds("ts_l").alias("ts"),
+                "user_id",
+                "event_type",
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            .write.parquet(os.path.join(d, "events.parquet"))
+        )
+        got = {
+            (r.user_id, r.version): (r.attr, r.valid_from, r.valid_to, r.is_current)
+            for r in dim_scd2(spark, d).collect()
+        }
+    assert got == {
+        (1, 1): ("A", 10, 30, False),  # repeat at t=20 compressed away
+        (1, 2): ("B", 30, 50, False),  # event 5 wins the t=30 tie
+        (1, 3): ("A", 50, SCD2_OPEN_END, True),
+        (2, 1): ("C", 15, SCD2_OPEN_END, True),
+    }
+
+
+def test_scd2_plan_has_exactly_one_shuffle(spark):
+    """All three dim_scd2 windows must share the user_id partitioning;
+    a (user, second)-partitioned dedupe window would silently add a
+    second exchange."""
+    from claim_analysis_engine_spark.operators.joins_temporal import dim_scd2
+
+    plan = _plan(dim_scd2(spark, SF_SMALL))
+    detail_exchanges = [
+        line for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line
+        and "Reused" not in line
+    ]
+    assert len(detail_exchanges) == 1, detail_exchanges
