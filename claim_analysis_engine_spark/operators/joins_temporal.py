@@ -315,3 +315,120 @@ def dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(nxt, F.lit(SCD2_OPEN_END)).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ------------------------------------------------------- join_pit_scd2
+
+@REG.op(
+    "join_pit_scd2",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             event_id, event_type, value
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, ts_s, event_type,
+             row_number() OVER (PARTITION BY user_id, ts_s
+                                ORDER BY event_id DESC) AS rn
+      FROM e
+    ),
+    s AS (SELECT user_id, ts_s, event_type FROM r WHERE rn = 1),
+    c AS (
+      SELECT user_id, ts_s, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts_s) AS prev_attr
+      FROM s
+    ),
+    v AS (
+      SELECT user_id, ts_s AS valid_from, event_type AS attr
+      FROM c WHERE prev_attr IS NULL OR prev_attr <> event_type
+    ),
+    scd2 AS (
+      SELECT user_id, attr,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY valid_from) AS BIGINT) AS version,
+             valid_from,
+             coalesce(lead(valid_from) OVER (PARTITION BY user_id
+                                             ORDER BY valid_from),
+                      {SCD2_OPEN_END}) AS valid_to
+      FROM v
+    ),
+    p AS (
+      SELECT user_id, ts_s, value FROM e
+      WHERE event_type = '{ASOF_RIGHT_TYPE}'
+    )
+    SELECT d.user_id, d.version, d.attr,
+           count(*) AS n_purchases,
+           round(CAST(sum(CAST(p.value AS DECIMAL(18,4)))
+                 AS DOUBLE), 4) AS total_value
+    FROM p JOIN scd2 d
+      ON p.user_id = d.user_id
+     AND p.ts_s >= d.valid_from AND p.ts_s < d.valid_to
+    GROUP BY 1, 2, 3
+    """,
+)
+def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution against the SCD2 dimension: every
+    purchase is credited to the dimension VERSION valid at its
+    timestamp (`valid_from <= ts < valid_to`), aggregated to
+    (user, version, attr) — the consumer half of the dim_scd2 /
+    feature-store pattern, where reading the current state instead of
+    the point-in-time version is exactly the label-leakage bug.
+
+    The naive plan is a per-user interval theta join; the scalable
+    formulation reuses the join_asof union-and-window trick: version
+    openings enter as kind=0 rows at valid_from, purchases as kind=1
+    at their ts, and one (user_id)-keyed window ordered by
+    (ts_s, kind) carries (version, attr) forward — a same-second
+    purchase sorts after the version opening, which implements the
+    inclusive >= valid_from bound. dim_scd2's windows and this one
+    share the user_id partitioning, so build + consume still run on
+    ONE exchange before the final aggregation shuffle; no interval
+    explosion at any scale. Value sums go through DECIMAL(18,4) so
+    both engines aggregate exactly (double addition order is not
+    deterministic)."""
+    versions = dim_scd2(spark, sf_dir).select(
+        "user_id",
+        F.col("valid_from").alias("ts_s"),
+        F.lit(0).alias("kind"),
+        "version",
+        "attr",
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = _events_epoch(spark, sf_dir).where(
+        F.col("event_type") == ASOF_RIGHT_TYPE
+    ).select(
+        "user_id",
+        "ts_s",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("version"),
+        F.lit(None).cast("string").alias("attr"),
+        "value",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_s", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = versions.unionByName(purchases).select(
+        "user_id",
+        "kind",
+        "value",
+        F.last("version", ignorenulls=True).over(w).alias("v_version"),
+        F.last("attr", ignorenulls=True).over(w).alias("v_attr"),
+    )
+    return (
+        carried.where((F.col("kind") == 1) & F.col("v_version").isNotNull())
+        .groupBy(
+            "user_id",
+            F.col("v_version").alias("version"),
+            F.col("v_attr").alias("attr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+    )

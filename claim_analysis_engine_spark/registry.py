@@ -196,6 +196,7 @@ ROUND7_FRONT: tuple[str, ...] = (
     "join_dpp",
     "prune_partition",
     "dim_scd2",
+    "join_pit_scd2",
     "dq_expectations",
     "evt_funnel",
     # --- overflow boundary (~50-slot window) ---

@@ -269,3 +269,55 @@ def test_scd2_plan_has_exactly_one_shuffle(spark):
         and "Reused" not in line
     ]
     assert len(detail_exchanges) == 1, detail_exchanges
+
+
+def test_pit_scd2_credits_boundary_purchase_to_the_new_version(spark):
+    """The inclusive lower bound is the PIT join's sharp edge: a
+    purchase in the same second a new version opens must credit the
+    NEW version (valid_from <= ts), and purchases never credit a
+    later version (ts < valid_to)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators.joins_temporal import (
+        join_pit_scd2,
+    )
+
+    rows = [
+        # user 1 versions: A @10, purchase @30 OPENS version 2
+        # (purchase itself is the attribute change), so the t=30
+        # purchase credits version 2, not version 1
+        (1, 10, 1, "A", 0.0),
+        (2, 30, 1, "purchase", 5.0),
+        # back to A @40, then a purchase @60 credits version 3? no —
+        # the @60 purchase opens version 4 ("purchase" again after A)
+        (3, 40, 1, "A", 0.0),
+        (4, 60, 1, "purchase", 7.5),
+    ]
+    with tempfile.TemporaryDirectory(prefix="cae_pit_") as d:
+        (
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts_l long, user_id long, "
+                "event_type string, value double",
+            )
+            .select(
+                "event_id",
+                F.timestamp_seconds("ts_l").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                F.lit("{}").alias("props"),
+            )
+            .write.parquet(os.path.join(d, "events.parquet"))
+        )
+        got = {
+            (r.user_id, r.version): (r.attr, r.n_purchases, r.total_value)
+            for r in join_pit_scd2(spark, d).collect()
+        }
+    assert got == {
+        (1, 2): ("purchase", 1, 5.0),
+        (1, 4): ("purchase", 1, 7.5),
+    }
