@@ -107,6 +107,8 @@ EXTRA = [
     "corpus_pack_sequences",
     "dq_expectations",
     "agg_hll_union_rollup",
+    "dim_scd2",
+    "join_pit_scd2",
 ]
 
 
