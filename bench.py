@@ -109,6 +109,7 @@ EXTRA = [
     "agg_hll_union_rollup",
     "dim_scd2",
     "join_pit_scd2",
+    "corpus_split_leakage_safe",
 ]
 
 

@@ -933,3 +933,62 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).cast("bigint").alias("payload_chars"),
         F.md5(payload).alias("payload_md5"),
     )
+
+
+# ------------------------------------------ corpus_split_leakage_safe
+
+def _split_sql_over(col: str) -> str:
+    return f"""
+    CASE WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 2) < '{SPLIT_TRAIN_HEX}'
+           THEN 'train'
+         WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 2) < '{SPLIT_VAL_HEX}'
+           THEN 'val'
+         ELSE 'test' END
+    """
+
+
+def _leakage_safe_oracle() -> str:
+    # compose the CC oracle (WITH RECURSIVE) as a derived table — the
+    # dedup_canonical_pick technique
+    from claim_analysis_engine_spark.operators import dedup_text
+
+    cc = dedup_text.REG.ops["dedup_cluster_cc"].oracle
+    return f"""
+    WITH cc AS (SELECT * FROM ({cc}))
+    SELECT doc_id, root_id, cluster_size,
+           {_split_sql_over("root_id")} AS split
+    FROM cc
+    """
+
+
+@REG.op("corpus_split_leakage_safe", oracle=_leakage_safe_oracle())
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: the md5 bucket is computed
+    over each document's CC cluster ROOT, not its own id, so every
+    near-duplicate cluster lands in exactly one split — hash-splitting
+    by doc_id (corpus_split_hash) puts members of the same near-dup
+    cluster on both sides of the train/test boundary, which is train→
+    eval leakage the moment eval loss is read as generalization.
+    Singletons are their own root, so for non-duplicated docs the
+    assignment coincides with corpus_split_hash; only clustered docs
+    move (onto their root's bucket). tests/test_shuffle_epoch.py pins
+    both properties: cluster-atomicity here, and an actually-straddling
+    cluster under the naive split (the contrast isn't vacuous).
+
+    Scale: one projection over the CC labels — the transitive
+    clustering (dedup_cluster_cc) is the dominant cost and is already
+    sig-collapsed + few-partition iterated; membership stays
+    recomputable from the stored (doc_id → root_id) map alone, the
+    property that lets a 100 TB corpus re-derive its split years
+    later without re-running LSH."""
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        dedup_cluster_cc,
+    )
+
+    cc = dedup_cluster_cc(spark, sf_dir)
+    return cc.select(
+        "doc_id",
+        "root_id",
+        "cluster_size",
+        _split_col("root_id").alias("split"),
+    )

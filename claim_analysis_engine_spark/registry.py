@@ -187,6 +187,7 @@ ROUND7_FRONT: tuple[str, ...] = (
     "corpus_sample_stratified",
     "corpus_budget_mix",
     "corpus_dedup_chunks",
+    "corpus_split_leakage_safe",
     # multimodal metadata ops
     "mm_blob_meta",
     "mm_phash_groups",

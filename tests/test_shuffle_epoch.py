@@ -54,3 +54,37 @@ def test_quality_lr_deterministic_and_accurate(spark):
     assert acc >= 0.88, acc
     # both classes must be present in the held-out evaluation
     assert {r.label for r in held_out} == {True, False}
+
+
+def test_leakage_safe_split_is_cluster_atomic_where_naive_straddles(spark):
+    """Every near-dup cluster must land in exactly one split
+    (root-hashed buckets), singletons must agree with the naive
+    doc-hash split, and — so the contrast isn't vacuous — at least one
+    multi-doc cluster must ACTUALLY straddle splits under doc-id
+    hashing (the leakage the op exists to close)."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators.pipeline_ops import (
+        _split_col,
+        corpus_split_leakage_safe,
+    )
+
+    out = corpus_split_leakage_safe(spark, SF_SMALL).withColumn(
+        "naive_split", _split_col("doc_id")
+    )
+    per_root = out.groupBy("root_id").agg(
+        F.countDistinct("split").alias("n_safe"),
+        F.countDistinct("naive_split").alias("n_naive"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert per_root.where(F.col("n_safe") > 1).count() == 0
+    # non-vacuous: doc-id hashing splits at least one real cluster
+    assert per_root.where((F.col("n") > 1) & (F.col("n_naive") > 1)).count() > 0
+    # singletons: root == doc_id, so both assignments coincide
+    assert (
+        out.where(
+            (F.col("cluster_size") == 1)
+            & (F.col("split") != F.col("naive_split"))
+        ).count()
+        == 0
+    )
