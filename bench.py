@@ -110,6 +110,7 @@ EXTRA = [
     "dim_scd2",
     "join_pit_scd2",
     "corpus_split_leakage_safe",
+    "evt_scd2_refresh_stream",
 ]
 
 

@@ -284,7 +284,15 @@ def dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Open intervals get the SCD2_OPEN_END sentinel instead of null so
     readers range-filter without null branches (and the driver hash
     sees a non-null BIGINT)."""
-    e = _events_epoch(spark, sf_dir)
+    return scd2_versions(_events_epoch(spark, sf_dir))
+
+
+def scd2_versions(e: DataFrame) -> DataFrame:
+    """SCD2 construction over any (user_id, ts_s, event_id, event_type)
+    frame — shared by the batch dim_scd2 op and the incremental
+    streaming maintenance gate (evt_scd2_refresh_stream), which
+    re-derives touched users' versions through this exact function so
+    stream and batch cannot drift."""
     # rows arrive (ts_s asc, event_id desc): the FIRST row of each
     # second carries that second's max event_id, so "new second" ⇔
     # "survives the dedupe" — same user_id partitioning as the later

@@ -321,3 +321,107 @@ def evt_mart_refresh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # surface the version trail for the incrementality contract test
     evt_mart_refresh_stream.last_versions = versions  # type: ignore[attr-defined]
     return spark.read.parquet(versions[-1])
+
+
+# ------------------------------------------------ evt_scd2_refresh_stream
+
+@REG.op(
+    "evt_scd2_refresh_stream",
+    # identical contract to the batch dim_scd2 — the hash proves the
+    # incremental maintenance converged to the full batch build
+    oracle=None,  # set below: composed from joins_temporal after import
+)
+def evt_scd2_refresh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 dimension maintenance: the events stream
+    arrives as three disjoint files processed one per micro-batch, and
+    each foreachBatch merge keeps the versioned dimension current —
+    the streaming form of a feature store's dimension-history upkeep,
+    certified against the batch dim_scd2 oracle.
+
+    SCD2 cannot be maintained append-only under out-of-order arrival
+    (a late event can split an existing interval), so each batch does
+    a KEY-SCOPED recompute — the same shape as evt_mart_refresh_stream
+    and storage.merge_upsert: append the batch to the event history,
+    re-derive versions for the users this batch TOUCHED via the exact
+    batch construction (joins_temporal.scd2_versions — stream and
+    batch share the code, so they cannot drift), and merge them onto
+    the previous dimension version (left_anti on touched users +
+    union). Untouched users' rows are carried forward byte-identical;
+    at scale the recompute is bounded by sum(touched users' history),
+    not table size, and the touched-user filter is a semi-join (shown
+    broadcast here at gate scale). The returned frame reads the FINAL
+    version: the driver hash against dim_scd2's oracle proves the
+    batch-by-batch maintenance converged to the from-scratch build.
+    tests/test_streaming.py pins genuine incrementality (one version
+    per micro-batch; untouched users carried unchanged)."""
+    from claim_analysis_engine_spark.operators.joins_temporal import (
+        scd2_versions,
+    )
+
+    stage = _stage_events_split(sf_dir, MART_REFRESH_SPLITS)
+    dim_root = Path(tempfile.mkdtemp(prefix="cae_stream_scd2_"))
+    hist_dir = str(dim_root / "history")
+    ckpt = tempfile.mkdtemp(prefix="cae_stream_ckpt_")
+    versions: list[str] = []
+
+    stream = streaming.read_events_stream(spark, stage, max_files_per_trigger=1)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch_df.select(
+            "event_id", "user_id", "ts", "event_type"
+        ).write.mode("append").parquet(hist_dir)
+        touched = batch_df.select("user_id").distinct()
+        hist = s.read.parquet(hist_dir).join(F.broadcast(touched), "user_id")
+        recomputed = scd2_versions(
+            hist.select(
+                "user_id",
+                F.col("ts").cast("long").alias("ts_s"),
+                "event_id",
+                "event_type",
+            )
+        )
+        upd = recomputed
+        if versions:
+            prev = s.read.parquet(versions[-1])
+            upd = prev.join(
+                F.broadcast(touched), "user_id", "left_anti"
+            ).unionByName(recomputed)
+        v = str(dim_root / f"v{len(versions):03d}")
+        upd.write.mode("overwrite").parquet(v)
+        versions.append(v)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if not versions:
+        raise RuntimeError("scd2 refresh stream produced no versions")
+    evt_scd2_refresh_stream.last_versions = versions  # type: ignore[attr-defined]
+    return spark.read.parquet(versions[-1])
+
+
+def _install_scd2_oracle() -> None:
+    """The gate's oracle IS the batch dim_scd2 oracle (final state must
+    equal the from-scratch build). Composed at import via replacement
+    because the Op dataclass is frozen and joins_temporal must not be
+    imported at this module's top level (registry owns module wiring)."""
+    from dataclasses import replace
+
+    from claim_analysis_engine_spark.operators import joins_temporal
+
+    op = REG.ops["evt_scd2_refresh_stream"]
+    REG.ops["evt_scd2_refresh_stream"] = replace(
+        op, oracle=joins_temporal.REG.ops["dim_scd2"].oracle
+    )
+
+
+_install_scd2_oracle()

@@ -154,6 +154,7 @@ ROUND7_FRONT: tuple[str, ...] = (
     "evt_dedup_stream",
     "evt_join_stream",
     "evt_mart_refresh_stream",
+    "evt_scd2_refresh_stream",
     # similarity family (oracle-bearing first)
     "sim_ann_lsh",
     "sim_ivf",

@@ -456,3 +456,40 @@ def test_mart_refresh_is_genuinely_incremental(spark):
             assert cur[k] >= n, (v, k)  # running totals only grow
         seen = cur
     assert sum(seen.values()) > 0
+
+
+def test_scd2_refresh_stream_maintains_consistent_versions(spark):
+    """The SCD2 maintenance gate must run one dimension version per
+    micro-batch, each internally consistent (exactly one is_current
+    row per user, intervals chaining gaplessly), with the covered user
+    set only growing — and the final version must equal the batch
+    dim_scd2 build row-for-row (the oracle proves this against DuckDB;
+    here against our own batch op)."""
+    from claim_analysis_engine_spark.operators.joins_temporal import dim_scd2
+    from claim_analysis_engine_spark.operators.streaming_gate import (
+        MART_REFRESH_SPLITS,
+        evt_scd2_refresh_stream,
+    )
+    from tests.conftest import SF_SMALL
+
+    final = evt_scd2_refresh_stream(spark, SF_SMALL)
+    versions = evt_scd2_refresh_stream.last_versions
+    assert len(versions) == MART_REFRESH_SPLITS
+    prev_users: set = set()
+    for v in versions:
+        rows = spark.read.parquet(v).collect()
+        by_user: dict = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        users = set(by_user)
+        assert prev_users <= users  # coverage only grows
+        prev_users = users
+        for hist in by_user.values():
+            hist.sort(key=lambda r: r.version)
+            assert sum(r.is_current for r in hist) == 1
+            assert hist[-1].is_current  # the open interval is the last
+            for a, b in zip(hist, hist[1:]):
+                assert a.valid_to == b.valid_from  # gapless chain
+    got = {tuple(r) for r in final.collect()}
+    want = {tuple(r) for r in dim_scd2(spark, SF_SMALL).collect()}
+    assert got == want
