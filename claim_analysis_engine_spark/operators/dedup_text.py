@@ -834,6 +834,10 @@ def propagate_min_labels(
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+_CC_MEMO: dict[tuple[str, int, str], DataFrame] = {}
+_CC_MEMO_MAX = 8
+
+
 @REG.op(
     "dedup_cluster_cc",
     oracle=f"""
@@ -889,7 +893,18 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2 255 sig-nodes after collapse), where extra partitions mean extra
     per-round task overhead — measured +1 s at sf0.1 when the scan was
     repartitioned to 32. The single md5 signature pass is cheap enough
-    single-split at these SFs; a real corpus arrives multi-split."""
+    single-split at these SFs; a real corpus arrives multi-split.
+
+    The finished labels frame is memoized per (application, session,
+    sf_dir) — the rule_engine._ALERTS_MEMO pattern: three consumers
+    now need the clusters (this op, dedup_canonical_pick,
+    corpus_split_leakage_safe) and the testdata under sf_dir is
+    immutable, so re-running the iterative propagation per consumer
+    is pure waste. The memoized frame ends in localCheckpointed
+    lineage, so repeat calls read materialized blocks."""
+    memo_key = (spark.sparkContext.applicationId, id(spark), sf_dir)
+    if memo_key in _CC_MEMO:
+        return _CC_MEMO[memo_key]
     sigs, nodes, edges = _cc_sig_graph(spark, sf_dir)
 
     labels, converged = propagate_min_labels(nodes, edges)
@@ -903,9 +918,13 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract column, oracle-checked: the recursive-CTE oracle emits
     # TRUE, so a cap-terminated (non-converged) run hash-mismatches at
     # the gate instead of passing partial labels off as components
-    return per_doc.join(sizes, "root_id").select(
+    out = per_doc.join(sizes, "root_id").select(
         "doc_id", "root_id", "cluster_size", F.lit(converged).alias("converged")
     )
+    if len(_CC_MEMO) >= _CC_MEMO_MAX:
+        _CC_MEMO.pop(next(iter(_CC_MEMO)))
+    _CC_MEMO[memo_key] = out
+    return out
 
 
 def _cc_sig_graph(
