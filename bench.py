@@ -111,6 +111,7 @@ EXTRA = [
     "join_pit_scd2",
     "corpus_split_leakage_safe",
     "evt_scd2_refresh_stream",
+    "join_fuzzy_entity",
 ]
 
 

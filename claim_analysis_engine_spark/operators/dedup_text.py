@@ -1286,3 +1286,163 @@ def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.join(sizes, "root_id").select(
         "doc_id", "root_id", "cluster_size", F.lit(converged).alias("converged")
     )
+
+
+# ---------------------------------------------------- join_fuzzy_entity
+
+# Entity-resolution fuzzy join configuration: 3-char grams; a gram is a
+# usable BLOCK KEY only if its document frequency is <= |corpus| / 30 —
+# the DF prune that excludes the shared "Customer#0..." prefix grams
+# (DF = |corpus|) which would otherwise make every record collide into
+# one hot block.
+FUZZY_GRAM_K = 3
+FUZZY_DF_DIVISOR = 30
+FUZZY_DIRTY_MOD = 7  # every 7th customer gets a planted dirty variant
+FUZZY_NO_MATCH = -1  # sentinel: unresolvable dirty record (non-null key)
+
+_FUZZY_GRAMS_SQL = (
+    "list_distinct(list_transform("
+    f"generate_series(1, length({{col}}) - {FUZZY_GRAM_K - 1}), "
+    f"i -> substr({{col}}, i, {FUZZY_GRAM_K})))"
+)
+
+
+@REG.op(
+    "join_fuzzy_entity",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_key,
+             substr(c_name, 1, c_custkey % 8)
+               || substr(c_name, 2 + (c_custkey % 8)) AS dirty_name
+      FROM customer WHERE c_custkey % {FUZZY_DIRTY_MOD} = 0
+    ),
+    csets AS (
+      SELECT c_custkey, {_FUZZY_GRAMS_SQL.format(col="c_name")} AS gs
+      FROM customer
+    ),
+    cg AS (SELECT c_custkey, unnest(gs) AS gram FROM csets),
+    df AS (SELECT gram, count(*) AS df FROM cg GROUP BY 1),
+    thresh AS (SELECT count(*) / {FUZZY_DF_DIVISOR} AS t FROM customer),
+    dsets AS (
+      SELECT dirty_key, dirty_name,
+             {_FUZZY_GRAMS_SQL.format(col="dirty_name")} AS gs
+      FROM dirty
+    ),
+    dg AS (SELECT dirty_key, unnest(gs) AS gram FROM dsets),
+    cand AS (
+      SELECT DISTINCT d.dirty_key, c.c_custkey
+      FROM dg d JOIN df USING (gram) JOIN cg c USING (gram), thresh
+      WHERE df.df <= thresh.t
+    ),
+    scored AS (
+      SELECT k.dirty_key, k.c_custkey,
+             round(CAST(len(list_intersect(ds.gs, cs.gs)) AS DOUBLE)
+                   / (len(ds.gs) + len(cs.gs)
+                      - len(list_intersect(ds.gs, cs.gs))), 6) AS jac
+      FROM cand k
+      JOIN dsets ds ON ds.dirty_key = k.dirty_key
+      JOIN csets cs ON cs.c_custkey = k.c_custkey
+    ),
+    best AS (
+      SELECT dirty_key, c_custkey AS matched_key, jac,
+             row_number() OVER (PARTITION BY dirty_key
+                                ORDER BY jac DESC, c_custkey) AS rn
+      FROM scored
+    )
+    SELECT d.dirty_key, d.dirty_name,
+           CAST(coalesce(b.matched_key, {FUZZY_NO_MATCH}) AS BIGINT)
+             AS matched_key,
+           coalesce(b.jac, 0.0) AS jaccard
+    FROM dirty d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON b.dirty_key = d.dirty_key
+    """,
+)
+def join_fuzzy_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: dirty name variants (planted
+    letter-deletion typos in the "Customer" prefix — the id tail stays
+    intact, as OCR/keying errors hit words, not serials) resolve to
+    their canonical customer record by trigram similarity. This is the
+    cross-TABLE counterpart of the near-dup dedup family: same gram
+    machinery, but matching against a reference entity table instead
+    of within a corpus.
+
+    The scalable shape is DF-pruned posting-list blocking, the
+    standard ER blocking discipline: grams whose document frequency
+    exceeds |corpus|/30 are disqualified as block keys — on this data
+    that excludes every "Customer#0…" prefix gram (DF = |corpus|),
+    exactly the hot keys that would turn the blocking join into one
+    giant bucket. Candidates only materialize where dirty and
+    canonical records share a RARE gram (~13 per dirty record here);
+    the Jaccard verify then runs on the candidate set alone, and one
+    window keeps the best match (ties to the smallest key). Unresolved
+    records (an all-zeros id tail leaves no rare gram) surface with a
+    -1 sentinel rather than dropping. No distance computation ever
+    touches the full dirty×canonical cross product, and the DF table
+    is a gram-keyed aggregate both engines derive from the data — no
+    magic thresholds shipped out-of-band. tests/test_dedup_recall.py
+    pins the resolution quality (212/215 resolved, 211 correct at
+    sf0.01) and that the one mismatch is a true near-tie, not a
+    blocking miss."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+    def grams(col: str) -> F.Column:
+        return F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.length(col) - (FUZZY_GRAM_K - 1)
+                ),
+                lambda i: F.col(col).substr(i, F.lit(FUZZY_GRAM_K)),
+            )
+        )
+
+    dirty = cust.where(F.col("c_custkey") % FUZZY_DIRTY_MOD == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.expr(
+            "concat(substr(c_name, 1, c_custkey % 8), "
+            "substr(c_name, 2 + (c_custkey % 8)))"
+        ).alias("dirty_name"),
+    )
+    csets = cust.select("c_custkey", grams("c_name").alias("gs"))
+    cg = csets.select("c_custkey", F.explode("gs").alias("gram"))
+    df = cg.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    thresh = cust.agg(
+        (F.count(F.lit(1)) / FUZZY_DF_DIVISOR).alias("t")
+    )
+    rare = df.crossJoin(F.broadcast(thresh)).where(
+        F.col("df") <= F.col("t")
+    ).select("gram")
+
+    dsets = dirty.select("dirty_key", "dirty_name", grams("dirty_name").alias("gs"))
+    dg = dsets.select("dirty_key", F.explode("gs").alias("gram"))
+    cand = (
+        dg.join(F.broadcast(rare), "gram")
+        .join(cg, "gram")
+        .select("dirty_key", "c_custkey")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("d_gs", "c_gs")).cast("double")
+    scored = (
+        cand.join(dsets.select("dirty_key", F.col("gs").alias("d_gs")), "dirty_key")
+        .join(csets.select("c_custkey", F.col("gs").alias("c_gs")), "c_custkey")
+        .select(
+            "dirty_key",
+            "c_custkey",
+            F.round(
+                inter / (F.size("d_gs") + F.size("c_gs") - inter), 6
+            ).alias("jac"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("dirty_key").orderBy(F.col("jac").desc(), "c_custkey")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("dirty_key", F.col("c_custkey").alias("matched_key"), "jac")
+    )
+    return dirty.join(best, "dirty_key", "left").select(
+        "dirty_key",
+        "dirty_name",
+        F.coalesce("matched_key", F.lit(FUZZY_NO_MATCH)).cast("bigint").alias("matched_key"),
+        F.coalesce("jac", F.lit(0.0)).alias("jaccard"),
+    )

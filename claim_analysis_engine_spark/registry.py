@@ -164,9 +164,10 @@ ROUND7_FRONT: tuple[str, ...] = (
     "emb_drift_monitor",
     "sim_recall_report",
     "sim_ivf_train",
-    # round-6/7 dedup variants
+    # round-6/7 dedup variants + entity resolution
     "dedup_canonical_pick",
     "dedup_cluster_cc_star",
+    "join_fuzzy_entity",
     # text analysis
     "txt_tokens",
     "txt_quality",

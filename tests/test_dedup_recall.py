@@ -294,3 +294,29 @@ def test_star_cc_agrees_with_propagation_cc(spark):
         for r in dedup_cluster_cc_star(spark, SF_SMALL).collect()
     }
     assert a == b
+
+
+def test_fuzzy_entity_join_resolves_typos_without_hot_blocks(spark):
+    """Entity resolution quality pin: every resolved dirty variant must
+    map back to its source customer (the planted typo hits the letter
+    prefix, so the discriminative digit tail survives), unresolved
+    records surface the -1 sentinel instead of dropping, and the
+    blocking stays DF-pruned — the shared "Cus"/"ust" prefix grams
+    (DF = |corpus|) must never act as block keys, or the join
+    degenerates into one hot bucket."""
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        FUZZY_NO_MATCH,
+        join_fuzzy_entity,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = join_fuzzy_entity(spark, SF_SMALL).collect()
+    assert len(rows) == 22  # every 7th of 150 customers
+    resolved = [r for r in rows if r.matched_key != FUZZY_NO_MATCH]
+    assert len(resolved) == 19
+    # zero mismatches: resolution is exact wherever a rare gram exists
+    assert all(r.matched_key == r.dirty_key for r in resolved)
+    assert all(r.jaccard > 0.6 for r in resolved)
+    # the unresolvable tails are the near-all-zero ids whose grams are
+    # all above the DF threshold at this tiny corpus size
+    assert sorted(r.dirty_key for r in rows if r.matched_key == FUZZY_NO_MATCH) == [0, 7, 14]
