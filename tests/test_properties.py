@@ -161,3 +161,66 @@ def test_morton_sql_and_python_agree(sql_terms, by):
         f"SELECT {_interleave_sql(str(bx), str(by))} AS z"
     ).fetchone()[0]
     assert got == _py_interleave(bx, by)
+
+
+def _scd2_model(rows):
+    """Pure-python SCD2 reference: rows = (event_id, ts_s, user, attr).
+    Same contract as joins_temporal.scd2_versions — max event_id wins a
+    same-second tie, consecutive repeats compress, lead() closes
+    intervals, sentinel open end."""
+    from claim_analysis_engine_spark.operators.joins_temporal import (
+        SCD2_OPEN_END,
+    )
+
+    out = []
+    by_user: dict = {}
+    for eid, ts, user, attr in rows:
+        by_user.setdefault(user, []).append((ts, eid, attr))
+    for user, evs in by_user.items():
+        # keep max event_id per second, then time order
+        per_sec: dict = {}
+        for ts, eid, attr in evs:
+            if ts not in per_sec or eid > per_sec[ts][0]:
+                per_sec[ts] = (eid, attr)
+        versions = []
+        for ts in sorted(per_sec):
+            attr = per_sec[ts][1]
+            if not versions or versions[-1][1] != attr:
+                versions.append((ts, attr))
+        for i, (ts, attr) in enumerate(versions):
+            nxt = versions[i + 1][0] if i + 1 < len(versions) else SCD2_OPEN_END
+            out.append((user, attr, i + 1, ts, nxt, nxt == SCD2_OPEN_END))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # ts_s (narrow: ties)
+            st.integers(min_value=0, max_value=2),  # user_id
+            st.sampled_from(["A", "B", "C"]),  # attr
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_scd2_builder_matches_pure_model(spark, events):
+    """Differential property: for ANY event sequence (same-second
+    collisions, repeats, interleaved users) the Spark window program
+    must equal the obvious sequential SCD2 model."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators.joins_temporal import (
+        scd2_versions,
+    )
+
+    rows = [(i, ts, u, a) for i, (ts, u, a) in enumerate(events)]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts_s long, user_id long, event_type string"
+    )
+    got = sorted(
+        (r.user_id, r.attr, r.version, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_versions(e).collect()
+    )
+    assert got == _scd2_model(rows)
