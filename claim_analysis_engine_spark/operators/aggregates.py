@@ -767,3 +767,74 @@ def dq_check(o: DataFrame) -> DataFrame:
         "r.n_checked",
         (F.col("r.n_violations") == 0).alias("pass"),
     )
+
+
+# ----------------------------------------------------- dq_referential
+
+@REG.op(
+    "dq_referential",
+    oracle="""
+    SELECT fk, n_child, n_orphans, n_orphans = 0 AS pass FROM (
+      SELECT 'orders.o_custkey->customer' AS fk,
+             (SELECT count(*) FROM orders) AS n_child,
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey))
+    ) t
+    """,
+)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity expectations — the cross-TABLE dq class
+    dq_expectations (single-table, one-pass) cannot express: each
+    declared foreign-key edge is checked for orphans with a left_anti
+    join against the parent's keys. Three edges cover the star schema's
+    spine (orders→customer, lineitem→orders, lineitem→part).
+
+    Scale shape: anti-join on the join key — Spark picks broadcast
+    when the parent key set fits (customer/part dims) and a shuffled
+    hash join otherwise; either way each edge is one pass over the
+    child, never a per-row lookup, and the three edges share no state
+    so they parallelize as independent jobs. tests/test_etl_invariants
+    plants orphans in each edge and asserts the exact counts fire."""
+    fks = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ]
+    out = None
+    for fk, child_t, ck, parent_t, pk in fks:
+        frame = fk_orphans(
+            load(spark, sf_dir, child_t), ck, load(spark, sf_dir, parent_t), pk, fk
+        )
+        out = frame if out is None else out.unionByName(frame)
+    return out
+
+
+def fk_orphans(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str, fk: str
+) -> DataFrame:
+    """One FK edge's orphan check (separated so tests can feed dirty
+    frames): child rows whose key has no parent row."""
+    orphans = child.select(F.col(child_key).alias("k")).join(
+        parent.select(F.col(parent_key).alias("k")).distinct(), "k", "left_anti"
+    )
+    return child.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+        F.broadcast(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+    ).select(
+        F.lit(fk).alias("fk"),
+        "n_child",
+        "n_orphans",
+        (F.col("n_orphans") == 0).alias("pass"),
+    )

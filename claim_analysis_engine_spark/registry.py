@@ -201,6 +201,7 @@ ROUND7_FRONT: tuple[str, ...] = (
     "dim_scd2",
     "join_pit_scd2",
     "dq_expectations",
+    "dq_referential",
     "evt_funnel",
     # --- overflow boundary (~50-slot window) ---
     "agg_salted",

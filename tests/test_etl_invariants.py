@@ -146,3 +146,23 @@ def test_dq_expectations_fire_on_planted_violations(spark):
     assert got["status_in_domain"] == (1, False)
     assert got["date_in_bounds"] == (1, False)
     assert got["month_in_range"] == (0, True)
+
+
+def test_fk_orphan_check_fires_on_planted_orphans(spark):
+    """The all-pass result on clean testdata proves agreement, not
+    sensitivity: plant known orphans in a child frame and the check
+    must count them exactly (nulls count as orphans too — a null FK
+    has no parent row)."""
+    from claim_analysis_engine_spark.operators.aggregates import fk_orphans
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (8,), (None,)], "ck long"
+    )
+    row = fk_orphans(child, "ck", parent, "pk", "child.ck->parent").collect()[0]
+    assert (row.fk, row.n_child, row.n_orphans, row["pass"]) == (
+        "child.ck->parent",
+        6,
+        3,
+        False,
+    )
