@@ -838,3 +838,132 @@ def fk_orphans(
         "n_orphans",
         (F.col("n_orphans") == 0).alias("pass"),
     )
+
+
+# ------------------------------------------------------- dq_psi_drift
+
+PSI_REF_YEAR = 1997
+PSI_CUR_YEAR = 2000
+PSI_BINS = 10
+PSI_EPS = 1e-6  # proportion smoothing: empty bins must not blow up ln()
+
+
+@REG.op(
+    "dq_psi_drift",
+    oracle=f"""
+    WITH ref AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE year(o_orderdate) = {PSI_REF_YEAR}
+    ),
+    cur AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE year(o_orderdate) = {PSI_CUR_YEAR}
+    ),
+    edges AS (
+      SELECT min(v) AS lo, (max(v) - min(v)) / {PSI_BINS} AS w FROM ref
+    ),
+    rh AS (
+      SELECT least(greatest(CAST(floor((v - lo) / w) AS BIGINT), 0),
+                   {PSI_BINS - 1}) AS bin, count(*) AS n
+      FROM ref, edges GROUP BY 1
+    ),
+    ch AS (
+      SELECT least(greatest(CAST(floor((v - lo) / w) AS BIGINT), 0),
+                   {PSI_BINS - 1}) AS bin, count(*) AS n
+      FROM cur, edges GROUP BY 1
+    ),
+    spine AS (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin),
+    p AS (
+      SELECT s.bin,
+             CAST(coalesce(rh.n, 0) AS BIGINT) AS n_ref,
+             CAST(coalesce(ch.n, 0) AS BIGINT) AS n_cur,
+             coalesce(rh.n, 0) / (SELECT CAST(count(*) AS DOUBLE) FROM ref)
+               + {PSI_EPS} AS p_ref,
+             coalesce(ch.n, 0) / (SELECT CAST(count(*) AS DOUBLE) FROM cur)
+               + {PSI_EPS} AS p_cur
+      FROM spine s
+      LEFT JOIN rh ON rh.bin = s.bin
+      LEFT JOIN ch ON ch.bin = s.bin
+    )
+    SELECT bin, n_ref, n_cur,
+           round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+           round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+    FROM p
+    """,
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular feature-drift monitor: the population stability index of
+    o_totalprice between a reference window (orders of {PSI_REF_YEAR})
+    and a current window ({PSI_CUR_YEAR}), per fixed bin — the
+    standard go/no-go check before a model trained on the reference
+    period scores current data (the tabular sibling of
+    emb_drift_monitor's embedding-space check). Bin edges derive from
+    the REFERENCE window's min/max (10 equal-width bins, outliers
+    clamped to the edge bins), so drift moves the CURRENT histogram
+    against frozen edges instead of silently re-binning both sides;
+    epsilon-smoothed proportions keep empty bins finite. Consumers sum
+    psi_term (>0.2 = actionable drift by the usual rule of thumb).
+
+    Scale shape: two filtered single-pass histograms (map-side
+    combinable conditional aggregates), a 10-row bin spine join, and
+    per-bin scalar math — no shuffle larger than the bin count, so the
+    check costs two scans of the monitored column at any corpus
+    size."""
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"), F.col("o_totalprice").alias("v")
+    )
+    ref = o.where(F.col("y") == PSI_REF_YEAR)
+    cur = o.where(F.col("y") == PSI_CUR_YEAR)
+    edges = ref.agg(
+        F.min("v").alias("lo"),
+        ((F.max("v") - F.min("v")) / PSI_BINS).alias("w"),
+        F.count(F.lit(1)).cast("double").alias("n_ref_total"),
+    )
+    cur_total = cur.agg(F.count(F.lit(1)).cast("double").alias("n_cur_total"))
+
+    def hist(side: DataFrame, alias: str) -> DataFrame:
+        return (
+            side.crossJoin(F.broadcast(edges.select("lo", "w")))
+            .select(
+                F.least(
+                    F.greatest(
+                        F.floor((F.col("v") - F.col("lo")) / F.col("w")).cast("bigint"),
+                        F.lit(0),
+                    ),
+                    F.lit(PSI_BINS - 1),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    spine = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+    p = (
+        spine.join(hist(ref, "n_ref"), "bin", "left")
+        .join(hist(cur, "n_cur"), "bin", "left")
+        .crossJoin(F.broadcast(edges.select("n_ref_total")))
+        .crossJoin(F.broadcast(cur_total))
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            (
+                F.coalesce("n_ref", F.lit(0)) / F.col("n_ref_total") + PSI_EPS
+            ).alias("p_ref_raw"),
+            (
+                F.coalesce("n_cur", F.lit(0)) / F.col("n_cur_total") + PSI_EPS
+            ).alias("p_cur_raw"),
+        )
+    )
+    return p.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round("p_ref_raw", 6).alias("p_ref"),
+        F.round("p_cur_raw", 6).alias("p_cur"),
+        F.round(
+            (F.col("p_cur_raw") - F.col("p_ref_raw"))
+            * F.log(F.col("p_cur_raw") / F.col("p_ref_raw")),
+            6,
+        ).alias("psi_term"),
+    )

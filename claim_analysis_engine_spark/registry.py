@@ -202,6 +202,7 @@ ROUND7_FRONT: tuple[str, ...] = (
     "join_pit_scd2",
     "dq_expectations",
     "dq_referential",
+    "dq_psi_drift",
     "evt_funnel",
     # --- overflow boundary (~50-slot window) ---
     "agg_salted",

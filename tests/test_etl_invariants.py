@@ -166,3 +166,38 @@ def test_fk_orphan_check_fires_on_planted_orphans(spark):
         3,
         False,
     )
+
+
+def test_psi_drift_fires_on_planted_shift(spark):
+    """Near-zero PSI on stationary testdata proves agreement, not
+    sensitivity: plant a current window whose prices shifted far right
+    of the reference distribution and the summed PSI must cross the
+    0.2 actionable-drift threshold (and land in the clamped top bin)."""
+    import datetime
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators.aggregates import (
+        PSI_CUR_YEAR,
+        PSI_REF_YEAR,
+        dq_psi_drift,
+    )
+
+    rows = []
+    for i in range(200):
+        # reference: uniform over [100, 300)
+        rows.append((datetime.date(PSI_REF_YEAR, 1 + i % 12, 1), 100.0 + i))
+        # current: shifted well past the reference max
+        rows.append((datetime.date(PSI_CUR_YEAR, 1 + i % 12, 1), 900.0 + i))
+    with tempfile.TemporaryDirectory(prefix="cae_psi_") as d:
+        spark.createDataFrame(
+            rows, "o_orderdate date, o_totalprice double"
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        out = dq_psi_drift(spark, d).collect()
+    total = sum(r.psi_term for r in out)
+    assert total > 0.2, total
+    top = next(r for r in out if r.bin == 9)
+    assert top.n_cur == 200  # the whole shifted window clamps to bin 9
+    assert sum(r.n_ref for r in out) == 200
