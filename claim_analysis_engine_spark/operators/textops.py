@@ -821,3 +821,55 @@ def txt_idf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("raw", 4).alias("score"),
         )
     )
+
+
+# --------------------------------------------------- txt_compress_ratio
+
+COMPRESS_REPETITIVE_T = 0.30  # ratio below this = repetitive/spammy
+
+
+@REG.op("txt_compress_ratio", oracle=None)  # zlib has no SQL twin: rows-only
+def txt_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: deflate each document and
+    score it by compressed/raw bytes — the classic corpus heuristic
+    (low ratio = the text is self-repetitive boilerplate/spam; natural
+    prose sits far higher) used alongside the statistical quality
+    scores of txt_quality. This is also the module's demonstration of
+    the sanctioned Python escape hatch: zlib is not expressible in
+    Column math, so the score runs as an Arrow-batched pandas_udf —
+    one vectorized call per Arrow batch, never per row
+    (ArrowEvalPython; the plan sweep forbids BatchEvalPython).
+    zlib level is pinned so the score is bit-deterministic; no ANSI
+    twin exists, so the registry records it rows-only and
+    tests/test_textops-style checks pin determinism and that a planted
+    repetitive document scores below the natural-text band.
+
+    Scale shape: a per-row projection — zero shuffles, embarrassingly
+    parallel over input splits; ~µs/KB of zlib per executor core."""
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: module has `from __future__ import annotations`, which turns
+    # hints into strings pandas_udf cannot infer from — annotate via
+    # __annotations__-free form and rely on the returnType argument
+    @pandas_udf("double")
+    def ratio(texts):
+        import zlib
+
+        def one(t: str) -> float:
+            raw = t.encode("utf-8", errors="replace")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars"), F.col("text")
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.round(ratio("text"), 4).alias("compress_ratio"),
+    ).withColumn(
+        "repetitive", F.col("compress_ratio") < COMPRESS_REPETITIVE_T
+    )

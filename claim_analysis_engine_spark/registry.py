@@ -181,6 +181,7 @@ ROUND7_FRONT: tuple[str, ...] = (
     "txt_lm_perplexity",
     "txt_ngram_novelty",
     "txt_idf_topterms",
+    "txt_compress_ratio",
     # corpus pipeline core
     "corpus_split_hash",
     "corpus_contamination",

@@ -88,3 +88,43 @@ def test_leakage_safe_split_is_cluster_atomic_where_naive_straddles(spark):
         ).count()
         == 0
     )
+
+
+def test_compress_ratio_is_deterministic_arrow_and_flags_repetition(spark):
+    """The zlib quality score must be bit-deterministic across runs,
+    ship as an Arrow-batched UDF (never row-at-a-time Python), and
+    actually separate repetitive text from natural prose."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators.textops import (
+        COMPRESS_REPETITIVE_T,
+        txt_compress_ratio,
+    )
+
+    df = txt_compress_ratio(spark, SF_SMALL)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    a = sorted((r.doc_id, r.compress_ratio) for r in df.collect())
+    b = sorted((r.doc_id, r.compress_ratio) for r in df.collect())
+    assert a == b
+    # sensitivity: planted repetitive text scores under the threshold,
+    # the natural-prose corpus stays above it
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="cae_zratio_") as d:
+        spark.createDataFrame(
+            [(0, "spam " * 400), (1, os.urandom(64).hex())],
+            "doc_id long, text string",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: (r.compress_ratio, r.repetitive)
+               for r in txt_compress_ratio(spark, d).collect()}
+    assert got[0][0] < COMPRESS_REPETITIVE_T and got[0][1]
+    assert got[1][0] > COMPRESS_REPETITIVE_T and not got[1][1]
