@@ -873,3 +873,78 @@ def txt_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "repetitive", F.col("compress_ratio") < COMPRESS_REPETITIVE_T
     )
+
+
+# ----------------------------------------------- txt_search_conjunctive
+
+SEARCH_TERMS = ("join", "hash", "window")  # conjunctive (AND) query
+
+
+@REG.op(
+    "txt_search_conjunctive",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             count(*) FILTER (tok = '{SEARCH_TERMS[0]}') AS tf_{SEARCH_TERMS[0]},
+             count(*) FILTER (tok = '{SEARCH_TERMS[1]}') AS tf_{SEARCH_TERMS[1]},
+             count(*) FILTER (tok = '{SEARCH_TERMS[2]}') AS tf_{SEARCH_TERMS[2]}
+      FROM toks WHERE tok IN {SEARCH_TERMS!r}
+      GROUP BY 1
+    )
+    SELECT doc_id, tf_{SEARCH_TERMS[0]}, tf_{SEARCH_TERMS[1]},
+           tf_{SEARCH_TERMS[2]},
+           CAST(tf_{SEARCH_TERMS[0]} + tf_{SEARCH_TERMS[1]}
+                + tf_{SEARCH_TERMS[2]} AS BIGINT) AS tf_total
+    FROM hits
+    WHERE tf_{SEARCH_TERMS[0]} > 0 AND tf_{SEARCH_TERMS[1]} > 0
+      AND tf_{SEARCH_TERMS[2]} > 0
+    """,
+)
+def txt_search_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean (AND) keyword search as posting-list intersection: docs
+    containing EVERY query term, with per-term and total term
+    frequencies — the index-shaped retrieval the text family lacked
+    (ep7's ANN retrieval is semantic; this is exact lexical search).
+
+    The scalable plan is the inverted-index shape without
+    materializing an index: tokenize once, FILTER the exploded token
+    stream down to the query terms BEFORE anything shuffles (the
+    posting prune — at 100 TB the shuffle carries |query-term
+    postings| rows, a vanishing fraction of the token stream), then
+    one doc-keyed aggregate computes all per-term frequencies and the
+    conjunction test together. Compare the naive plan — K substring
+    scans of every document with a LIKE per term — which reads the
+    full corpus K times and cannot push the term filter below the
+    scan. A persistent deployment materializes the same exploded
+    (term, doc) frame sorted by term (sort_zorder/snk_compaction are
+    the layout ops) and prunes at the file level."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.array_remove(F.split("text", " "), "")).alias("tok"),
+    )
+    hits = (
+        toks.where(F.col("tok").isin(*SEARCH_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.count(F.when(F.col("tok") == t, 1)).alias(f"tf_{t}")
+                for t in SEARCH_TERMS
+            ]
+        )
+    )
+    cond = None
+    for t in SEARCH_TERMS:
+        c = F.col(f"tf_{t}") > 0
+        cond = c if cond is None else (cond & c)
+    total = sum((F.col(f"tf_{t}") for t in SEARCH_TERMS[1:]),
+                F.col(f"tf_{SEARCH_TERMS[0]}"))
+    return hits.where(cond).select(
+        "doc_id",
+        *[f"tf_{t}" for t in SEARCH_TERMS],
+        total.cast("bigint").alias("tf_total"),
+    )

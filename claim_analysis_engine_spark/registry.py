@@ -182,6 +182,7 @@ ROUND7_FRONT: tuple[str, ...] = (
     "txt_ngram_novelty",
     "txt_idf_topterms",
     "txt_compress_ratio",
+    "txt_search_conjunctive",
     # corpus pipeline core
     "corpus_split_hash",
     "corpus_contamination",
