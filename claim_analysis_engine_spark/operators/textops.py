@@ -948,3 +948,105 @@ def txt_search_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"tf_{t}" for t in SEARCH_TERMS],
         total.cast("bigint").alias("tf_total"),
     )
+
+
+# ----------------------------------------------------- txt_search_bm25
+
+BM25_TERMS = ("join", "window", "salt")  # disjunctive (OR) query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 25
+
+
+@REG.op(
+    "txt_search_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             avg(doclen) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN {BM25_TERMS!r} GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id,
+             sum(
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+               * t.tf * ({BM25_K1} + 1)
+               / (t.tf + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * l.doclen / s.avgdl))
+             ) AS score,
+             CAST(count(*) AS BIGINT) AS n_terms_hit
+      FROM tf t
+      JOIN df d USING (tok)
+      JOIN dl l USING (doc_id), stats s
+      GROUP BY 1
+    )
+    SELECT doc_id, round(score, 6) AS score, n_terms_hit
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def txt_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval — the scored (OR) complement of
+    txt_search_conjunctive's boolean AND: per-term Robertson idf
+    weights a saturating, length-normalized tf, summed per document;
+    top-k by (rounded score, doc_id) so both engines rank
+    identically. Together with ep7's semantic ANN this gives the
+    engine both halves of a standard hybrid-retrieval stack.
+
+    Scale: the posting prune again — only the query terms' postings
+    survive the token stream before any shuffle; df and the corpus
+    stats (N, avgdl) are tiny aggregates joined back (Catalyst
+    broadcasts them); the final top-k is orderBy().limit(k), which
+    Spark executes as TakeOrderedAndProject — per-partition heaps
+    merged on the driver, NO single-partition global sort, so the
+    ranking step stays safe however many documents score."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.array_remove(F.split("text", " "), "")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("doclen").alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("doclen") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * F.col("tf") * (BM25_K1 + 1) / norm).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", F.round("score", 6).alias("score"), "n_terms_hit"
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )

@@ -183,6 +183,7 @@ ROUND7_FRONT: tuple[str, ...] = (
     "txt_idf_topterms",
     "txt_compress_ratio",
     "txt_search_conjunctive",
+    "txt_search_bm25",
     # corpus pipeline core
     "corpus_split_hash",
     "corpus_contamination",

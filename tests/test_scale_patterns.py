@@ -321,3 +321,14 @@ def test_pit_scd2_credits_boundary_purchase_to_the_new_version(spark):
         (1, 2): ("purchase", 1, 5.0),
         (1, 4): ("purchase", 1, 7.5),
     }
+
+
+def test_bm25_topk_avoids_global_sort(spark):
+    """The ranked-retrieval top-k must compile to TakeOrderedAndProject
+    (per-partition heaps merged on the driver), never a global
+    single-partition Sort — the difference between a safe and an
+    unrunnable ranking step at corpus scale."""
+    from claim_analysis_engine_spark.operators.textops import txt_search_bm25
+
+    plan = _plan(txt_search_bm25(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
