@@ -112,6 +112,7 @@ EXTRA = [
     "corpus_split_leakage_safe",
     "evt_scd2_refresh_stream",
     "join_fuzzy_entity",
+    "ep8_hybrid_retrieval",
 ]
 
 

@@ -576,3 +576,112 @@ def ep7_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cosine"), 4).alias("avg_top1_cos"),
         F.round(F.avg("mse_e6"), 2).alias("avg_mse_e6"),
     )
+
+
+# ----------------------------------------------- ep8_hybrid_retrieval
+
+HYBRID_QUERY_VEC = 0  # semantic query: this vector's embedding
+HYBRID_RRF_K = 60  # standard reciprocal-rank-fusion constant
+HYBRID_TOP = 10
+
+
+def _ep8_oracle() -> str:
+    from claim_analysis_engine_spark.operators.similarity import _cos_sql
+    from claim_analysis_engine_spark.operators.textops import (
+        BM25_TOP_K,
+        REG as TREG,
+    )
+
+    bm25_sql = TREG.ops["txt_search_bm25"].oracle
+    return f"""
+    WITH lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      FROM ({bm25_sql})
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = {HYBRID_QUERY_VEC}),
+    sem0 AS (
+      SELECT c.vec_id AS doc_id,
+             round({_cos_sql('q', 'c')}, 6) AS cos
+      FROM q, embeddings c WHERE c.vec_id <> {HYBRID_QUERY_VEC}
+    ),
+    sem AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+      FROM sem0 ORDER BY cos DESC, doc_id LIMIT {BM25_TOP_K}
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             CAST(coalesce(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+             CAST(coalesce(s.sem_rank, 0) AS BIGINT) AS sem_rank,
+             coalesce(1.0 / ({HYBRID_RRF_K} + l.lex_rank), 0)
+               + coalesce(1.0 / ({HYBRID_RRF_K} + s.sem_rank), 0) AS rrf
+      FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
+    )
+    SELECT doc_id, round(rrf, 6) AS rrf_score, lex_rank, sem_rank
+    FROM fused
+    ORDER BY round(rrf, 6) DESC, doc_id
+    LIMIT {HYBRID_TOP}
+    """
+
+
+@REG.op("ep8_hybrid_retrieval", oracle=_ep8_oracle())
+def ep8_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval capstone: fuse the lexical ranking
+    (txt_search_bm25) with a semantic cosine ranking over the
+    embedding corpus by reciprocal rank fusion — the standard
+    two-tower search stack (BM25 + dense retriever, RRF at k=60),
+    composed entirely from oracle-checked parts; the oracle embeds the
+    BM25 op's own SQL as a derived table so every stage stays
+    value-checked through the fusion.
+
+    Scale: each branch keeps its own bounded plan (posting-pruned BM25
+    with TakeOrdered top-k; one broadcast query vector against the
+    corpus — O(N), no pairwise), and the fusion itself joins two
+    k-row frames — constant work however large the corpus. Docs
+    missing from one branch carry rank 0 and contribute only the other
+    branch's reciprocal."""
+    from claim_analysis_engine_spark.operators.similarity import _cos, _emb
+    from claim_analysis_engine_spark.operators.textops import (
+        BM25_TOP_K,
+        txt_search_bm25,
+    )
+
+    wl = W.orderBy(F.col("score").desc(), "doc_id")
+    lex = txt_search_bm25(spark, sf_dir).select(
+        "doc_id", F.row_number().over(wl).alias("lex_rank")
+    )
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("embedding").alias("eq")
+    )
+    sem0 = (
+        emb.where(F.col("vec_id") != HYBRID_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(_cos("eq", "embedding"), 6).alias("cos"),
+        )
+    )
+    top_sem = sem0.orderBy(F.col("cos").desc(), "doc_id").limit(BM25_TOP_K)
+    ws = W.orderBy(F.col("cos").desc(), "doc_id")
+    sem = top_sem.select("doc_id", F.row_number().over(ws).alias("sem_rank"))
+    fused = lex.join(sem, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).cast("bigint").alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(0)).cast("bigint").alias("sem_rank"),
+        (
+            F.coalesce(1.0 / (HYBRID_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (HYBRID_RRF_K + F.col("sem_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            "lex_rank",
+            "sem_rank",
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(HYBRID_TOP)
+    )

@@ -147,6 +147,7 @@ ROUND7_FRONT: tuple[str, ...] = (
     "ep4_corpus_e2e",
     "ep6_curation_e2e",
     "ep7_retrieval_e2e",
+    "ep8_hybrid_retrieval",
     "ep3_forecast_e2e",
     # streaming gates (real availableNow runs, batch-equivalence oracles)
     "evt_tumbling_stream",
