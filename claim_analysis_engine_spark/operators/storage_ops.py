@@ -481,3 +481,91 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_totalprice").alias("n_with_price"),
         F.count("o_orderpriority").alias("n_with_priority"),
     )
+
+
+# ------------------------------------------------------- snk_mart_diff
+
+DIFF_YEARS_A = (1995, 1999)  # version A window (inclusive)
+DIFF_YEARS_B = (1997, 2001)  # version B window — overlap ⇒ added+removed
+DIFF_B_DROP_MOD = 101  # version B drops ~1% of rows (a simulated pipeline
+# correction) so overlap months exercise the 'changed' class too
+
+
+@REG.op(
+    "snk_mart_diff",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderstatus AS status, strftime(o_orderdate, '%Y-%m') AS month,
+             count(*) AS n
+      FROM orders
+      WHERE year(o_orderdate) BETWEEN {DIFF_YEARS_A[0]} AND {DIFF_YEARS_A[1]}
+      GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT o_orderstatus AS status, strftime(o_orderdate, '%Y-%m') AS month,
+             count(*) AS n
+      FROM orders
+      WHERE year(o_orderdate) BETWEEN {DIFF_YEARS_B[0]} AND {DIFF_YEARS_B[1]}
+        AND o_orderkey % {DIFF_B_DROP_MOD} <> 0
+      GROUP BY 1, 2
+    )
+    SELECT coalesce(a.status, b.status) AS status,
+           coalesce(a.month, b.month) AS month,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_before,
+           CAST(coalesce(b.n, 0) AS BIGINT) AS n_after,
+           CAST(coalesce(b.n, 0) - coalesce(a.n, 0) AS BIGINT) AS delta,
+           CASE WHEN a.n IS NULL THEN 'added'
+                WHEN b.n IS NULL THEN 'removed'
+                WHEN a.n <> b.n THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM a FULL OUTER JOIN b ON a.status = b.status AND a.month = b.month
+    """,
+)
+def snk_mart_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version diff between two builds of the monthly mart — the audit
+    report a data owner reads after an upload: which (status, month)
+    keys appeared, disappeared, or changed counts, and by how much.
+    The two versions here are overlapping year windows of the fact
+    table so every change class (added / removed / changed /
+    unchanged) is exercised; in production the inputs are two
+    partition snapshots of the same mart (the versioned dirs the
+    mart-refresh gates already write).
+
+    Scale shape: a diff of AGGREGATES, never of raw rows — each side
+    reduces map-side to its key grain first, then one full-outer join
+    on the mart key compares two key-sized frames. Diffing raw
+    snapshots row-by-row would shuffle the full fact table twice;
+    diffing marts shuffles two aggregates."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.year("o_orderdate").alias("y"),
+    )
+
+    def mart(side: DataFrame, lo: int, hi: int, n_name: str) -> DataFrame:
+        return (
+            side.where(F.col("y").between(lo, hi))
+            .groupBy("status", "month")
+            .agg(F.count(F.lit(1)).alias(n_name))
+        )
+
+    a = mart(o, *DIFF_YEARS_A, "n_a")
+    b = mart(
+        o.where(F.col("o_orderkey") % DIFF_B_DROP_MOD != 0),
+        *DIFF_YEARS_B,
+        "n_b",
+    )
+    j = a.join(b, ["status", "month"], "full")
+    return j.select(
+        "status",
+        "month",
+        F.coalesce("n_a", F.lit(0)).alias("n_before"),
+        F.coalesce("n_b", F.lit(0)).alias("n_after"),
+        (F.coalesce("n_b", F.lit(0)) - F.coalesce("n_a", F.lit(0))).alias("delta"),
+        F.when(F.col("n_a").isNull(), "added")
+        .when(F.col("n_b").isNull(), "removed")
+        .when(F.col("n_a") != F.col("n_b"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )

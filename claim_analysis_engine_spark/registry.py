@@ -217,6 +217,7 @@ ROUND7_FRONT: tuple[str, ...] = (
     "evt_error_burst",
     "evt_sessionize_native",
     "src_schema_evolution",
+    "snk_mart_diff",
     "agg_kanon_suppress",
     "sort_global_shards",
     "sort_zorder",

@@ -228,3 +228,25 @@ def test_xlsx_helpers_low_level(tmp_path):
     header, rows = storage.xlsx_read_rows(p)
     assert header == ["h1", "h2"]
     assert rows == [("r1", ""), ("r2", "v")]
+
+
+def test_mart_diff_exercises_all_change_classes(spark):
+    """The version diff must surface every change class on this data
+    (overlapping year windows + the version-B row drop) and its delta
+    arithmetic must be internally consistent per class."""
+    from claim_analysis_engine_spark.operators.storage_ops import snk_mart_diff
+    from tests.conftest import SF_SMALL
+
+    rows = snk_mart_diff(spark, SF_SMALL).collect()
+    classes = {r.change_type for r in rows}
+    assert classes == {"added", "removed", "changed", "unchanged"}
+    for r in rows:
+        assert r.delta == r.n_after - r.n_before
+        if r.change_type == "added":
+            assert r.n_before == 0 and r.n_after > 0
+        elif r.change_type == "removed":
+            assert r.n_after == 0 and r.n_before > 0
+        elif r.change_type == "unchanged":
+            assert r.n_before == r.n_after > 0
+        else:
+            assert 0 < r.n_after != r.n_before > 0
