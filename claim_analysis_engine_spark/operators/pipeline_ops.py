@@ -992,3 +992,82 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         _split_col("root_id").alias("split"),
     )
+
+
+# ---------------------------------------------- corpus_sample_weighted
+
+WEIGHTED_SAMPLE_K = 20  # kept per language stratum
+WEIGHTED_SALT = "wsample:"  # seed namespace for the md5 uniform
+
+
+@REG.op(
+    "corpus_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS w,
+             ln(
+               (CAST(('0x' || substr(md5('{WEIGHTED_SALT}' ||
+                       CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 1)
+               / 4294967296.0
+             ) / CAST(n_chars AS DOUBLE) AS es_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, doc_id, w,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY round(es_key, 9) DESC, doc_id) AS rank
+      FROM keyed
+    )
+    SELECT lang, doc_id, w, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {WEIGHTED_SAMPLE_K}
+    """,
+)
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, deterministically: the
+    Efraimidis–Spirakis A-Res scheme — each doc draws a uniform u and
+    ranks by u^(1/w) (equivalently ln(u)/w), and the top-k per stratum
+    is an exact weighted sample without replacement. Here w = n_chars
+    (longer docs proportionally likelier — the usual byte-budget
+    sampling bias), stratified by language; u derives from a salted
+    md5 of doc_id, so the "random" draw is reproducible across runs,
+    engines, and years — the corpus_split_hash philosophy applied to
+    weighted selection, where a seed file or RNG state would otherwise
+    make the sample unauditable.
+
+    Scale shape: one per-row projection (hash + ln) and one per-stratum
+    top-k window over an all-rows frame. Language strata are few and
+    large — for heavy strata the window becomes the bottleneck only at
+    extreme scale, where the standard refinement is a per-partition
+    top-k (A-Res is mergeable: keep k best keys per partition, merge)
+    — the same TakeOrdered shape the BM25 ranking uses. Ranks are
+    computed on the 9dp-rounded key so both engines break near-ties
+    identically (doc_id orders within a rounded tie)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(WEIGHTED_SALT), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1
+    ) / 4294967296.0
+    keyed = load(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("double").alias("w"),
+        (F.log(u) / F.col("n_chars").cast("double")).alias("es_key"),
+    )
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("lang").orderBy(
+        F.round("es_key", 9).desc(), "doc_id"
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= WEIGHTED_SAMPLE_K)
+        .select("lang", "doc_id", "w", F.col("rank").cast("bigint").alias("rank"))
+    )

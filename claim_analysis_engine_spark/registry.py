@@ -194,6 +194,7 @@ ROUND7_FRONT: tuple[str, ...] = (
     "corpus_budget_mix",
     "corpus_dedup_chunks",
     "corpus_split_leakage_safe",
+    "corpus_sample_weighted",
     # multimodal metadata ops
     "mm_blob_meta",
     "mm_phash_groups",

@@ -128,3 +128,39 @@ def test_compress_ratio_is_deterministic_arrow_and_flags_repetition(spark):
                for r in txt_compress_ratio(spark, d).collect()}
     assert got[0][0] < COMPRESS_REPETITIVE_T and got[0][1]
     assert got[1][0] > COMPRESS_REPETITIVE_T and not got[1][1]
+
+
+def test_weighted_sample_is_length_biased_and_complete(spark):
+    """Efraimidis-Spirakis with w = n_chars must (a) fill exactly k per
+    stratum, (b) produce a sample whose mean weight exceeds the
+    population mean (the whole point of weighting), and (c) be
+    reproducible run-to-run (salted-hash uniform, no RNG state)."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators.pipeline_ops import (
+        WEIGHTED_SAMPLE_K,
+        corpus_sample_weighted,
+    )
+    from claim_analysis_engine_spark.tables import load
+
+    out = corpus_sample_weighted(spark, SF_SMALL)
+    rows = out.collect()
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r)
+    docs = load(spark, SF_SMALL, "documents")
+    pop = {
+        r.lang: r.mean_w
+        for r in docs.groupBy("lang").agg(F.avg("n_chars").alias("mean_w")).collect()
+    }
+    n_lang = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    biased = 0
+    for lang, sample in per_lang.items():
+        assert len(sample) == min(WEIGHTED_SAMPLE_K, n_lang[lang])
+        assert sorted(r.rank for r in sample) == list(range(1, len(sample) + 1))
+        if sum(r.w for r in sample) / len(sample) > pop[lang]:
+            biased += 1
+    # length bias must show in the majority of strata (fixed data, no flake)
+    assert biased > len(per_lang) / 2, (biased, len(per_lang))
+    again = sorted((r.lang, r.doc_id, r.rank) for r in corpus_sample_weighted(spark, SF_SMALL).collect())
+    assert again == sorted((r.lang, r.doc_id, r.rank) for r in rows)
