@@ -474,3 +474,64 @@ def evt_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
              - SESSION_GAP_S).alias("duration_s"),
         )
     )
+
+
+# --------------------------------------------------- evt_transitions
+
+@REG.op(
+    "evt_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+             ) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev_type, sum(n) AS row_total FROM t GROUP BY 1)
+    SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
+           round(t.n / CAST(tot.row_total AS DOUBLE), 6) AS p
+    FROM t JOIN tot USING (prev_type)
+    """,
+)
+def evt_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix: for every consecutive event
+    pair within a user's timeline, count (prev_type → next_type)
+    transitions and the row-normalized probability — the first-order
+    Markov view of product flows (what users do AFTER an error, what
+    precedes a purchase) that funnels and retention don't show.
+    Same-second events order by event_id, the events.py tie
+    convention, so the chain is deterministic.
+
+    Scale: one lag window per user (single shuffle on user_id — the
+    sessionize partitioning) feeding a low-cardinality pair aggregate
+    whose map-side combine reduces each partition to at most
+    |event types|² rows; the probability join attaches a per-row-total
+    frame of the same tiny cardinality. Nothing downstream of the
+    window exceeds the type-pair grain."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("ts_s", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("row_total").cast("double"), 6).alias("p"),
+    )

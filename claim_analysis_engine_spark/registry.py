@@ -215,6 +215,7 @@ ROUND7_FRONT: tuple[str, ...] = (
     "join_asof",
     "join_range_bucketed",
     "evt_retention",
+    "evt_transitions",
     "evt_error_burst",
     "evt_sessionize_native",
     "src_schema_evolution",
