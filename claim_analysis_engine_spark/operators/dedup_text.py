@@ -1446,3 +1446,119 @@ def join_fuzzy_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("matched_key", F.lit(FUZZY_NO_MATCH)).cast("bigint").alias("matched_key"),
         F.coalesce("jac", F.lit(0.0)).alias("jaccard"),
     )
+
+
+# ---------------------------------------------- dedup_cross_snapshot
+
+SNAPSHOT_MOD = 5  # doc_id % 5 == 0 plays the "newly crawled" snapshot
+CROSS_JACCARD_T = 0.5
+CROSS_NO_DUP = -1  # sentinel: new doc with no near-dup in the corpus
+
+
+@REG.op(
+    "dedup_cross_snapshot",
+    oracle=f"""
+    WITH sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    dig0 AS (SELECT doc_id, sh,
+             list_transform(sh, s -> md5('0:' || s)) AS dig FROM sh0),
+    sigs AS (SELECT doc_id, sh,
+             list_aggregate(list_transform(dig, d -> substr(d, 1, {WINDOW_HEX})),
+                            'min') AS mh0,
+             list_aggregate(list_transform(dig, d -> substr(d, {WINDOW_HEX + 1},
+                            {WINDOW_HEX})), 'min') AS mh1
+             FROM dig0),
+    new_side AS (SELECT * FROM sigs WHERE doc_id % {SNAPSHOT_MOD} = 0),
+    old_side AS (SELECT * FROM sigs WHERE doc_id % {SNAPSHOT_MOD} <> 0),
+    cand AS (
+      SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+             round(len(list_intersect(n.sh, o.sh)) * 1.0
+                   / (len(n.sh) + len(o.sh)
+                      - len(list_intersect(n.sh, o.sh))), 4) AS jac
+      FROM new_side n JOIN old_side o
+        ON n.mh0 = o.mh0 AND n.mh1 = o.mh1
+    ),
+    best AS (
+      SELECT new_id, old_id, jac,
+             row_number() OVER (PARTITION BY new_id
+                                ORDER BY jac DESC, old_id) AS rn
+      FROM cand WHERE jac >= {CROSS_JACCARD_T}
+    )
+    SELECT n.doc_id,
+           CAST(coalesce(b.old_id, {CROSS_NO_DUP}) AS BIGINT) AS dup_of,
+           coalesce(b.jac, 0.0) AS jaccard,
+           b.old_id IS NOT NULL AS is_dup
+    FROM new_side n
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = n.doc_id
+    """,
+)
+def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-ingestion dedup: every NEWLY arrived document
+    (the doc_id % {SNAPSHOT_MOD} == 0 slice stands in for a fresh
+    snapshot) is checked against the EXISTING corpus only — the
+    asymmetric join a production pipeline runs per crawl, where the
+    in-corpus dedup already happened and re-pairing old-vs-old every
+    ingestion would redo quadratically growing work. New docs that
+    share the (mh0, mh1) MinHash block key with any corpus doc verify
+    by exact shingle Jaccard and keep their best match (ties to the
+    smallest corpus id); clean docs surface with a -1 sentinel rather
+    than dropping, so downstream admission control sees every arrival.
+
+    Scale shape: at each ingestion the join cost is |snapshot| ×
+    collision rate, NOT |corpus|² — the corpus side contributes only
+    its (precomputable, storable) signature table, which is exactly
+    what an incremental pipeline persists between crawls. Signatures
+    hash each side once (one md5 pass per shingle), and no new-new or
+    old-old pair ever materializes."""
+
+    def mh(j: int) -> F.Column:
+        start = j * WINDOW_HEX + 1
+        return F.array_min(
+            F.transform("dig", lambda d: d.substr(start, WINDOW_HEX))
+        )
+
+    sigs = (
+        _shingles(spark, sf_dir)
+        .select(
+            "doc_id",
+            "sh",
+            F.transform(
+                "sh", lambda s: F.md5(F.concat(F.lit("0:"), s))
+            ).alias("dig"),
+        )
+        .select("doc_id", "sh", mh(0).alias("mh0"), mh(1).alias("mh1"))
+    )
+    new_side = sigs.where(F.col("doc_id") % SNAPSHOT_MOD == 0)
+    old_side = sigs.where(F.col("doc_id") % SNAPSHOT_MOD != 0).select(
+        F.col("doc_id").alias("old_id"),
+        F.col("sh").alias("sh_o"),
+        "mh0",
+        "mh1",
+    )
+    inter = F.size(F.array_intersect("sh", "sh_o")).cast("double")
+    cand = (
+        new_side.join(old_side, ["mh0", "mh1"])
+        .select(
+            F.col("doc_id").alias("new_id"),
+            "old_id",
+            F.round(
+                inter / (F.size("sh") + F.size("sh_o") - inter), 4
+            ).alias("jac"),
+        )
+        .where(F.col("jac") >= CROSS_JACCARD_T)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("new_id").orderBy(F.col("jac").desc(), "old_id")
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("new_id", "old_id", "jac")
+    )
+    return new_side.select("doc_id").join(
+        best, new_side.doc_id == best.new_id, "left"
+    ).select(
+        "doc_id",
+        F.coalesce("old_id", F.lit(CROSS_NO_DUP)).cast("bigint").alias("dup_of"),
+        F.coalesce("jac", F.lit(0.0)).alias("jaccard"),
+        F.col("old_id").isNotNull().alias("is_dup"),
+    )

@@ -168,6 +168,7 @@ ROUND7_FRONT: tuple[str, ...] = (
     # round-6/7 dedup variants + entity resolution
     "dedup_canonical_pick",
     "dedup_cluster_cc_star",
+    "dedup_cross_snapshot",
     "join_fuzzy_entity",
     # text analysis
     "txt_tokens",
