@@ -5,15 +5,16 @@ the nested series mart, JSON/Excel sinks, and guarded store cleanup.
 Key scalability inversion vs the reference: the reference rewrites the
 ENTIRE hub on every upload (core/storage.py:94-130 full-load → concat
 → rewrite — its documented cliff). Here the merge-upsert unions only
-against the hub partitions the new batch touches, and the write uses
-dynamic partition overwrite (session conf) so untouched (year, month)
-directories are never rewritten. The series mart is one aggregation
+against the hub partitions the new batch touches, and the write pins
+dynamic partition overwrite at the write site so untouched
+(year, month) directories are never rewritten — on ANY session. The series mart is one aggregation
 job writing docs distributed — never a driver-side per-group loop.
 """
 
 from __future__ import annotations
 
 import shutil
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,15 +25,39 @@ from claim_analysis_engine_spark.config import PARTITION_COLS
 
 HUB_PARTITIONS = list(PARTITION_COLS)
 
+_OVERWRITE_MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
+
+
+@contextmanager
+def _dynamic_partition_overwrite(spark: SparkSession):
+    """Pin partitionOverwriteMode=dynamic for the enclosed write,
+    restoring the caller's value afterwards. The hub merge-upsert's
+    keep-untouched-partitions semantics DEPEND on dynamic mode; under
+    Spark's default (static) the same write truncates the entire hub
+    root — silent data loss on any externally built SparkSession. Ops
+    must never assume ambient session conf (the tables._load_events
+    lesson), so the mode is asserted at the write site itself."""
+    prev = spark.conf.get(_OVERWRITE_MODE_KEY, "static")
+    if prev.lower() == "dynamic":
+        yield
+        return
+    spark.conf.set(_OVERWRITE_MODE_KEY, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(_OVERWRITE_MODE_KEY, prev)
+
 
 # ------------------------------------------------------------------ hub
 
 def write_hub(df: DataFrame, hub_path: str) -> None:
     """Partitioned hub write → <hub>/reception_year=YYYY/reception_month=MM/
     (reference ds.write_dataset with DirectoryPartitioning,
-    core/storage.py:47-69). With partitionOverwriteMode=dynamic only
-    partitions present in ``df`` are replaced."""
-    df.write.partitionBy(*HUB_PARTITIONS).mode("overwrite").parquet(hub_path)
+    core/storage.py:47-69). Dynamic partition overwrite is pinned at
+    the write site, so only partitions present in ``df`` are replaced
+    regardless of how the caller's session was configured."""
+    with _dynamic_partition_overwrite(df.sparkSession):
+        df.write.partitionBy(*HUB_PARTITIONS).mode("overwrite").parquet(hub_path)
 
 
 def read_hub(
@@ -85,9 +110,10 @@ def merge_upsert(
     # may coalesce the exchange when volumes are small; coalesced
     # buckets keep whole (year, month) groups together, so the
     # one-file-per-dir property survives.)
-    deduped.repartition(*HUB_PARTITIONS).write.partitionBy(
-        *HUB_PARTITIONS
-    ).mode("overwrite").parquet(hub_path)
+    with _dynamic_partition_overwrite(spark):
+        deduped.repartition(*HUB_PARTITIONS).write.partitionBy(
+            *HUB_PARTITIONS
+        ).mode("overwrite").parquet(hub_path)
 
 
 def available_periods(spark: SparkSession, hub_path: str) -> DataFrame:
