@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from claim_analysis_engine_spark.registry import OpRegistry
-from claim_analysis_engine_spark.tables import load, spread_scan
+from claim_analysis_engine_spark.tables import load, session_memo_key, spread_scan
 
 REG = OpRegistry()
 
@@ -902,7 +902,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     immutable, so re-running the iterative propagation per consumer
     is pure waste. The memoized frame ends in localCheckpointed
     lineage, so repeat calls read materialized blocks."""
-    memo_key = (spark.sparkContext.applicationId, id(spark), sf_dir)
+    memo_key = session_memo_key(spark, sf_dir)
     if memo_key in _CC_MEMO:
         return _CC_MEMO[memo_key]
     sigs, nodes, edges = _cc_sig_graph(spark, sf_dir)

@@ -33,6 +33,7 @@ from claim_analysis_engine_spark.operators.risk import (
     _with_target,
 )
 from claim_analysis_engine_spark.registry import OpRegistry
+from claim_analysis_engine_spark.tables import session_memo_key
 
 REG = OpRegistry()
 
@@ -346,7 +347,7 @@ def rs_tree_relational(
     table (incremental-refresh path scores hub + upload batch)."""
     memo_key = None
     if orders is None:
-        memo_key = (spark.sparkContext.applicationId, id(spark), sf_dir)
+        memo_key = session_memo_key(spark, sf_dir)
         if memo_key in _TREE_MEMO:
             return _TREE_MEMO[memo_key]
     base = _with_target(spark, sf_dir, orders).cache()

@@ -37,7 +37,7 @@ from claim_analysis_engine_spark.operators.risk_tree import (
     rs_tree_relational,
 )
 from claim_analysis_engine_spark.registry import OpRegistry
-from claim_analysis_engine_spark.tables import load
+from claim_analysis_engine_spark.tables import load, session_memo_key
 
 REG = OpRegistry()
 
@@ -237,7 +237,7 @@ def p6_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The returned frame is the FLATTENED read-back of the written
     alerts documents, so the oracle certifies what a consumer of
     alerts.json would actually see."""
-    memo_key = (spark.sparkContext.applicationId, id(spark), sf_dir)
+    memo_key = session_memo_key(spark, sf_dir)
     if memo_key in _ALERTS_MEMO:
         return _ALERTS_MEMO[memo_key]
     settings = _staged_settings(spark)

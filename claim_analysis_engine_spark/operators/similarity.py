@@ -32,7 +32,7 @@ from claim_analysis_engine_spark.operators.dedup_text import (
     _dot,
 )
 from claim_analysis_engine_spark.registry import OpRegistry
-from claim_analysis_engine_spark.tables import load, spread_scan
+from claim_analysis_engine_spark.tables import load, session_memo_key, spread_scan
 
 REG = OpRegistry()
 
@@ -341,7 +341,7 @@ def train_ivf_centroids(
     """Run the Lloyd training (see sim_ivf_train) and return the final
     (cell_id, centroid) rows — the model handoff for
     sim_ivf_search_trained. Memoized per (session, sf_dir)."""
-    memo_key = (spark.sparkContext.applicationId, id(spark), sf_dir)
+    memo_key = session_memo_key(spark, sf_dir)
     if memo_key in _IVF_CENT_MEMO:
         return _IVF_CENT_MEMO[memo_key]
     cents, _report = _train_ivf(spark, sf_dir)
@@ -379,7 +379,7 @@ def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, report = _train_ivf(spark, sf_dir)
     # side-populate the centroid memo so a later trained search in the
     # same session skips retraining
-    memo_key = (spark.sparkContext.applicationId, id(spark), sf_dir)
+    memo_key = session_memo_key(spark, sf_dir)
     if len(_IVF_CENT_MEMO) >= _IVF_CENT_MEMO_MAX:
         _IVF_CENT_MEMO.pop(next(iter(_IVF_CENT_MEMO)))
     _IVF_CENT_MEMO[memo_key] = cents

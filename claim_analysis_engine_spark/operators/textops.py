@@ -861,7 +861,9 @@ def txt_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return 1.0
             return len(zlib.compress(raw, 6)) / len(raw)
 
-        return texts.map(one)
+        # na_action: a null text must yield a null score, not crash
+        # the whole Arrow batch on None.encode
+        return texts.map(one, na_action="ignore")
 
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("n_chars"), F.col("text")

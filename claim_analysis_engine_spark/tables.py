@@ -53,6 +53,17 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def session_memo_key(spark: SparkSession, *extra) -> tuple:
+    """Memo key for per-(session, args) caches of expensive immutable
+    artifacts (CC labels, IVF centroids, alert sinks). Uses the
+    SparkContext's applicationId + startTime: unlike id(spark), which
+    the allocator can recycle after GC (handing a recreated session a
+    frame bound to a stopped one), startTime is minted by the JVM per
+    context and never recurs within a process."""
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.startTime, *extra)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for spark.sql-style ops)."""
     for name in TABLES:
