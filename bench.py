@@ -201,14 +201,16 @@ def main() -> None:
 
     extra = {name: run(name) for name in EXTRA}
 
+    # Key order matters: the driver's artifact capture keeps the TAIL
+    # of this (long) line, so the bulky per-run spread goes FIRST and
+    # the headline metric/value/methodology go LAST — BENCH_r07 lost
+    # its headline number to head-truncation.
     print(
         json.dumps(
             {
-                "metric": "headline_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": queries,
+                "spread": spread,
                 "extra_queries": extra,
+                "queries": queries,
                 "runs_per_query": {
                     "headline": N_RUNS_HEADLINE,
                     "extra": N_RUNS_EXTRA,
@@ -217,8 +219,10 @@ def main() -> None:
                 "median-of-3 per extra (since round 6; round 4-5 were "
                 "median-of-3 everywhere; rounds 1-3 one-shot incl. "
                 "first-run warm-up)",
-                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "metric": "headline_total_runtime",
+                "unit": "sec",
+                "value": round(total, 3),
             }
         )
     )
