@@ -513,14 +513,33 @@ def rs_tree_relational(
         F.when(use_nb, 1.0 - nb_cdf).otherwise(1.0 - pois_cdf)
     )
 
+    # The cache is a CollapseProject barrier, not (primarily) a reuse
+    # cache: without it the final select's score/reason/band trees each
+    # re-inline z, the Poisson/NB fold recurrences of p_val, and the
+    # penalty cases — the collapsed Project's generated code crosses
+    # the JVM's 64 KB method limit, and EVERY execution then pays a
+    # failed Janino compile plus interpreted fallback (measured: the
+    # tiny 2-doc alerts write took 5.5 s warm). With the barrier both
+    # codegen units stay under the limit. The frame is per-series-key
+    # rows — KB-scale at any SF.
     calc = (
         feat.withColumn("z", z)
         .withColumn("used_stl", used_stl)
         .withColumn("partial_penalty", partial_penalty)
         .withColumn("momentum", momentum)
         .withColumn("p_val", p_val)
-    )
+    ).cache()
 
+    # From here down the score/band/reason pyramid is STAGED into
+    # withColumns levels instead of one nested Column expression. A
+    # Column is a TREE, not a DAG: writing `total1` inline nests
+    # `total0` four times, and the final select then references
+    # `total1` five more times — the single collapsed Project's
+    # generated code crossed the JVM's 64 KB method limit and every
+    # execution paid a failed Janino compile + interpreted fallback
+    # (measured: the 2-doc alerts write took 5.5 s warm at sf0.1).
+    # Staged columns become attribute refs — each heavy subtree is
+    # generated and evaluated exactly once per level.
     sparse_core = F.when(
         ~F.col("sparse"), 0.0
     ).otherwise(
@@ -541,63 +560,64 @@ def rs_tree_relational(
         F.least(F.lit(50.0), F.greatest(F.lit(0.0), (F.col("z") - start_sigma) * 25.0))
     )
     cv = F.when(F.col("mu") > 0, F.col("sd") / F.col("mu")).otherwise(0.0)
-    limit_z = (
-        F.when((cv < 0.1) & (F.col("mu") > 1.0), 2.0)
-        .when(cv > 0.5, 3.5)
-        .otherwise(F.when(F.col("crit"), 2.5).otherwise(3.0))
-    )
-    warn_z = F.greatest(F.lit(1.5), limit_z - 1.0)
-    rule1_score = (
-        F.when(F.abs("z") > limit_z, 30.0)
-        .when(F.abs("z") > warn_z, 15.0)
-        .otherwise(0.0)
-    )
     z_ewma = (F.col("ewma_val") - F.col("mu")) / (
         F.col("sd") * math.sqrt(0.2 / 1.8) + 1e-6
     )
-    ewma_score = F.when(F.abs(z_ewma) > 3.0, 15.0).otherwise(0.0)
-
-    rule1_trig = ~F.col("sparse") & (F.abs("z") > limit_z)
-    rule2 = ~F.col("sparse") & F.col("raw_rule2")
-    rule3 = ~F.col("sparse") & F.col("raw_rule3")
-    core = F.when(F.col("sparse"), sparse_core).otherwise(
-        base_score
-        + rule1_score
+    limit_z = (
+        F.when((F.col("cv") < 0.1) & (F.col("mu") > 1.0), 2.0)
+        .when(F.col("cv") > 0.5, 3.5)
+        .otherwise(F.when(F.col("crit"), 2.5).otherwise(3.0))
+    )
+    warn_z = F.greatest(F.lit(1.5), F.col("limit_z") - 1.0)
+    rule1_score = (
+        F.when(F.abs("z") > F.col("limit_z"), 30.0)
+        .when(F.abs("z") > warn_z, 15.0)
+        .otherwise(0.0)
+    )
+    core = F.when(F.col("sparse"), F.col("sparse_core")).otherwise(
+        F.col("base_score")
+        + F.col("rule1_score")
         + F.when(F.col("raw_rule2"), 20.0).otherwise(0.0)
         + F.when(F.col("raw_rule3"), 20.0).otherwise(0.0)
-        + ewma_score
+        + F.col("ewma_score")
     )
     pre_bonus = (
-        core + F.when(F.col("momentum"), 15.0).otherwise(0.0) + F.col("partial_penalty")
+        F.col("core")
+        + F.when(F.col("momentum"), 15.0).otherwise(0.0)
+        + F.col("partial_penalty")
     )
     total0 = F.least(
         F.lit(100.0),
-        F.when(F.col("crit") & (pre_bonus > 0), pre_bonus + 10.0).otherwise(pre_bonus),
+        F.when(
+            F.col("crit") & (F.col("pre_bonus") > 0), F.col("pre_bonus") + 10.0
+        ).otherwise(F.col("pre_bonus")),
     )
-
-    first_occ = F.col("mu") == 0
-    rare = F.col("sparse") & (F.col("prev1") == 0)
     total1 = (
-        F.when(F.col("x") != 1, total0)
+        F.when(F.col("x") != 1, F.col("total0"))
         .when(
-            first_occ | rare,
-            F.when(~F.col("crit"), F.least(total0, F.lit(59.0))).otherwise(total0),
+            F.col("first_occ") | F.col("rare"),
+            F.when(~F.col("crit"), F.least(F.col("total0"), F.lit(59.0))).otherwise(
+                F.col("total0")
+            ),
         )
-        .otherwise(F.least(total0, F.lit(30.0)))
+        .otherwise(F.least(F.col("total0"), F.lit(30.0)))
     )
     partial_reason = F.when(F.col("partial_penalty") > 0, "상승세 가속").otherwise("")
     partial_reason2 = F.when(
-        (F.col("x") == 1) & ~(first_occ | rare), ""
-    ).otherwise(partial_reason)
-
+        (F.col("x") == 1) & ~(F.col("first_occ") | F.col("rare")), ""
+    ).otherwise(F.col("partial_reason"))
     has_parts = (
-        (partial_reason2 != "") | rule1_trig | rule2 | rule3 | F.col("momentum")
+        (F.col("partial_reason2") != "")
+        | F.col("rule1_trig")
+        | F.col("rule2")
+        | F.col("rule3")
+        | F.col("momentum")
     )
     mom_detail = F.concat_ws(
         ", ",
-        F.nullif(partial_reason2, F.lit("")),
-        F.when(rule2, "지속적 상승 - 9개월"),
-        F.when(rule3, "지속적 상승 - (6개월)"),
+        F.nullif(F.col("partial_reason2"), F.lit("")),
+        F.when(F.col("rule2"), "지속적 상승 - 9개월"),
+        F.when(F.col("rule3"), "지속적 상승 - (6개월)"),
         F.when(F.col("momentum"), "연속 상승 모멘텀"),
     )
     method_str = (
@@ -610,20 +630,28 @@ def rs_tree_relational(
     )
     alert_reason = (
         F.when(
-            has_parts,
+            F.col("has_parts"),
             F.concat_ws(
                 " / ",
-                F.when(rule1_trig, "📊추세이탈(정상범위 이탈)"),
-                F.when(mom_detail != "", F.concat(F.lit("📈급증감지("), mom_detail, F.lit(")"))),
+                F.when(F.col("rule1_trig"), "📊추세이탈(정상범위 이탈)"),
+                F.when(
+                    F.col("mom_detail") != "",
+                    F.concat(F.lit("📈급증감지("), F.col("mom_detail"), F.lit(")")),
+                ),
             ),
         )
-        .when(F.col("sparse"), F.concat(F.lit("⚡돌발감지("), method_str, F.lit(")")))
-        .otherwise(F.concat(F.lit("📊추세이탈("), method_str, F.lit(")")))
+        .when(
+            F.col("sparse"),
+            F.concat(F.lit("⚡돌발감지("), F.col("method_str"), F.lit(")")),
+        )
+        .otherwise(F.concat(F.lit("📊추세이탈("), F.col("method_str"), F.lit(")")))
     )
     thr_red = F.when(F.col("crit"), 75).otherwise(85)
     thr_yel = F.when(F.col("crit"), 50).otherwise(60)
     band = (
-        F.when(total1 >= thr_red, "🔴").when(total1 >= thr_yel, "🟡").otherwise("⚪")
+        F.when(F.col("total1") >= thr_red, "🔴")
+        .when(F.col("total1") >= thr_yel, "🟡")
+        .otherwise("⚪")
     )
     sparse_yellow = (
         F.col("sparse") & (F.col("x") == 2) & F.col("crit") & (F.col("mu") >= 0.5)
@@ -632,48 +660,96 @@ def rs_tree_relational(
         ~F.col("sparse")
         & (F.col("x") < 3)
         & (F.col("z") < 0.8)
-        & ~(rule1_trig | rule2 | rule3 | F.col("momentum"))
-        & (partial_reason == "")
+        & ~(
+            F.col("rule1_trig")
+            | F.col("rule2")
+            | F.col("rule3")
+            | F.col("momentum")
+        )
+        & (F.col("partial_reason") == "")
     )
     cold = F.col("n_obs") < 3
 
+    # dependency-levelled staging (see comment above): every column in
+    # a level references only calc columns or columns from EARLIER
+    # levels, so no heavy subtree is ever duplicated inside one
+    # expression tree
+    staged = (
+        calc.withColumns(
+            {
+                "sparse_core": sparse_core,
+                "base_score": base_score,
+                "cv": cv,
+                "z_ewma": z_ewma,
+                "first_occ": F.col("mu") == 0,
+                "rare": F.col("sparse") & (F.col("prev1") == 0),
+                "cold": cold,
+                "partial_reason": partial_reason,
+                "sparse_yellow": sparse_yellow,
+                "method_str": method_str,
+                "rule2": ~F.col("sparse") & F.col("raw_rule2"),
+                "rule3": ~F.col("sparse") & F.col("raw_rule3"),
+            }
+        )
+        .withColumns(
+            {
+                "limit_z": limit_z,
+                "ewma_score": F.when(F.abs(z_ewma) > 3.0, 15.0).otherwise(0.0),
+                "partial_reason2": partial_reason2,
+            }
+        )
+        .withColumns(
+            {
+                "rule1_score": rule1_score,
+                "rule1_trig": ~F.col("sparse") & (F.abs("z") > F.col("limit_z")),
+            }
+        )
+        .withColumns({"core": core, "has_parts": has_parts, "mom_detail": mom_detail})
+        .withColumns({"pre_bonus": pre_bonus, "safe": safe, "alert_reason": alert_reason})
+        .withColumns({"total0": total0})
+        .withColumns({"total1": total1})
+        .withColumns({"band": band})
+    )
+
     risk_status = (
         F.when(F.col("x") == 0, "")
-        .when(cold & F.col("crit") & (F.col("x") >= 2), "🔴")
-        .when(cold & ~F.col("crit") & (F.col("x") >= 3), "🟡")
-        .when(cold & ~F.col("crit"), "⚪")
-        .when(safe, "⚪")
-        .when(sparse_yellow, "🟡")
-        .otherwise(band)
+        .when(F.col("cold") & F.col("crit") & (F.col("x") >= 2), "🔴")
+        .when(F.col("cold") & ~F.col("crit") & (F.col("x") >= 3), "🟡")
+        .when(F.col("cold") & ~F.col("crit"), "⚪")
+        .when(F.col("safe"), "⚪")
+        .when(F.col("sparse_yellow"), "🟡")
+        .otherwise(F.col("band"))
     )
     score = (
         F.when(F.col("x") == 0, 0)
-        .when(cold & F.col("crit") & (F.col("x") >= 2), 100)
-        .when(cold & ~F.col("crit") & (F.col("x") >= 3), 50)
-        .when(cold & ~F.col("crit"), 0)
-        .when(safe, 0)
-        .otherwise(F.floor(total1))
+        .when(F.col("cold") & F.col("crit") & (F.col("x") >= 2), 100)
+        .when(F.col("cold") & ~F.col("crit") & (F.col("x") >= 3), 50)
+        .when(F.col("cold") & ~F.col("crit"), 0)
+        .when(F.col("safe"), 0)
+        .otherwise(F.floor(F.col("total1")))
         .cast("int")
     )
     reason = (
         F.when(F.col("x") == 0, "발생 없음")
         .when(
-            cold & F.col("crit") & (F.col("x") >= 2),
-            F.concat(F.lit("초기급증("), partial_reason, F.lit(")")),
+            F.col("cold") & F.col("crit") & (F.col("x") >= 2),
+            F.concat(F.lit("초기급증("), F.col("partial_reason"), F.lit(")")),
         )
         .when(
-            cold & ~F.col("crit") & (F.col("x") >= 3),
-            F.concat(F.lit("초기주의("), partial_reason, F.lit(")")),
+            F.col("cold") & ~F.col("crit") & (F.col("x") >= 3),
+            F.concat(F.lit("초기주의("), F.col("partial_reason"), F.lit(")")),
         )
-        .when(cold & ~F.col("crit"), "데이터 부족")
-        .when(safe, "정상범주")
+        .when(F.col("cold") & ~F.col("crit"), "데이터 부족")
+        .when(F.col("safe"), "정상범주")
         .when(
-            F.when(sparse_yellow, F.lit("🟡")).otherwise(band) == "⚪", "정상범주"
+            F.when(F.col("sparse_yellow"), F.lit("🟡")).otherwise(F.col("band"))
+            == "⚪",
+            "정상범주",
         )
-        .otherwise(alert_reason)
+        .otherwise(F.col("alert_reason"))
     )
 
-    result = calc.select(
+    result = staged.select(
         "status",
         "priority",
         F.when(F.col("crit"), "중대").otherwise("일반").alias("grade"),
@@ -682,6 +758,18 @@ def rs_tree_relational(
         reason.alias("reason"),
     )
     if memo_key is not None:
+        # Materialize the base/calc caches NOW, under a tiny-frame
+        # shuffle width: the series frame is |keys|x|months| rows, and
+        # paying 32 scheduler rounds per join stage at first consumer
+        # action measured ~2 s of pure task overhead at sf0.1 (the
+        # propagate_min_labels lesson). Consumers then read cached
+        # blocks through narrow projects only.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            calc.count()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if len(_TREE_MEMO) >= _TREE_MEMO_MAX:
             _TREE_MEMO.clear()
         _TREE_MEMO[memo_key] = result
