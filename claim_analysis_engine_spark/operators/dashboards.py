@@ -215,6 +215,66 @@ def ep3_forecast_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- ep3_forecast_contract
+
+from claim_analysis_engine_spark.operators.risk import _SERIES_CTE  # noqa: E402
+
+
+@REG.op(
+    "ep3_forecast_contract",
+    oracle=_SERIES_CTE
+    + """
+    , months AS (SELECT count(*) AS m FROM spine)
+    SELECT k.status, k.priority,
+           CAST(3 AS BIGINT) AS n_horizons,
+           true AS h_complete,
+           true AS band_const,
+           true AS lo_clipped_sym,
+           true AS band_ordered
+    FROM keys k, months WHERE m >= 12
+    """,
+)
+def ep3_forecast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level gate for the DETERMINISTIC half of the forecast
+    lifecycle (ep3_forecast_e2e itself stays rows-only: yhat comes
+    from fitted model state no static SQL can reproduce). What IS
+    SQL-checkable, and what this op hash-certifies per series:
+
+    * eligibility — exactly the (status, priority) keys whose
+      zero-filled series has >= 12 months produce output (the
+      reference's min-12 guard, pages/4:72-73);
+    * shape — exactly 3 horizon rows (h = 1, 2, 3) per series;
+    * CI arithmetic (reference pages/4:321-324) — the upper margin
+      ci_hi - yhat = 1.96*rmse is CONSTANT across a series' horizons,
+      ci_lo = max(0, 2*yhat - ci_hi) (symmetry with clipping at 0),
+      and ci_lo <= ci_hi everywhere.
+
+    Tolerances are 1e-3 against the op's 4-dp rounding. The oracle
+    recomputes the eligible-key set from the same series CTE the risk
+    family certifies, with every invariant folded to `true` — so any
+    violation (wrong key set, missing horizon, asymmetric band)
+    hash-mismatches."""
+    out = ep3_forecast_e2e(spark, sf_dir)
+    hi_margin = F.col("ci_hi") - F.col("yhat")
+    lo_expect = F.greatest(F.lit(0.0), F.lit(2.0) * F.col("yhat") - F.col("ci_hi"))
+    per = out.groupBy("status", "priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_horizons"),
+        F.array_sort(F.collect_list("h")).alias("hs"),
+        (F.max(hi_margin) - F.min(hi_margin)).alias("margin_spread"),
+        F.max(F.abs(F.col("ci_lo") - lo_expect)).alias("lo_err"),
+        F.min((F.col("ci_lo") <= F.col("ci_hi")).cast("int")).alias("ord_min"),
+    )
+    return per.select(
+        "status",
+        "priority",
+        "n_horizons",
+        (F.col("hs") == F.array(F.lit(1), F.lit(2), F.lit(3))).alias("h_complete"),
+        (F.col("margin_spread") < 1e-3).alias("band_const"),
+        (F.col("lo_err") < 1e-3).alias("lo_clipped_sym"),
+        (F.col("ord_min") == 1).alias("band_ordered"),
+    )
+
+
 # ------------------------------------------------------ ep1_ingest_e2e
 
 @REG.op(

@@ -185,4 +185,6 @@ ROUND8_FRONT: tuple[str, ...] = (
     "sim_ivf_search_trained",
     "sim_pq_adc",
     "mm_decode_stub",
+    # round-8 additions
+    "ep3_forecast_contract",
 )
