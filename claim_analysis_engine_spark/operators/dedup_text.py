@@ -1562,3 +1562,125 @@ def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("jac", F.lit(0.0)).alias("jaccard"),
         F.col("old_id").isNotNull().alias("is_dup"),
     )
+
+
+# ---------------------------------------------- txt_containment_prefix
+
+CONTAIN_T = 0.9   # "A is (near-)contained in B" threshold
+CONTAIN_T_PCT = 90  # same threshold as an integer percentage: the probe
+# count must be computed with INTEGER arithmetic in both engines —
+# Python's float 1-0.9 is 0.0999…98 while DuckDB's decimal 1-0.9 is
+# exactly 0.1, and floor() of the two diverges whenever |A| is a
+# multiple of 10
+CONTAIN_REPORT_T = 0.5  # emit best-container rows at or above this
+
+
+@REG.op(
+    "txt_containment_prefix",
+    oracle=f"""
+    WITH sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM sh0),
+    dfreq AS (SELECT s, count(*) AS df FROM tok GROUP BY 1),
+    sized AS (SELECT doc_id, len(sh) AS a_n FROM sh0),
+    ranked AS (
+      SELECT t.doc_id, t.s,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.df, t.s) AS rn
+      FROM tok t JOIN dfreq d ON d.s = t.s
+    ),
+    probes AS (
+      SELECT r.doc_id, r.s FROM ranked r JOIN sized z ON z.doc_id = r.doc_id
+      WHERE r.rn <= (z.a_n * (100 - {CONTAIN_T_PCT})) // 100 + 1
+    ),
+    cand AS (
+      SELECT DISTINCT p.doc_id AS doc_a, t.doc_id AS doc_b
+      FROM probes p JOIN tok t ON t.s = p.s AND t.doc_id <> p.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) AS containment
+      FROM cand c
+      JOIN sh0 a ON a.doc_id = c.doc_a
+      JOIN sh0 b ON b.doc_id = c.doc_b
+    ),
+    best AS (
+      SELECT doc_a, doc_b, containment,
+             row_number() OVER (PARTITION BY doc_a
+                                ORDER BY containment DESC, doc_b) AS rn
+      FROM scored WHERE containment >= {CONTAIN_REPORT_T}
+    )
+    SELECT doc_a AS doc_id, doc_b AS container_id,
+           round(containment, 4) AS containment,
+           containment >= {CONTAIN_T} AS is_contained
+    FROM best WHERE rn = 1
+    """,
+)
+def txt_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-containment detection — the partial-copy case
+    Jaccard misses: a short doc fully quoted inside a long one has low
+    Jaccard (union is large) but containment |A∩B|/|A| ≈ 1. Training
+    corpora prune these as redundant-with-context (the long doc stays).
+
+    Scale shape is the PPJoin/prefix-filtering argument, not an
+    all-pairs scan: if containment(A,B) ≥ t, then among ANY
+    ⌊(1−t)·|A|⌋+1 shingles of A at least one is in B — so each doc
+    probes the inverted index with only its ⌊(1−t)·|A|⌋+1 globally
+    RAREST shingles (DF-ascending, shingle-string tiebreak, identical
+    in the oracle), and candidates are pairs sharing a rare probe.
+    Common-shingle postings are never enumerated from the probe side,
+    which is what bounds candidates on a corpus where every doc shares
+    stopword shingles with every other. Exact verify computes
+    |A∩B|/|A| on the candidate pairs only (array_intersect over the
+    two shingle sets), then keeps each doc's best container
+    (containment desc, id asc). Emits one row per doc with a
+    candidate at containment ≥ 0.5; is_contained flags the ≥ 0.9
+    partial copies. All equi-joins — no cartesian anywhere."""
+    from pyspark.sql import Window as W
+
+    sh = _shingles(spark, sf_dir).cache()
+    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    sized = sh.select("doc_id", F.size("sh").alias("a_n"))
+    wr = W.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (
+        tok.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(wr))
+        .join(sized, "doc_id")
+    )
+    probes = ranked.where(
+        F.col("rn")
+        <= F.expr(f"a_n * (100 - {CONTAIN_T_PCT}) div 100") + 1
+    ).select("doc_id", "s")
+    cand = (
+        probes.alias("p")
+        .join(tok.alias("t"), (F.col("t.s") == F.col("p.s"))
+              & (F.col("t.doc_id") != F.col("p.doc_id")))
+        .select(
+            F.col("p.doc_id").alias("doc_a"), F.col("t.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    scored = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sha", "shb")).cast("double")
+                / F.size("sha")
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAIN_REPORT_T)
+    )
+    wb = W.partitionBy("doc_a").orderBy(F.col("containment").desc(), "doc_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("container_id"),
+            F.round("containment", 4).alias("containment"),
+            (F.col("containment") >= CONTAIN_T).alias("is_contained"),
+        )
+    )

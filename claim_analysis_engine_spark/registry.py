@@ -187,4 +187,5 @@ ROUND8_FRONT: tuple[str, ...] = (
     "mm_decode_stub",
     # round-8 additions
     "ep3_forecast_contract",
+    "txt_containment_prefix",
 )

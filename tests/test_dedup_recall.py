@@ -320,3 +320,54 @@ def test_fuzzy_entity_join_resolves_typos_without_hot_blocks(spark):
     # the unresolvable tails are the near-all-zero ids whose grams are
     # all above the DF threshold at this tiny corpus size
     assert sorted(r.dirty_key for r in rows if r.matched_key == FUZZY_NO_MATCH) == [0, 7, 14]
+
+
+def test_containment_prefix_filter_recall_is_exact(spark, duck):
+    """The prefix-filter guarantee: any (A, B) with containment ≥ 0.9
+    shares at least one of A's ⌊0.1·|A|⌋+1 rarest shingles with B, so
+    the op must surface EVERY doc that has a ≥-0.9 container — checked
+    against exact all-pairs ground truth (test-only; the op never does
+    all-pairs). Also pins the asymmetry: containment ground truth is
+    directional, and the op reports the best container per CONTAINED
+    doc."""
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        txt_containment_prefix,
+    )
+
+    truth = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(
+            """
+            WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(1, length(text) - 4)),
+                       i -> substr(text, i, 5))) AS s
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) AS c
+              FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+            ),
+            best AS (
+              SELECT doc_a, doc_b, c,
+                     row_number() OVER (PARTITION BY doc_a
+                                        ORDER BY c DESC, doc_b) AS rn
+              FROM pairs WHERE c >= 0.9
+            )
+            SELECT doc_a, doc_b, round(c, 4) FROM best WHERE rn = 1
+            """
+        ).fetchall()
+    }
+    got = {
+        r["doc_id"]: (r["container_id"], float(r["containment"]))
+        for r in txt_containment_prefix(spark, SF_ORACLE)
+        .where("is_contained")
+        .collect()
+    }
+    assert set(got) == set(truth), (
+        "contained-doc sets differ: "
+        f"missed={set(truth) - set(got)} extra={set(got) - set(truth)}"
+    )
+    for doc_id, (b, c) in truth.items():
+        assert got[doc_id] == (b, pytest.approx(c, abs=1e-4)), doc_id
+    assert truth, "ground truth is empty — the check is vacuous"
