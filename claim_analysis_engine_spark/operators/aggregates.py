@@ -967,3 +967,64 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_term"),
     )
+
+
+# ------------------------------------------------- agg_decay_recency
+
+DECAY_QUARTER_MONTHS = 3  # halving period: weight = 2^-(age_months div 3)
+DECAY_MAX_SHIFT = 30      # cap the exponent (older → weight 2^-30)
+
+
+@REG.op(
+    "agg_decay_recency",
+    oracle=f"""
+    WITH tgt AS (
+      SELECT max(date_trunc('month', o_orderdate)) AS ref_month FROM orders
+    ),
+    aged AS (
+      SELECT o_orderpriority AS priority,
+             least(datediff('month', date_trunc('month', o_orderdate), ref_month)
+                   // {DECAY_QUARTER_MONTHS}, {DECAY_MAX_SHIFT}) AS k
+      FROM orders, tgt
+    )
+    SELECT priority, count(*) AS n_orders,
+           sum(1.0 / CAST(1::BIGINT << k AS DOUBLE)) AS decayed_weight
+    FROM aged GROUP BY 1
+    """,
+)
+def agg_decay_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed volume per priority — the freshness-weighted
+    popularity signal (trending detection, recency-weighted source
+    sampling for corpus mixes): each order contributes 2^-(age/3mo),
+    halving every quarter relative to the newest month in the table.
+
+    The float trap this op is built to dodge: exp()/pow() differ in
+    the last ulp across engines and a 150k-term sum amplifies the
+    drift past any fixed rounding. Here every weight is an EXACT
+    dyadic (1 / 2^k via integer shift, k capped at {DECAY_MAX_SHIFT})
+    and every partial sum stays exact (count mantissa bits + max
+    shift < 53), so the aggregate is bit-identical under ANY addition
+    order — hash-stable across engines and across Spark partitionings
+    by construction, no rounding needed. One map-side-combinable
+    aggregate; the as-of month is an aggregate scalar broadcast back,
+    never a driver literal."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.trunc("o_orderdate", "month").alias("month"),
+    )
+    ref = o.agg(F.max("month").alias("ref_month"))
+    aged = o.crossJoin(F.broadcast(ref)).select(
+        "priority",
+        F.least(
+            F.expr(
+                f"CAST(months_between(ref_month, month) AS INT) div {DECAY_QUARTER_MONTHS}"
+            ),
+            F.lit(DECAY_MAX_SHIFT),
+        ).alias("k"),
+    )
+    return aged.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.lit(1.0) / F.expr("shiftleft(1L, k)").cast("double")).alias(
+            "decayed_weight"
+        ),
+    )

@@ -535,3 +535,119 @@ def evt_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("row_total").cast("double"), 6).alias("p"),
     )
+
+
+# --------------------------------------------------- evt_attribution
+
+ATTR_LOOKBACK_US = 24 * 3600 * 1000_000  # last-touch lookback: 24 h, in µs
+
+
+@REG.op(
+    "evt_attribution",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_id, ts, user_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN ts END IGNORE NULLS)
+               OVER w AS lt_ts,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS lt_type,
+             first_value(CASE WHEN event_type IN ('view', 'click')
+                              THEN event_type END IGNORE NULLS)
+               OVER w AS ft_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    conv AS (
+      SELECT value,
+             CASE WHEN lt_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(lt_ts) <= {ATTR_LOOKBACK_US}
+                  THEN lt_type ELSE 'direct' END AS last_channel,
+             coalesce(ft_type, 'direct') AS first_channel
+      FROM tagged WHERE event_type = 'purchase'
+    )
+    SELECT model, channel,
+           count(*) AS n_conversions,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+    FROM (
+      SELECT 'last_touch_24h' AS model, last_channel AS channel, value FROM conv
+      UNION ALL
+      SELECT 'first_touch' AS model, first_channel AS channel, value FROM conv
+    ) GROUP BY 1, 2
+    """,
+)
+def evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution over raw event streams — the credit-
+    assignment op behind every growth dashboard, and the same shape a
+    training pipeline uses to label interaction sequences with
+    outcomes. Two standard models side by side: last-touch within a
+    24 h lookback (touch = view/click strictly before the purchase in
+    (ts, event_id) order; no touch in window → 'direct') and
+    first-touch over the user's full history.
+
+    Scale shape: ONE window pass over the user-partitioned event
+    stream (last/first IGNORE NULLS running values) — no
+    purchase×touch join, so per-user cost is linear in events, and the
+    single exchange is the same user_id hash shuffle sessionization
+    already pays. Both models come out of the one pass via an explode,
+    so the fact table is read once. Attribution sums go through
+    decimal so cross-engine float addition order can't drift the
+    cents. Window ties break on event_id — deterministic under
+    same-timestamp events."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    touch = F.when(is_touch, F.struct("ts", "event_type"))
+    tagged = e.select(
+        "ts",
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("lt"),
+        F.first(touch, ignorenulls=True).over(w).alias("ft"),
+    )
+    conv = tagged.where(F.col("event_type") == "purchase").select(
+        "value",
+        F.when(
+            F.col("lt").isNotNull()
+            & (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("lt.ts").cast("timestamp"))
+                <= ATTR_LOOKBACK_US
+            ),
+            F.col("lt.event_type"),
+        )
+        .otherwise("direct")
+        .alias("last_channel"),
+        F.coalesce(F.col("ft.event_type"), F.lit("direct")).alias("first_channel"),
+    )
+    both = conv.select(
+        "value",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("last_touch_24h").alias("model"),
+                    F.col("last_channel").alias("channel"),
+                ),
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.col("first_channel").alias("channel"),
+                ),
+            )
+        ).alias("m"),
+    )
+    return both.groupBy(
+        F.col("m.model").alias("model"), F.col("m.channel").alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )

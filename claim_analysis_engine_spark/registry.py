@@ -188,4 +188,6 @@ ROUND8_FRONT: tuple[str, ...] = (
     # round-8 additions
     "ep3_forecast_contract",
     "txt_containment_prefix",
+    "evt_attribution",
+    "agg_decay_recency",
 )
