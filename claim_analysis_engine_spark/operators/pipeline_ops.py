@@ -1088,3 +1088,108 @@ def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= WEIGHTED_SAMPLE_K)
         .select("lang", "doc_id", "w", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+# --------------------------------------------------- corpus_bpe_train
+
+BPE_MERGES = 20       # merge-table size to learn
+BPE_MIN_PAIR = 2      # stop early when the best pair occurs < this
+
+
+def _bpe_apply_merge(sym_col: F.Column, a: str, b: str) -> F.Column:
+    """Replace every left-to-right non-overlapping (a, b) adjacency in
+    the symbol array with the merged token — one array fold, no UDF.
+    The fold IS the classic greedy semantics: once a pair merges, its
+    merged token is the new left context, so 'aaa' under (a,a) becomes
+    [aa, a], never [a, aa]."""
+    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (s == lb),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lab)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+@REG.op("corpus_bpe_train")  # rows-only: the merge table is LEARNED
+# iterative state (no static SQL twin exists for a fixpoint over its
+# own output); tests/test_bpe.py pins the whole table against an
+# independent pure-Python BPE on the same word frequencies
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction — the tokenizer-training
+    step of an LLM data pipeline, in the standard distributed shape:
+    the working set is the WORD-FREQUENCY table (|vocab| rows — orders
+    of magnitude below corpus size; pair statistics are exact because
+    a pair's corpus count is its per-word count weighted by word
+    frequency), and each round is one map-side-combinable weighted
+    pair count over it. Per round: explode adjacent symbol pairs,
+    sum(freq) per pair, take the single most frequent (count desc,
+    then lexicographic (left, right) — byte-deterministic), apply the
+    merge to every word's segmentation with one array fold (no UDF,
+    no Python in the data path), localCheckpoint the tiny frame so
+    plan depth stays O(1) across rounds. The merge pair itself is the
+    round's model state: two string literals — constant plan size,
+    the legitimate literal case (vs the broadcast-DATA rule for
+    model-sized state).
+
+    At 100 TB the same loop runs on the same vocab-sized frame (the
+    corpus is touched ONCE to build word counts); production batches
+    non-interacting top-N merges per round to cut round count — noted
+    here, single-merge rounds kept for exact classic-BPE parity.
+    Stops early when the best pair's corpus count drops below
+    BPE_MIN_PAIR (nothing left worth merging)."""
+    toks = F.array_remove(F.split("text", " "), "")
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        seg = words.select(
+            "w", "freq", F.expr("filter(split(w, ''), x -> x <> '')").alias("sym")
+        ).localCheckpoint()
+        merges: list[tuple] = []
+        for rank in range(1, BPE_MERGES + 1):
+            pairs = seg.where(F.size("sym") >= 2).select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sym) - 1), "
+                        "i -> struct(element_at(sym, i) AS a, "
+                        "element_at(sym, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            top = (
+                pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("c"))
+                .orderBy(F.col("c").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["c"] < BPE_MIN_PAIR:
+                break
+            a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+            merges.append((rank, a, b, a + b, c))
+            seg = seg.select(
+                "w", "freq", _bpe_apply_merge(F.col("sym"), a, b).alias("sym")
+            )
+            # checkpoint every few rounds, not every round: un-checked
+            # rounds just stack a handful of array folds (re-run on a
+            # vocab-sized frame, cheap), while each localCheckpoint is
+            # a full job — 4 materializations instead of 20 halves the
+            # wall clock. Fully-merged words (one symbol) can never
+            # pair again and drop out of the working set for good.
+            if rank % 5 == 0:
+                seg = seg.where(F.size("sym") >= 2).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )

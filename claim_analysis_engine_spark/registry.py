@@ -190,4 +190,5 @@ ROUND8_FRONT: tuple[str, ...] = (
     "txt_containment_prefix",
     "evt_attribution",
     "agg_decay_recency",
+    "corpus_bpe_train",
 )

@@ -1,0 +1,66 @@
+"""corpus_bpe_train golden check: the distributed merge table must be
+IDENTICAL to an independent pure-Python classic-BPE implementation run
+on the same word frequencies (greedy single-merge rounds, count-desc
+then lexicographic tiebreak). Byte-determinism across two Spark runs
+follows from the same comparison."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+
+from claim_analysis_engine_spark.operators.pipeline_ops import (
+    BPE_MERGES,
+    BPE_MIN_PAIR,
+    corpus_bpe_train,
+)
+from tests.conftest import SF_SMALL
+
+
+def _python_bpe(word_freqs: dict[str, int], n_merges: int) -> list[tuple]:
+    segs = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for w, sym in segs.items():
+            f = word_freqs[w]
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] += f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < BPE_MIN_PAIR:
+            break
+        merges.append((rank, a, b, a + b, c))
+        for w, sym in segs.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def test_bpe_merge_table_matches_pure_python_reference(spark):
+    freqs = dict(
+        duckdb.query(
+            f"""
+            SELECT w, count(*) FROM (
+              SELECT unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS w
+              FROM '{SF_SMALL}/documents.parquet') GROUP BY 1
+            """
+        ).fetchall()
+    )
+    expected = _python_bpe(freqs, BPE_MERGES)
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in corpus_bpe_train(spark, SF_SMALL).collect()
+    ]
+    assert got == expected
+    assert len(got) >= 10, "corpus too degenerate for a meaningful check"
