@@ -1042,3 +1042,102 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("an").alias("hits"),
         F.round(F.count("an") / F.lit(float(ANN_K)), 4).alias("recall_at_k"),
     )
+
+
+# --------------------------------------------------------- sim_mips_topk
+
+MIPS_POP_MOD = 7  # popularity weight w = 1 + (vec_id % 7)/7 ∈ [1, 13/7]
+
+
+@REG.op(
+    "sim_mips_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT vec_id, embedding,
+             1.0 + (vec_id % {MIPS_POP_MOD}) / {MIPS_POP_MOD}.0 AS pop
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+          WHERE vec_id % {QUERY_MOD} = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.pop,
+             {_cos_sql('q', 'c')} AS cos,
+             c.pop * ({_cos_sql('q', 'c')}) AS ip
+      FROM q JOIN w c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, pop, cos, ip,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(ip, 6) DESC, neighbor_id)
+               AS rank,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cos, 6) DESC, neighbor_id)
+               AS cos_rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(pop, 4) AS pop,
+           round(ip, 4) AS ip, round(cos, 4) AS cosine, rank,
+           CAST(cos_rank AS BIGINT) AS cos_rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-INNER-PRODUCT top-k — the retrieval objective cosine
+    search cannot express: score = popularity × cos(q, x) (the
+    recommender/reranker shape, where a document's prior multiplies
+    its semantic match). On unit-norm embeddings the weighted corpus
+    vector is w·x, so MIPS here is exactly dot(q, w·x); the output
+    carries BOTH ranks so the divergence from pure-cosine ordering is
+    visible in the gate (a lower-cos, higher-pop neighbor outranking
+    the nearest one).
+
+    Scale path: MIPS reduces to cosine ANN by norm augmentation —
+    x' = [w·x ; sqrt(M² − w²)] with M = max‖w·x‖ and q' = [q ; 0]
+    makes cos(q', x') a monotone function of the inner product, so the
+    existing hyperplane-LSH / IVF index family serves MIPS unchanged
+    (one extra dimension); the equivalence is pinned in
+    tests/test_similarity_recall.py. This op is the exact baseline the
+    augmented-index recall would be measured against, brute-forced
+    with broadcast anchors (never all-pairs)."""
+    emb = _emb(spark, sf_dir)
+    pop = 1.0 + (F.col("vec_id") % MIPS_POP_MOD) / float(MIPS_POP_MOD)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ec"),
+        pop.alias("pop"),
+    )
+    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    )
+    cos = _cos("eq", "ec")
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "pop",
+            cos.alias("cos"),
+            (F.col("pop") * cos).alias("ip"),
+        )
+    )
+    wip = W.partitionBy("query_id").orderBy(
+        F.round("ip", 6).desc(), F.col("neighbor_id")
+    )
+    wcos = W.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wip))
+        .withColumn("cos_rank", F.row_number().over(wcos).cast("bigint"))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("pop", 4).alias("pop"),
+            F.round("ip", 4).alias("ip"),
+            F.round("cos", 4).alias("cosine"),
+            "rank",
+            "cos_rank",
+        )
+    )

@@ -191,4 +191,5 @@ ROUND8_FRONT: tuple[str, ...] = (
     "evt_attribution",
     "agg_decay_recency",
     "corpus_bpe_train",
+    "sim_mips_topk",
 )

@@ -160,3 +160,60 @@ def test_ivf_trained_search_ranked_and_recalls(spark, truth):
     got = {(r.query_id, r.neighbor_id) for r in rows}
     hits = len(truth & got)
     assert hits / len(truth) >= 0.3, f"trained-IVF recall {hits}/{len(truth)}"
+
+
+def test_mips_norm_augmentation_equivalence_and_divergence(spark):
+    """Two pins for sim_mips_topk: (1) the norm-augmentation reduction
+    the docstring promises is REAL — ranking by cosine in the
+    [w·x ; sqrt(M² − w²·‖x‖²)] augmented space reproduces the inner-
+    product ranking exactly (numpy, per query); (2) the op is not
+    vacuously cosine — at least one query's MIPS top-k order differs
+    from its cosine order (pop must actually move a neighbor)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from claim_analysis_engine_spark.operators.similarity import (
+        MIPS_POP_MOD,
+        QUERY_MOD,
+        TOP_K,
+        sim_mips_topk,
+    )
+    from tests.conftest import SF_ORACLE
+
+    t = pq.read_table(f"{SF_ORACLE}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"])
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
+    pop = 1.0 + (ids % MIPS_POP_MOD) / MIPS_POP_MOD
+    WX = X * pop[:, None]
+    M = np.linalg.norm(WX, axis=1).max()
+    aug = np.hstack([WX, np.sqrt(np.maximum(0.0, M**2 - (pop**2)[:, None]))])
+    aug = aug / np.linalg.norm(aug, axis=1, keepdims=True)
+
+    got = sim_mips_topk(spark, SF_ORACLE).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+
+    diverged = 0
+    for qid, rows in by_q.items():
+        qi = int(np.where(ids == qid)[0][0])
+        q = X[qi]
+        mask = ids != qid
+        ip = WX[mask] @ q
+        cand_ids = ids[mask]
+        # augmented-cosine ranking == ip ranking (q' = [q; 0]): aug
+        # rows are unit vectors and q is unit, so the augmented cosine
+        # is exactly the first-64-dim dot product — rank by IT, not ip
+        aug_cos = aug[mask][:, : X.shape[1]] @ q
+        order_ip = sorted(
+            range(len(ip)), key=lambda i: (-round(ip[i], 6), cand_ids[i])
+        )[:TOP_K]
+        order_aug = sorted(
+            range(len(ip)), key=lambda i: (-round(aug_cos[i], 8), cand_ids[i])
+        )[:TOP_K]
+        assert [cand_ids[i] for i in order_ip] == [cand_ids[i] for i in order_aug]
+        # the op's rows match numpy's exact MIPS ranking
+        assert [r["neighbor_id"] for r in rows] == [int(cand_ids[i]) for i in order_ip]
+        if any(r["rank"] != r["cos_rank"] for r in rows):
+            diverged += 1
+    assert diverged >= 1, "MIPS ordering never diverged from cosine — vacuous"
