@@ -113,6 +113,13 @@ EXTRA = [
     "evt_scd2_refresh_stream",
     "join_fuzzy_entity",
     "ep8_hybrid_retrieval",
+    # round-8 additions (corpus_bpe_train excluded: ~15 s of fixed
+    # per-round scheduling floor x3 runs would dominate the pass)
+    "txt_containment_prefix",
+    "evt_attribution",
+    "agg_decay_recency",
+    "sim_mips_topk",
+    "ep3_forecast_contract",
 ]
 
 
@@ -205,28 +212,31 @@ def main() -> None:
     # of this (long) line, so the bulky per-run spread goes FIRST and
     # the headline metric/value/methodology go LAST — BENCH_r07 lost
     # its headline number to head-truncation.
-    print(
-        json.dumps(
-            {
-                "spread": spread,
-                "extra_queries": extra,
-                "queries": queries,
-                "runs_per_query": {
-                    "headline": N_RUNS_HEADLINE,
-                    "extra": N_RUNS_EXTRA,
-                },
-                "methodology": "median-of-5 per headline query, "
-                "median-of-3 per extra (since round 6; round 4-5 were "
-                "median-of-3 everywhere; rounds 1-3 one-shot incl. "
-                "first-run warm-up)",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "metric": "headline_total_runtime",
-                "unit": "sec",
-                "value": round(total, 3),
-            }
-        )
+    line = json.dumps(
+        {
+            "spread": spread,
+            "extra_queries": extra,
+            "queries": queries,
+            "runs_per_query": {
+                "headline": N_RUNS_HEADLINE,
+                "extra": N_RUNS_EXTRA,
+            },
+            "methodology": "median-of-5 per headline query, "
+            "median-of-3 per extra (since round 6; round 4-5 were "
+            "median-of-3 everywhere; rounds 1-3 one-shot incl. "
+            "first-run warm-up)",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "metric": "headline_total_runtime",
+            "unit": "sec",
+            "value": round(total, 3),
+        }
     )
+    # Stop the JVM BEFORE printing: the embedded JVM writes its own
+    # stdout (observed: a [warning][gc,alloc] line landing AFTER the
+    # JSON), and the driver keeps the tail of the captured output —
+    # the JSON line must be the absolute last thing on stdout.
     spark.stop()
+    print(line)
 
     # The e2e/sink/streaming ops each stage into fresh cae_*-prefixed
     # temp dirs per query() call — ×3 runs that's dozens of abandoned
