@@ -1028,3 +1028,261 @@ def agg_decay_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decayed_weight"
         ),
     )
+
+
+# ----------------------------------------------------- agg_percentiles
+
+@REG.op(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per group (the reference's
+    describe()-style quantile summaries, reports/eda.md) via Spark's
+    `percentile` aggregate — not approx_percentile, so the value
+    hash-matches quantile_cont in any engine that implements the
+    ANSI percentile_cont interpolation (x[lo] + frac*(x[lo+1]-x[lo])
+    over the sorted group).
+
+    Scale: exact percentiles need the group's values together — one
+    shuffle on the group key, sort within group. Fine when groups are
+    few and fit an executor (5 priorities here); for billions of rows
+    per group the scale path is agg_sketch_quantiles (KLL-style
+    mergeable sketch, already registered) — this op is the exactness
+    anchor the sketch op's error is judged against.
+    Both engines interpolate over float64 in sorted order, so the
+    arithmetic is order-identical; round(4) guards the last ulp."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.90)), 4).alias("p90"),
+        )
+    )
+
+
+# ------------------------------------------------------------ agg_gini
+
+@REG.op(
+    "agg_gini",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS segment, c.c_custkey,
+               sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS x
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT segment, x,
+               row_number() OVER (PARTITION BY segment ORDER BY x, c_custkey) AS i,
+               count(*)     OVER (PARTITION BY segment) AS n
+        FROM spend
+    )
+    SELECT segment, max(n) AS n_customers,
+           round(CAST(sum(CAST(i AS DECIMAL(18,0)) * x) AS DOUBLE) * 2.0
+                 / (max(n) * CAST(sum(x) AS DOUBLE))
+                 - (max(n) + 1.0) / max(n), 4) AS gini
+    FROM ranked GROUP BY segment
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient per market segment —
+    the inequality KPI behind the reference's top-N concentration
+    panels (reports/concentration.md): G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n
+    over per-customer spend sorted ascending.
+
+    Float discipline: spend is an exact DECIMAL sum, the rank-weighted
+    sum Σ(i·x_i) stays in DECIMAL (exact under any partial-sum order);
+    only the final ratio drops to float64, then round(4). Ties in x are
+    broken by custkey so both engines rank identically.
+
+    Scale: two key-shuffles (custkey aggregate, segment window). The
+    window sorts within segment — for a segment too big for one
+    executor the two aggregates Σ(i·x) and Σx decompose into
+    distributed prefix sums, but at dashboard cardinality the plain
+    window is the right plan."""
+    spend = (
+        load(spark, sf_dir, "customer")
+        .join(
+            load(spark, sf_dir, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    w = W.partitionBy("segment")
+    ranked = spend.select(
+        "segment",
+        "x",
+        F.row_number().over(w.orderBy("x", "c_custkey")).alias("i"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return ranked.groupBy("segment").agg(
+        F.max("n").alias("n_customers"),
+        F.round(
+            F.sum(F.col("i").cast("decimal(18,0)") * F.col("x")).cast("double")
+            * 2.0
+            / (F.max("n") * F.sum("x").cast("double"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            4,
+        ).alias("gini"),
+    )
+
+
+# ------------------------------------------------------------ cust_rfm
+
+@REG.op(
+    "cust_rfm",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', max(o_orderdate),
+                         (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+               count(*) AS frequency,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders GROUP BY 1
+    )
+    SELECT custkey, recency_days, frequency,
+           round(CAST(monetary AS DOUBLE), 2) AS monetary,
+           ntile(4) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+           ntile(4) OVER (ORDER BY frequency, custkey)         AS f_score,
+           ntile(4) OVER (ORDER BY monetary, custkey)          AS m_score
+    FROM base
+    """,
+)
+def cust_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation (recency / frequency / monetary) —
+    the customer-value scoring the reference's sales dashboards bin
+    accounts by (reports/segments.md). Score 4 = best quartile on
+    every axis (most recent, most frequent, highest spend), so each
+    NTILE orders worst-first.
+
+    Determinism: NTILE boundaries depend on the total order, so every
+    ORDER BY carries custkey as the tiebreak — both engines implement
+    ANSI ntile (first n mod k buckets get the extra row), which makes
+    the bucket assignment identical. Monetary is an exact DECIMAL sum
+    before the ranking.
+
+    Scale: one shuffle on custkey, then three global-sort windows.
+    Unpartitioned NTILE serializes through one task — at 100 TB you'd
+    swap each for a 2-stage rank (range-partitioned sort + offset
+    merge) or percent_rank-based binning; at customer-dimension
+    cardinality (millions) the single-task sort is still seconds."""
+    o = load(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("asof"))
+    base = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.max("asof"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon_d"),
+        )
+    )
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.round(F.col("mon_d").cast("double"), 2).alias("monetary"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("recency_days"), "custkey"))
+        .alias("r_score"),
+        F.ntile(4).over(W.orderBy("frequency", "custkey")).alias("f_score"),
+        F.ntile(4).over(W.orderBy("mon_d", "custkey")).alias("m_score"),
+    )
+
+
+# ----------------------------------------------------- agg_basket_pairs
+
+BASKET_MIN_PAIR_COUNT = 3
+
+
+@REG.op(
+    "agg_basket_pairs",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pair AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_together
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {BASKET_MIN_PAIR_COUNT}
+    ), freq AS (
+        SELECT l_partkey, count(*) AS n_part FROM items GROUP BY 1
+    ), total AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items)
+    SELECT p.part_a, p.part_b, p.n_together,
+           round(CAST(p.n_together AS DOUBLE) * t.n_orders
+                 / (fa.n_part * fb.n_part), 4) AS lift
+    FROM pair p
+    JOIN freq fa ON fa.l_partkey = p.part_a
+    JOIN freq fb ON fb.l_partkey = p.part_b
+    CROSS JOIN total t
+    """,
+)
+def agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts co-occurring in the same order
+    with support count and lift — the co-purchase affinity behind the
+    reference's related-parts panel. Lift = P(a,b) / (P(a)·P(b)) =
+    n_together·n_orders / (n_a·n_b); integer-valued inputs so the only
+    float op is one division, round(4).
+
+    Scale: the self-join co-locates on orderkey (one shuffle each
+    side), and the pair blow-up is Σ k_i² over basket sizes — bounded
+    because baskets are small (TPC-H ≤ 7 lines), NOT by table size;
+    a 100 TB run adds a basket-size cap before pairing to keep one
+    mega-basket from emitting millions of pairs. The HAVING prunes the
+    long tail before the two (broadcast-sized) frequency joins."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pair = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .filter(F.col("n_together") >= BASKET_MIN_PAIR_COUNT)
+    )
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    total = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (
+        pair.join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("part_a"),
+                                    F.col("n_part").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("part_b"),
+                                    F.col("n_part").alias("n_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "n_together",
+            F.round(
+                F.col("n_together").cast("double") * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
