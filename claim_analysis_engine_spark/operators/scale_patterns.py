@@ -15,6 +15,8 @@ from __future__ import annotations
 import tempfile
 import uuid
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -551,4 +553,196 @@ def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return unioned.join(direct, "o_orderstatus").select(
         "o_orderstatus", "union_est", "direct_est", "exact"
+    )
+
+
+# ----------------------------------------------- join_bloom_prefilter
+
+BLOOM_BITS_PER_KEY = 10  # ~1% false-positive rate at 7 hashes
+BLOOM_NUM_HASHES = 7
+_BLOOM_SALT = 0xA5A5A5A5A5A5A5A5
+
+# stale broadcast handles from earlier invocations in this session —
+# destroyed on the next call so repeated bench runs don't accumulate
+# executor-side bitmap copies
+_BLOOM_STALE: list = []
+
+
+def _mix64(x):
+    """splitmix64 finalizer over a uint64 numpy array (public-domain
+    constants; same avalanche quality as Murmur3 fmix64). Unsigned
+    numpy arithmetic wraps mod 2^64 by definition — exactly what the
+    hash wants."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _bloom_positions(keys, m_bits: int):
+    """Yield BLOOM_NUM_HASHES uint64 index arrays via Kirsch-
+    Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m."""
+    x = keys.astype(np.int64).astype(np.uint64)
+    h1 = _mix64(x)
+    h2 = _mix64(x ^ np.uint64(_BLOOM_SALT)) | np.uint64(1)
+    for i in range(BLOOM_NUM_HASHES):
+        yield (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+
+
+@REG.op(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT c.c_nationkey, count(*) AS n_orders,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: a Bloom filter built DISTRIBUTED over the
+    filtered dim side's keys prefilters the fact side BEFORE its
+    shuffle, then the real join runs — false positives are removed by
+    the join itself, so the result is exact (the oracle is the plain
+    join). This is the pattern for the 100 TB case where the dim side
+    is too big to broadcast as a hash relation but its key FINGERPRINT
+    (10 bits/key) still fits everywhere: fact rows that fail the bloom
+    never enter the exchange, cutting shuffle volume by the join's
+    selectivity (~80% here).
+
+    Mechanics: one pass over the dim keys via mapInPandas emits ONE
+    partial bitmap per partition (numpy uint8, OR-merged driver-side —
+    a tree-reduce at real partition counts), broadcast as bytes; the
+    probe is a vectorized pandas UDF (splitmix64 double hashing, 7
+    probes/key, no per-row Python). Spark's own AQE runtime filters
+    cover the simple cases; doing it as data keeps the technique
+    composable (e.g. pre-filtering a streaming source by a static dim).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    while _BLOOM_STALE:
+        _BLOOM_STALE.pop().destroy()
+
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_nationkey")
+    )
+    n_keys = max(dim.count(), 1)  # one cheap count job sizes the filter
+    m_bits = max(1024, BLOOM_BITS_PER_KEY * n_keys)
+    m_bits += (-m_bits) % 8
+
+    def build(batches):
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            keys = pdf["c_custkey"].to_numpy()
+            if len(keys):
+                seen = True
+                for pos in _bloom_positions(keys, m_bits):
+                    # unbuffered |=: plain fancy-index assignment drops
+                    # all but one update when two keys land in the same
+                    # BYTE within a batch (last write wins) — silently
+                    # losing bits, i.e. bloom FALSE NEGATIVES
+                    np.bitwise_or.at(
+                        bits,
+                        (pos >> np.uint64(3)).astype(np.int64),
+                        np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8),
+                    )
+        if seen:
+            yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    partials = dim.select("c_custkey").mapInPandas(
+        build, schema=T.StructType([T.StructField("bitmap", T.BinaryType())])
+    )
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in partials.collect():
+        merged |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    bc = spark.sparkContext.broadcast(merged.tobytes())
+    _BLOOM_STALE.append(bc)
+
+    @pandas_udf("boolean")
+    def might_contain(keys: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        k = keys.to_numpy()
+        ok = np.ones(len(k), dtype=bool)
+        for pos in _bloom_positions(k, m_bits):
+            ok &= (
+                bits[(pos >> np.uint64(3)).astype(np.int64)]
+                >> (pos & np.uint64(7)).astype(np.uint8)
+            ) & np.uint8(1) == 1
+        return pd.Series(ok)
+
+    fact = load(spark, sf_dir, "orders").filter(might_contain(F.col("o_custkey")))
+    # deliberately NOT broadcast: the scenario is a dim too big to ship
+    # as a hash relation — the join is the exact post-filter
+    return (
+        fact.join(dim, fact.o_custkey == dim.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_price"),
+        )
+    )
+
+
+# -------------------------------------------------- agg_heavy_hitters
+
+HH_FRACTION = 0.006  # a key is "heavy" above this share of all rows
+
+
+@REG.op(
+    "agg_heavy_hitters",
+    oracle=f"""
+    SELECT user_id, count(*) AS n_events
+    FROM events GROUP BY 1
+    HAVING count(*) > {HH_FRACTION} * (SELECT count(*) FROM events)
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (keys above {HH_FRACTION:.1%} of all rows)
+    via candidate pruning: pass 1 keeps, per pandas batch, only keys
+    whose LOCAL count exceeds the same fraction of the batch — by
+    pigeonhole any key with global count > s·N must exceed s·n_b in
+    at least one batch, so no true heavy hitter is lost. Pass 2
+    semi-joins the (tiny, distinct) candidate set back and counts
+    exactly, applying the global threshold.
+
+    Why not one groupBy: at 100 TB with billions of distinct keys the
+    full aggregate shuffles every key ever seen; the candidate pass
+    shrinks the exact shuffle to keys that are locally frequent
+    anywhere — the distributed form of Misra-Gries with the summary
+    capacity expressed as a frequency floor instead of a fixed k. The
+    global row count N is an aggregate scalar cross-joined back (one
+    broadcast), never a driver literal; the candidate set is
+    broadcast into a semi join so pass 2 adds no extra shuffle of the
+    fact table."""
+    from pyspark.sql import types as T
+
+    e = load(spark, sf_dir, "events").select("user_id")
+
+    def local_frequent(batches):
+        for pdf in batches:
+            vc = pdf["user_id"].value_counts()
+            keep = vc[vc > HH_FRACTION * len(pdf)]
+            if len(keep):
+                yield pd.DataFrame({"user_id": keep.index.to_numpy()})
+
+    candidates = e.mapInPandas(
+        local_frequent,
+        schema=T.StructType([T.StructField("user_id", T.LongType())]),
+    ).distinct()
+
+    n_total = e.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        e.join(F.broadcast(candidates), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("n_events") > HH_FRACTION * F.col("n_total"))
+        .select("user_id", "n_events")
     )
