@@ -569,3 +569,65 @@ def snk_mart_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("change_type"),
     )
+
+
+# --------------------------------------------------- src_jsonl_roundtrip
+
+@REG.op(
+    "src_jsonl_roundtrip",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT doc_id) AS n_ids
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL (one JSON document per line) round-trip — THE interchange
+    format of training-data pipelines (every crawl dump, annotation
+    export, and filtered-corpus handoff ships as .jsonl[.gz]). Writes
+    the documents table as distributed JSONL, reads it back with an
+    EXPLICIT schema plus a PERMISSIVE corrupt-record column, drops any
+    unparseable line, and aggregates — the oracle reproduces the same
+    aggregate from the original parquet, so a value anywhere lost or
+    mangled in the text round-trip (unicode escapes, embedded
+    newlines-as-\\n, 64-bit ids) breaks the hash.
+
+    Scale: the write is one narrow map job (a file per partition; at
+    100 TB you'd set maxRecordsPerFile); the read is line-splittable,
+    so parallelism survives — unlike multiline JSON, which forces one
+    task per file. The explicit schema skips Spark's whole-file
+    inference pass; _corrupt_record quarantines bad lines instead of
+    failing the job, which is the difference between a nightly crawl
+    ingest finishing or not."""
+    from pyspark.sql import types as T
+
+    out = tempfile.mkdtemp(prefix="cae_spark_jsonl_")
+    load(spark, sf_dir, "documents").write.mode("overwrite").json(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return (
+        back.filter(F.col("_corrupt_record").isNull())
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("doc_id").alias("n_ids"),
+        )
+    )
