@@ -651,3 +651,44 @@ def evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("attributed_value"),
     )
+
+
+# ------------------------------------------------------- agg_ohlc_daily
+
+@REG.op(
+    "agg_ohlc_daily",
+    oracle="""
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           count(*) AS n,
+           round(arg_min(value, ts), 4) AS open,
+           round(max(value), 4)        AS high,
+           round(min(value), 4)        AS low,
+           round(arg_max(value, ts), 4) AS close
+    FROM events GROUP BY 1, 2
+    """,
+)
+def agg_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open-high-low-close) resampling of the event value
+    stream per event type — the canonical time-series downsample
+    (candlesticks, sensor rollups, metric summaries). Spark's
+    min_by/max_by are the arg_min/arg_max twins; both engines pick the
+    value at the earliest/latest ts. Event timestamps are unique in
+    this feed (enforced upstream), so the picks are deterministic
+    without a tiebreak column; values round(4) for cross-engine hash
+    stability.
+
+    Scale: one hash-aggregate shuffle on (event_type, day); min_by
+    partials are (ord, value) pairs, so the aggregate map-side combines
+    like any min/max — no window, no sort, no per-group value
+    materialization."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min_by("value", "ts"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", "ts"), 4).alias("close"),
+        )
+    )

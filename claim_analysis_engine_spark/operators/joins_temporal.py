@@ -440,3 +440,98 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+# ------------------------------------------------ join_interval_overlap
+
+REPAIR_MAX_DAYS = 25  # synthetic repair-window length source (key % 25)
+CAMPAIGN_DAYS = 20    # each quarterly campaign runs 21 days (s + 20)
+
+
+@REG.op(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+        SELECT o_orderkey AS a_id, o_orderpriority AS priority,
+               CAST(o_orderdate AS DATE) AS a_s,
+               CAST(o_orderdate AS DATE) + CAST(o_orderkey % {REPAIR_MAX_DAYS} AS INT)
+                 AS a_e
+        FROM orders
+    ), b AS (
+        SELECT DISTINCT o_orderpriority AS priority,
+               date_trunc('quarter', o_orderdate)::DATE AS b_s,
+               date_trunc('quarter', o_orderdate)::DATE + {CAMPAIGN_DAYS} AS b_e
+        FROM orders
+    )
+    SELECT a.priority, count(*) AS n_pairs,
+           CAST(sum(date_diff('day', greatest(a_s, b_s), least(a_e, b_e)) + 1)
+                AS BIGINT) AS overlap_days
+    FROM a JOIN b ON a.priority = b.priority
+                 AND a_s <= b_e AND b_s <= a_e
+    GROUP BY 1
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval OVERLAP join — the third temporal-join shape
+    (beside as-of and point-in-band): claim repair windows × quarterly
+    campaign windows, counting overlapping pairs and total overlap days
+    per priority. The naive plan is a theta join (O(n·m) candidate
+    pairs per key); the scalable decomposition explodes EACH side to
+    the calendar months its interval touches and equi-joins on
+    (key, month) — every overlapping pair shares the month of the later
+    start, so emitting a pair ONLY in that first common chunk
+    (mo = greatest(trunc(a_s), trunc(b_s))) yields each pair exactly
+    once with NO distinct/dedup shuffle afterwards.
+
+    At 100 TB both sides shuffle on (priority, month) — bounded
+    expansion (interval length / chunk width per row), uniform keys,
+    and the exact overlap predicate re-checked after the equi-join.
+    Chunk width trades expansion against join selectivity; months fit
+    these interval lengths (≤ {REPAIR_MAX_DAYS} and {CAMPAIGN_DAYS + 1}
+    days → ≤ 2 chunks per interval)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("a_id"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("a_s"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % REPAIR_MAX_DAYS).cast("int"),
+        ).alias("a_e"),
+    )
+    b = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.trunc("o_orderdate", "quarter").alias("b_s"),
+        )
+        .distinct()
+        .withColumn("b_e", F.date_add("b_s", CAMPAIGN_DAYS))
+    )
+    am = a.withColumn(
+        "mo",
+        F.explode(
+            F.expr("sequence(trunc(a_s, 'MM'), trunc(a_e, 'MM'), interval 1 month)")
+        ),
+    )
+    bm = b.withColumn(
+        "mo",
+        F.explode(
+            F.expr("sequence(trunc(b_s, 'MM'), trunc(b_e, 'MM'), interval 1 month)")
+        ),
+    )
+    pairs = am.join(bm, ["priority", "mo"]).where(
+        (F.col("a_s") <= F.col("b_e"))
+        & (F.col("b_s") <= F.col("a_e"))
+        # first-common-chunk guard: count the pair only in the month of
+        # the later start, so multi-month overlaps aren't double-counted
+        & (
+            F.col("mo")
+            == F.greatest(F.trunc("a_s", "MM"), F.trunc("b_s", "MM"))
+        )
+    )
+    return pairs.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.datediff(F.least("a_e", "b_e"), F.greatest("a_s", "b_s")) + 1
+        ).alias("overlap_days"),
+    )
