@@ -129,6 +129,12 @@ def registry() -> dict[str, Op]:
 # have never had a driver row — exactly the r7 order's positions 50+.
 # New round-8 ops append after them; the whole list must stay within
 # the driver's 50-slot window for every entry to get a row.
+# Ops added AFTER this list filled (agg_percentiles, agg_gini,
+# cust_rfm, agg_basket_pairs, join_bloom_prefilter, agg_heavy_hitters,
+# src_jsonl_roundtrip, join_interval_overlap, agg_ohlc_daily, ...)
+# fall outside the window by construction — they are covered by the
+# local DuckDB parity suite this round and are the first candidates
+# for the ROUND9 front rotation.
 ROUND8_FRONT: tuple[str, ...] = (
     # re-certification of the r7 silent-data-loss FAIL
     "ep1_ingest_e2e",
