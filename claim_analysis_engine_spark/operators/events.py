@@ -692,3 +692,128 @@ def agg_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max_by("value", "ts"), 4).alias("close"),
         )
     )
+
+
+# ---------------------------------------------- evt_power_users_rolling
+
+ROLLING_WINDOW_DAYS = 7
+
+
+@REG.op(
+    "evt_power_users_rolling",
+    oracle=f"""
+    WITH ed AS (
+        SELECT DISTINCT date_trunc('day', ts)::DATE AS d, user_id FROM events
+    ), days AS (SELECT DISTINCT d FROM ed)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           count(DISTINCT ed.user_id) AS active_users_7d
+    FROM days JOIN ed
+      ON ed.d BETWEEN days.d - {ROLLING_WINDOW_DAYS - 1} AND days.d
+    GROUP BY 1
+    """,
+)
+def evt_power_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{ROLLING_WINDOW_DAYS}-day DISTINCT active users per
+    observed day — the rolling-DAU/WAU engagement metric. Sliding
+    DISTINCT is the one window aggregate Spark (and SQL) cannot
+    incrementalize: distinct doesn't subtract, so a window frame can't
+    slide. The scalable formulation inverts the window: each (user,
+    event-day) SUPPORTS the {ROLLING_WINDOW_DAYS} anchor days it falls
+    inside, so explode to (anchor, user), keep anchors that are
+    observed days (broadcast semi join — the grid is |days|), and one
+    countDistinct per anchor. The range join the oracle states becomes
+    a pure equi-shuffle with a bounded ×{ROLLING_WINDOW_DAYS} row
+    expansion of the already-deduped (user, day) frame.
+
+    At 100 TB: the expansion factor is the window length, constant —
+    vs a range join whose candidate set grows with |days| × |events|;
+    for 90-day windows you'd explode per-week chunks then
+    countDistinct over (anchor, user) pairs the same way."""
+    ed = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    days = ed.select("d").distinct()
+    anchors = ed.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"sequence(d, date_add(d, {ROLLING_WINDOW_DAYS - 1}),"
+                " interval 1 day)"
+            )
+        ).alias("anchor"),
+    )
+    return (
+        anchors.join(
+            F.broadcast(days.select(F.col("d").alias("anchor"))),
+            "anchor",
+            "left_semi",
+        )
+        .groupBy(F.date_format("anchor", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )
+
+
+# -------------------------------------------------------- evt_anomaly_mad
+
+MAD_K = 3.0  # flag days beyond k robust sigmas (MAD-scaled)
+
+
+@REG.op(
+    "evt_anomaly_mad",
+    oracle=f"""
+    WITH dc AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type, median(n) AS m FROM dc GROUP BY 1
+    ), mad AS (
+        SELECT dc.event_type, median(abs(dc.n - med.m)) AS s
+        FROM dc JOIN med USING (event_type) GROUP BY 1
+    )
+    SELECT dc.event_type, dc.day, dc.n,
+           round(med.m, 4) AS med_n,
+           round(mad.s, 4) AS mad_n,
+           abs(dc.n - med.m) > {MAD_K} * mad.s AS is_anomaly
+    FROM dc JOIN med USING (event_type) JOIN mad USING (event_type)
+    """,
+)
+def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly flags per event type: a day is
+    anomalous when its count deviates from the type's MEDIAN by more
+    than {MAD_K}× the median absolute deviation — the
+    outlier-resistant sibling of detect_outliers_zscore (mean/stddev
+    are themselves dragged by the outliers they're meant to find; the
+    median/MAD pair has a 50% breakdown point).
+
+    Exactness: counts are integers; both medians interpolate over
+    sorted integers identically in each engine (round(4) guards the
+    .5 interpolation). Two exact-percentile aggregates over the DAY
+    grain (tiny — |types|×|days|), then broadcast joins back; the raw
+    event table is touched once."""
+    dc = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    med = dc.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).alias("m")
+    )
+    dm = dc.join(F.broadcast(med), "event_type")
+    mad = dm.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("n") - F.col("m")), F.lit(0.5)).alias("s")
+    )
+    return (
+        dm.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round("m", 4).alias("med_n"),
+            F.round("s", 4).alias("mad_n"),
+            (F.abs(F.col("n") - F.col("m")) > MAD_K * F.col("s")).alias(
+                "is_anomaly"
+            ),
+        )
+    )

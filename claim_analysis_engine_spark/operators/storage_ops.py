@@ -631,3 +631,70 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_ids"),
         )
     )
+
+
+# ---------------------------------------------------- snk_csv_roundtrip
+
+@REG.op(
+    "snk_csv_roundtrip",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT doc_id) AS n_ids
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def snk_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip under quoting-hostile content: every row gets a
+    synthetic note column stuffed with the four characters that break
+    naive CSV (delimiter, double-quote, embedded NEWLINE, backslash),
+    is written with quoting+escaping on, read back with an explicit
+    schema in multiLine mode, VERIFIED cell-by-cell (the note must
+    reconstruct byte-identically or the row is dropped and the count
+    aggregate breaks the hash), then aggregated — the oracle computes
+    the same aggregate from the source parquet.
+
+    The corpus-scale lesson this op encodes: multiLine CSV is NOT
+    line-splittable (one task per file — fine here, a bottleneck at
+    100 TB), which is exactly why src_jsonl_roundtrip exists as the
+    interchange path; CSV stays for the spreadsheet-facing edge where
+    the reference lives (upload page accepts .csv, app.py:61), and
+    this op proves the escaping path preserves every byte when it IS
+    used."""
+    out = tempfile.mkdtemp(prefix="cae_spark_csvrt_")
+    docs = load(spark, sf_dir, "documents")
+    hostile = docs.withColumn(
+        "note",
+        F.concat(
+            F.lit('a,"b"\n'), F.col("lang"), F.lit("\\x|"), F.col("source")
+        ),
+    )
+    (
+        hostile.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .csv(out)
+    )
+    back = (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long, note string"
+        )
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(out)
+    )
+    verified = back.filter(
+        F.col("note")
+        == F.concat(
+            F.lit('a,"b"\n'), F.col("lang"), F.lit("\\x|"), F.col("source")
+        )
+    )
+    return verified.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("doc_id").alias("n_ids"),
+    )
