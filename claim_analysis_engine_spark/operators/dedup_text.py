@@ -1660,9 +1660,31 @@ def txt_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # BROADCAST the per-doc shingle arrays into the verify: Catalyst
+    # over-estimates the array frame past the auto-broadcast threshold
+    # and falls back to sort-merge — which SHUFFLES every candidate
+    # pair with both full string arrays attached. On a degenerate
+    # corpus (tiny shingle vocabulary → prefix filter can't prune →
+    # candidates ≈ all pairs, measured 12M pairs / 2041 distinct
+    # shingles at sf0.1) that was ~100 GB of exchange, 150+ s and an
+    # OOM risk; broadcasting keeps the pair frame 16 bytes wide and
+    # attaches arrays map-side (measured 150 s → ~8 s). At 100 TB the
+    # doc-side array frame outgrows a broadcast — then the sort-merge
+    # attach is the only plan and the real lever is the corpus itself
+    # (a healthy vocabulary makes candidates sparse again).
     scored = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
+        cand.join(
+            F.broadcast(
+                sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+            ),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",

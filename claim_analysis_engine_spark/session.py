@@ -22,10 +22,21 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or cpus
+    # Local mode runs every executor thread inside the DRIVER JVM, so
+    # spark.driver.memory is the entire heap 32 concurrent tasks share.
+    # The pyspark default (1g) leaves ~380 MB of execution memory for
+    # all of them — long bench runs OOM'd in spilling hash aggregates
+    # once the query count grew (round 8). Size it to the environment
+    # (local[32] / 128 GiB box); harmless when a real cluster manager
+    # overrides it. Only effective when this factory LAUNCHES the JVM —
+    # on an already-running session (driver harness) it's a no-op conf,
+    # which is fine: that harness sets its own heap.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
 
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", mem)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
