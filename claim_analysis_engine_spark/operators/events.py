@@ -817,3 +817,72 @@ def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ----------------------------------------------------------- evt_streaks
+
+@REG.op(
+    "evt_streaks",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS d FROM events
+    ), g AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INT) AS grp
+        FROM d
+    ), s AS (
+        SELECT user_id, grp, count(*) AS len, min(d) AS s0
+        FROM g GROUP BY 1, 2
+    ), ranked AS (
+        SELECT user_id, len, s0,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, s0) AS rk,
+               count(*) OVER (PARTITION BY user_id) AS n_streaks,
+               CAST(sum(len) OVER (PARTITION BY user_id) AS BIGINT)
+                 AS n_active_days
+        FROM s
+    )
+    SELECT user_id, n_active_days, n_streaks,
+           len AS longest_streak,
+           strftime(s0, '%Y-%m-%d') AS streak_start
+    FROM ranked WHERE rk = 1
+    """,
+)
+def evt_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern (engagement scoring, habit metrics):
+    distinct active days, then `day − row_number` is CONSTANT within a
+    consecutive run, so one window + one aggregate finds every island
+    without a self-join or recursion. Ties on streak length resolve to
+    the EARLIEST streak so both engines elect the same row.
+
+    Scale: everything partitions by user_id — one shuffle, windows and
+    aggregates all share it (Catalyst reuses the exchange); per-user
+    state is the handful of islands, never the raw event stream."""
+    d = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    wu = W.partitionBy("user_id").orderBy("d")
+    g = d.withColumn("grp", F.date_sub("d", F.row_number().over(wu)))
+    s = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("s0")
+    )
+    wr = W.partitionBy("user_id")
+    ranked = s.select(
+        "user_id",
+        "len",
+        "s0",
+        F.row_number().over(wr.orderBy(F.desc("len"), "s0")).alias("rk"),
+        F.count(F.lit(1)).over(wr).alias("n_streaks"),
+        F.sum("len").over(wr).alias("n_active_days"),
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        "user_id",
+        "n_active_days",
+        "n_streaks",
+        F.col("len").alias("longest_streak"),
+        F.date_format("s0", "yyyy-MM-dd").alias("streak_start"),
+    )

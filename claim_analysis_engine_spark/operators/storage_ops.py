@@ -698,3 +698,70 @@ def snk_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.countDistinct("doc_id").alias("n_ids"),
     )
+
+
+# ----------------------------------------------------- dedup_audit_hub
+
+@REG.op(
+    "dedup_audit_hub",
+    oracle="""
+    SELECT o_custkey AS dup_key, count(*) AS n_rows,
+           count(DISTINCT year(o_orderdate) * 100 + month(o_orderdate))
+             AS n_partitions,
+           min(year(o_orderdate) * 100 + month(o_orderdate)) AS first_part,
+           max(year(o_orderdate) * 100 + month(o_orderdate)) AS last_part
+    FROM orders
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_audit_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-wide duplicate audit WITH physical-file attribution — the
+    reference's check_duplication.py end to end (rglob over every hub
+    parquet, per-file 상담번호 dedup report, check_duplication.py:15-77)
+    — but as one distributed scan instead of a driver loop that
+    pd.concat's the whole hub. Writes a (year, month)-partitioned hub,
+    reads it back, and attributes every duplicate key to the partition
+    directories it spans, parsed from input_file_name() — proving the
+    attribution comes from the PHYSICAL layout, not from re-deriving
+    the partition columns. The oracle recomputes the same span from
+    the source dates, so a row landing in the wrong partition dir (or
+    an attribution regex bug) breaks the hash, not just a row count.
+
+    At 100 TB this is the nightly integrity scan: one shuffle on the
+    key; the per-file grain never leaves the executors (the reference
+    collects every file into driver memory, check_duplication.py:46)."""
+    hub = tempfile.mkdtemp(prefix="cae_spark_audit_")
+    (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .write.partitionBy("y", "m")
+        .mode("overwrite")
+        .parquet(hub)
+    )
+    back = spark.read.parquet(hub).select(
+        "o_custkey",
+        (
+            F.regexp_extract(F.input_file_name(), r"/y=(\d+)/m=(\d+)/", 1).cast(
+                "int"
+            )
+            * 100
+            + F.regexp_extract(F.input_file_name(), r"/y=(\d+)/m=(\d+)/", 2).cast(
+                "int"
+            )
+        ).alias("part_ym"),
+    )
+    return (
+        back.groupBy(F.col("o_custkey").alias("dup_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("part_ym").alias("n_partitions"),
+            F.min("part_ym").alias("first_part"),
+            F.max("part_ym").alias("last_part"),
+        )
+        .where(F.col("n_rows") > 1)
+    )

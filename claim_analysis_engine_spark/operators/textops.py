@@ -1052,3 +1052,120 @@ def txt_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOP_K)
     )
+
+
+# ---------------------------------------------------- txt_winnowing
+
+WIN_K = 5        # word-gram length (fingerprint granularity)
+WIN_W = 4        # winnowing window: every WIN_W consecutive grams
+#                  contribute >= 1 fingerprint, so any shared run of
+#                  WIN_W + WIN_K - 1 = 8 tokens is GUARANTEED to match
+WIN_MAX_DF = 32  # fingerprints in more docs are boilerplate, not
+#                  evidence — disqualified before pairing
+WIN_MIN_SHARED = 3
+
+
+@REG.op(
+    "txt_winnowing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {WIN_K}
+                  THEN list_transform(
+                         generate_series(1, len(toks) - {WIN_K - 1}),
+                         i -> md5(array_to_string(toks[i:i+{WIN_K - 1}], ' ')))
+                  ELSE [] END AS hs
+      FROM t
+    ),
+    fp AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= {WIN_W}
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(hs) - {WIN_W - 1}),
+                         j -> list_min(hs[j:j+{WIN_W - 1}])))
+                  WHEN len(hs) >= 1 THEN [list_min(hs)]
+                  ELSE [] END AS fps
+      FROM h
+    ),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+    rare AS (
+      SELECT fp FROM e GROUP BY 1
+      HAVING count(DISTINCT doc_id) <= {WIN_MAX_DF}
+    ),
+    er AS (SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared_fps
+    FROM er a JOIN er b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {WIN_MIN_SHARED}
+    """,
+)
+def txt_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint matching (Schleimer-Wilkerson-Aiken 2003,
+    the MOSS algorithm): per doc, hash every {WIN_K}-word gram, slide a
+    {WIN_W}-hash window and keep each window's MINIMUM — a provably
+    bounded-density fingerprint set where any shared token run of
+    length ≥ {WIN_W + WIN_K - 1} is guaranteed to produce a shared
+    fingerprint (the local-min trick makes the selection position-
+    robust, unlike every-nth sampling). Docs sharing ≥
+    {WIN_MIN_SHARED} rare fingerprints are candidate partial-copy
+    pairs — the localized-overlap complement to txt_containment_prefix
+    (which scores whole-doc containment) and txt_fingerprint (which
+    keeps only the single global min).
+
+    Scale: fingerprinting is a per-row array pipeline (no shuffle,
+    whole-stage codegen); density is ~2/(w+1) of the gram stream, so
+    the exploded posting table is a bounded fraction of the token
+    stream. Fingerprints in > {WIN_MAX_DF} docs are disqualified
+    before the self-join — the posting-list cap that keeps the pair
+    blow-up quadratic only within rare-fingerprint buckets (the
+    join_fuzzy_entity / containment lesson).
+
+    MD5 hex strings compare lexicographically identically in both
+    engines, so the window minima — and therefore the exact
+    fingerprint sets — are engine-identical by construction."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _tokens_col().alias("toks")
+    )
+    hs = docs.select(
+        "doc_id",
+        F.transform(
+            F.when(
+                F.size("toks") >= WIN_K,
+                F.sequence(F.lit(1), F.size("toks") - (WIN_K - 1)),
+            ).otherwise(F.array().cast("array<int>")),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, WIN_K))),
+        ).alias("hs"),
+    )
+    fps = hs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("hs") >= WIN_W,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("hs") - (WIN_W - 1)),
+                        lambda j: F.array_min(F.slice("hs", j, WIN_W)),
+                    ),
+                )
+                .when(F.size("hs") >= 1, F.array(F.array_min("hs")))
+                .otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("fp"),
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") <= WIN_MAX_DF)
+        .select("fp")
+    )
+    er = fps.join(F.broadcast(rare), "fp")
+    a = er.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = er.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .where(F.col("n_shared_fps") >= WIN_MIN_SHARED)
+    )
