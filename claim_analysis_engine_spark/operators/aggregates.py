@@ -1286,3 +1286,183 @@ def agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ------------------------------------------------------------ agg_benford
+
+@REG.op(
+    "agg_benford",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]')
+                    AS INT) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ), c AS (
+        SELECT digit, count(*) AS n FROM d GROUP BY 1
+    ), t AS (SELECT sum(n) AS total FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / total, 4) AS obs_freq,
+           round(log10(1.0 + 1.0 / digit), 4) AS exp_freq,
+           round(n * 1.0 / total - log10(1.0 + 1.0 / digit), 4) AS excess
+    FROM c CROSS JOIN t
+    """,
+)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the money column — the
+    classic fabricated-data / fraud screen: natural multi-scale
+    amounts follow P(d) = log10(1 + 1/d), and a ledger whose digit
+    histogram deviates hard was rounded, capped, or invented.
+
+    The first SIGNIFICANT digit comes from the string rendering's
+    first [1-9] (works identically for plain and scientific notation,
+    and for values < 1) — no log/floor arithmetic whose boundary ulps
+    (log10(1000) = 2.999…) could put a row in the wrong bucket in one
+    engine only. One 9-bucket aggregate with map-side combine; the
+    total is an aggregate scalar cross-joined back."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(
+            F.regexp_extract(F.col("o_totalprice").cast("string"), "[1-9]", 0)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("total"), 4).alias("obs_freq"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4).alias("exp_freq"),
+        F.round(
+            F.col("n") / F.col("total") - F.log10(1.0 + 1.0 / F.col("digit")), 4
+        ).alias("excess"),
+    )
+
+
+# ------------------------------------------------------------ agg_pareto
+
+PARETO_SHARE = 80  # integer percent: revenue share the head must reach
+
+
+@REG.op(
+    "agg_pareto",
+    oracle=f"""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS segment, c.c_custkey,
+               sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS x
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT segment, x,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY x DESC, c_custkey) AS rk,
+               sum(x) OVER (PARTITION BY segment
+                            ORDER BY x DESC, c_custkey) AS cum,
+               sum(x) OVER (PARTITION BY segment) AS total,
+               count(*) OVER (PARTITION BY segment) AS n
+        FROM spend
+    )
+    SELECT segment, max(n) AS n_customers,
+           round(CAST(max(CASE WHEN rk * 10 <= n THEN cum END) AS DOUBLE)
+                 / CAST(max(total) AS DOUBLE), 4) AS share_top10pct,
+           CAST(min(CASE WHEN cum * 100 >= total * {PARETO_SHARE}
+                         THEN rk END) AS BIGINT) AS n_for_{PARETO_SHARE}pct
+    FROM ranked GROUP BY 1
+    """,
+)
+def agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration per segment: the revenue share held by the
+    top-10% customers, and how few customers carry {PARETO_SHARE}% of
+    revenue — the 80/20 dashboard next to agg_gini's single-number
+    summary. Exactness: spend and every running sum stay DECIMAL; the
+    two threshold comparisons are INTEGER cross-products
+    (rk·10 ≤ n, cum·100 ≥ total·{PARETO_SHARE}) so no 0.8-in-float
+    boundary exists anywhere; only the final share ratio is float,
+    round(4).
+
+    Scale: one custkey shuffle, one segment window (millions of rows
+    per segment sort fine; the running sum rides the same sort), one
+    tiny aggregate."""
+    spend = (
+        load(spark, sf_dir, "customer")
+        .join(load(spark, sf_dir, "orders"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    w = W.partitionBy("segment").orderBy(F.desc("x"), "c_custkey")
+    ranked = spend.select(
+        "segment",
+        "x",
+        F.row_number().over(w).alias("rk"),
+        F.sum("x").over(w).alias("cum"),
+        F.sum("x").over(W.partitionBy("segment")).alias("total"),
+        F.count(F.lit(1)).over(W.partitionBy("segment")).alias("n"),
+    )
+    return ranked.groupBy("segment").agg(
+        F.max("n").alias("n_customers"),
+        F.round(
+            F.max(F.when(F.col("rk") * 10 <= F.col("n"), F.col("cum"))).cast(
+                "double"
+            )
+            / F.max("total").cast("double"),
+            4,
+        ).alias("share_top10pct"),
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.col("total") * PARETO_SHARE, F.col("rk")
+            )
+        ).alias(f"n_for_{PARETO_SHARE}pct"),
+    )
+
+
+# ------------------------------------------------------------ dq_freshness
+
+FRESH_STALE_HOURS = 24  # a feed lagging the newest data by more is stale
+
+
+@REG.op(
+    "dq_freshness",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type,
+               CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts_s,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+    ), ref AS (SELECT max(last_ts_s) AS asof_s FROM m)
+    SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+           asof_s - last_ts_s AS lag_s,
+           (asof_s - last_ts_s) > {FRESH_STALE_HOURS} * 3600 AS is_stale
+    FROM m CROSS JOIN ref
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness check — the fourth dq class beside
+    dq_expectations (row rules), dq_referential (FK orphans), and
+    dq_psi_drift (distribution shift): each event type's newest
+    timestamp vs the dataset's as-of point; a feed lagging by more
+    than {FRESH_STALE_HOURS}h is flagged. The as-of is an aggregate
+    scalar broadcast back — never a wall-clock call, so the check is
+    deterministic and replayable (and the same shape a production run
+    gets by swapping the as-of for now()).
+
+    Scale: one map-side-combinable max/count aggregate over the fact
+    table, one broadcast — the cheapest dq op in the family."""
+    m = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.col("ts").cast("timestamp").cast("long")).alias("last_ts_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    asof = m.agg(F.max("last_ts_s").alias("asof_s"))
+    return m.crossJoin(F.broadcast(asof)).select(
+        "event_type",
+        "n_events",
+        (F.col("asof_s") - F.col("last_ts_s")).alias("lag_s"),
+        (
+            (F.col("asof_s") - F.col("last_ts_s")) > FRESH_STALE_HOURS * 3600
+        ).alias("is_stale"),
+    )

@@ -886,3 +886,67 @@ def evt_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("len").alias("longest_streak"),
         F.date_format("s0", "yyyy-MM-dd").alias("streak_start"),
     )
+
+
+# ----------------------------------------------------- evt_bot_detection
+
+BOT_MIN_EVENTS = 20      # below this, rate estimates are noise
+BOT_MAX_MEDIAN_GAP_S = 60  # humans don't sustain sub-minute median gaps
+
+
+@REG.op(
+    "evt_bot_detection",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
+        FROM events
+    ), g AS (
+        SELECT user_id,
+               ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts_s, event_id) AS gap
+        FROM o
+    ), stats AS (
+        SELECT user_id, count(*) + 1 AS n_events,
+               round(median(gap), 1) AS median_gap_s
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events, median_gap_s,
+           (n_events >= {BOT_MIN_EVENTS}
+            AND median_gap_s <= {BOT_MAX_MEDIAN_GAP_S}) AS is_bot
+    FROM stats
+    """,
+)
+def evt_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cadence-based bot screen: a user with ≥ {BOT_MIN_EVENTS} events
+    whose MEDIAN inter-arrival gap is ≤ {BOT_MAX_MEDIAN_GAP_S}s is
+    flagged — the median (not mean) makes the signal robust to one
+    long idle break in an otherwise machine-paced stream, the inverse
+    of evt_anomaly_mad's use of the same estimator. Timestamps flatten
+    to epoch seconds (module convention), ties order by event_id, so
+    the gap sequence is engine-identical.
+
+    Scale: one user_id shuffle for the lag window; the exact median
+    needs each user's gaps together, which the same partitioning
+    already guarantees — no second exchange."""
+    o = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("ts_s", "event_id")
+    g = o.select(
+        "user_id", (F.col("ts_s") - F.lag("ts_s").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    stats = g.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).alias("n_events"),
+        F.round(F.percentile("gap", F.lit(0.5)), 1).alias("median_gap_s"),
+    )
+    return stats.select(
+        "user_id",
+        "n_events",
+        "median_gap_s",
+        (
+            (F.col("n_events") >= BOT_MIN_EVENTS)
+            & (F.col("median_gap_s") <= BOT_MAX_MEDIAN_GAP_S)
+        ).alias("is_bot"),
+    )

@@ -874,3 +874,56 @@ def join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey")
     return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+
+
+# ------------------------------------------------------ join_star_flatten
+
+@REG.op(
+    "join_star_flatten",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           year(o.o_orderdate) AS y,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def join_star_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full star-schema flatten: fact → customer → nation → region in
+    one pass, revenue rollup at (region, nation, year) — the
+    denormalized mart every BI layer builds first. All three dims are
+    explicitly broadcast, so the plan is ONE fact scan with three
+    chained broadcast-hash joins and a single aggregate exchange on
+    the (tiny) group key: zero fact shuffles before the rollup. At
+    100 TB the dims (thousands to millions of rows) still broadcast;
+    if customer ever outgrows that, the fix is pre-joining
+    nation+region INTO customer (dims compose broadcast-side) before
+    the one big join — never three sequential fact shuffles."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+    )
