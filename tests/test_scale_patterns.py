@@ -332,3 +332,104 @@ def test_bm25_topk_avoids_global_sort(spark):
 
     plan = _plan(txt_search_bm25(spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bloom_prefilter_runs_before_fact_exchange(spark):
+    """join_bloom_prefilter's whole point: the bloom probe must sit in
+    the fact SCAN stage (before any Exchange), and the final join must
+    NOT be a broadcast (the scenario is a dim too big to ship)."""
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        join_bloom_prefilter,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(join_bloom_prefilter(spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # the pythonUDF bloom probe evaluates in the scan-side stage: its
+    # NODE ID must be lower than every Exchange's (formatted plans
+    # number nodes bottom-up, so upstream = smaller id; comparing text
+    # positions instead would read the top-down tree rendering)
+    import re
+
+    probe_ids = [int(m) for m in re.findall(r"ArrowEvalPython \((\d+)\)", plan)]
+    exchange_ids = [int(m) for m in re.findall(r"Exchange \((\d+)\)", plan)]
+    assert probe_ids and exchange_ids, plan[:800]
+    assert min(probe_ids) < min(exchange_ids), (probe_ids, exchange_ids)
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark):
+    """Every true match must survive the probe: compare the
+    prefiltered fact keyset against the exact semi join."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        join_bloom_prefilter,
+    )
+    from claim_analysis_engine_spark.tables import load
+
+    out = join_bloom_prefilter(spark, SF_SMALL)
+    dim = (
+        load(spark, SF_SMALL, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_nationkey")
+    )
+    exact = (
+        load(spark, SF_SMALL, "orders")
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    got = {r["c_nationkey"]: r["n_orders"] for r in out.collect()}
+    want = {r["c_nationkey"]: r["n_orders"] for r in exact.collect()}
+    assert got == want
+
+
+def test_heavy_hitters_candidate_pass_is_exact(spark):
+    """The pigeonhole candidate pass must lose NO key above the global
+    threshold: compare against the direct groupBy-HAVING."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        HH_FRACTION,
+        agg_heavy_hitters,
+    )
+    from claim_analysis_engine_spark.tables import load
+
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in agg_heavy_hitters(spark, SF_SMALL).collect()
+    }
+    e = load(spark, SF_SMALL, "events")
+    n = e.count()
+    want = {
+        r["user_id"]: r["n"]
+        for r in e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > HH_FRACTION * n)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_star_flatten_has_no_fact_shuffle_before_aggregate(spark):
+    """join_star_flatten: three broadcast joins, then ONE aggregate
+    exchange — the fact table must never shuffle pre-aggregate."""
+    from claim_analysis_engine_spark.operators.relational import join_star_flatten
+
+    import re
+
+    plan = _plan(join_star_flatten(spark, SF_SMALL))
+    # formatted output names each node in the tree AND a detail header;
+    # count distinct node ids, not substring occurrences
+    join_ids = set(re.findall(r"\((\d+)\) BroadcastHashJoin", plan))
+    assert len(join_ids) == 3, plan[:600]
+    # the only hash-partitioning exchange is the aggregate's: the fact
+    # side must reach the rollup through broadcasts alone
+    # "(N) Exchange" detail headers are the shuffle exchanges only
+    # (broadcasts render as "(N) BroadcastExchange", a different word)
+    ex_count = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+    assert ex_count == 1, (ex_count, plan[:600])
