@@ -1466,3 +1466,258 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("asof_s") - F.col("last_ts_s")) > FRESH_STALE_HOURS * 3600
         ).alias("is_stale"),
     )
+
+
+# --------------------------------------------------------- agg_cohort_ltv
+
+@REG.op(
+    "agg_cohort_ltv",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey,
+               min(year(o_orderdate) * 12 + month(o_orderdate)) AS m0
+        FROM orders GROUP BY 1
+    ), contrib AS (
+        SELECT f.m0,
+               (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.m0 AS age_m,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev,
+               o.o_custkey
+        FROM orders o JOIN f ON f.o_custkey = o.o_custkey
+    ), cohort AS (
+        SELECT m0, count(DISTINCT o_custkey) AS n_customers FROM contrib GROUP BY 1
+    ), by_age AS (
+        SELECT m0, age_m, sum(rev) AS rev_m FROM contrib GROUP BY 1, 2
+    ), cum AS (
+        SELECT m0, age_m,
+               sum(rev_m) OVER (PARTITION BY m0 ORDER BY age_m) AS cum_rev
+        FROM by_age
+    )
+    SELECT concat(CAST((cum.m0 - 1) // 12 AS VARCHAR), '-',
+                  lpad(CAST((cum.m0 - 1) % 12 + 1 AS VARCHAR), 2, '0'))
+             AS cohort_month,
+           cum.age_m,
+           c.n_customers,
+           round(CAST(cum.cum_rev AS DOUBLE), 2) AS cum_revenue,
+           CAST(CAST(cum.cum_rev * 100 AS HUGEINT) // c.n_customers AS BIGINT)
+             AS ltv_cents_per_cust
+    FROM cum JOIN cohort c ON c.m0 = cum.m0
+    """,
+)
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, cumulative revenue per cohort by months-since-acquisition,
+    normalized per cohort head — the revenue twin of evt_retention's
+    activity matrix (the two panels every growth dashboard pairs).
+
+    Months are INTEGER month-serials (y·12+m) so cohort age is exact
+    arithmetic — no months_between float, no calendar truncation
+    drift; the serial converts back to 'YYYY-MM' for display. Revenue
+    stays DECIMAL through the running sum; the per-customer LTV is
+    integer CENTS via floor division (see inline note — the ratio in
+    float landed on exact .xxx5 rounding ties).
+
+    Scale: one custkey shuffle (first-order), one join back, one
+    (cohort, age) aggregate, and the running sum over the TINY
+    cohort×age grid — the raw fact table never enters a window."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ms"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    f = o.groupBy("o_custkey").agg(F.min("ms").alias("m0"))
+    contrib = o.join(f, "o_custkey").select(
+        "m0", (F.col("ms") - F.col("m0")).alias("age_m"), "rev", "o_custkey"
+    )
+    cohort = contrib.groupBy("m0").agg(
+        F.countDistinct("o_custkey").alias("n_customers")
+    )
+    by_age = contrib.groupBy("m0", "age_m").agg(F.sum("rev").alias("rev_m"))
+    cum = by_age.select(
+        "m0",
+        "age_m",
+        F.sum("rev_m")
+        .over(W.partitionBy("m0").orderBy("age_m"))
+        .alias("cum_rev"),
+    )
+    return cum.join(F.broadcast(cohort), "m0").select(
+        F.concat(
+            ((F.col("m0") - 1) / 12).cast("int").cast("string"),
+            F.lit("-"),
+            F.lpad(((F.col("m0") - 1) % 12 + 1).cast("string"), 2, "0"),
+        ).alias("cohort_month"),
+        "age_m",
+        "n_customers",
+        F.round(F.col("cum_rev").cast("double"), 2).alias("cum_revenue"),
+        # LTV as integer CENTS per customer (floor division): revenue
+        # cents / small cohort sizes land on exact .xxx5 ties where the
+        # engines' float round() disagree by one ulp — integer floor
+        # division has no tie to break (the dyadic-weights lesson)
+        F.expr("CAST(cum_rev * 100 AS BIGINT) div n_customers").alias(
+            "ltv_cents_per_cust"
+        ),
+    )
+
+
+# --------------------------------------------------------- agg_abc_class
+
+ABC_A_PCT = 80  # cumulative-revenue boundaries, integer percents
+ABC_B_PCT = 95
+
+
+@REG.op(
+    "agg_abc_class",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+        FROM lineitem GROUP BY 1
+    ), ranked AS (
+        SELECT l_partkey, r,
+               sum(r) OVER (ORDER BY r DESC, l_partkey) AS cum,
+               sum(r) OVER () AS total,
+               row_number() OVER (ORDER BY r DESC, l_partkey) AS rk
+        FROM rev
+    )
+    SELECT l_partkey, round(CAST(r AS DOUBLE), 2) AS revenue, rk,
+           round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 4) AS cum_share,
+           CASE WHEN cum * 100 <= total * {ABC_A_PCT} THEN 'A'
+                WHEN cum * 100 <= total * {ABC_B_PCT} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def agg_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: every part ranked by revenue,
+    class A while the running share stays ≤ {ABC_A_PCT}%, B to
+    {ABC_B_PCT}%, C beyond — agg_pareto's summary turned into the
+    per-item label a stocking policy consumes. Boundaries compare
+    DECIMAL cross-products (cum·100 vs total·pct), so class flips
+    can't ride a float ulp; revenue ties break by partkey.
+
+    Scale: the unpartitioned ranking window serializes the PART
+    dimension (not the fact table) through one task — fine at
+    catalog cardinality; beyond that the 2-stage range-partitioned
+    rank (sort_global_shards' pattern) replaces it."""
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r"))
+    )
+    w = W.orderBy(F.desc("r"), "l_partkey")
+    ranked = rev.select(
+        "l_partkey",
+        "r",
+        F.sum("r").over(w).alias("cum"),
+        F.sum("r").over(W.partitionBy()).alias("total"),
+        F.row_number().over(w).alias("rk"),
+    )
+    return ranked.select(
+        "l_partkey",
+        F.round(F.col("r").cast("double"), 2).alias("revenue"),
+        "rk",
+        F.round(F.col("cum").cast("double") / F.col("total").cast("double"), 4)
+        .alias("cum_share"),
+        F.when(F.col("cum") * 100 <= F.col("total") * ABC_A_PCT, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * ABC_B_PCT, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+# ------------------------------------------------------- agg_survival_km
+
+KM_CENSOR_DAYS = 90  # customers last seen within this of the dataset
+#                      edge are censored (their churn is unobserved)
+
+
+@REG.op(
+    "agg_survival_km",
+    oracle=f"""
+    WITH span AS (
+        SELECT o_custkey,
+               date_diff('day', min(o_orderdate), max(o_orderdate)) AS t,
+               date_diff('day', max(o_orderdate),
+                         (SELECT max(o_orderdate) FROM orders))
+                 < {KM_CENSOR_DAYS} AS censored
+        FROM orders GROUP BY 1
+    ), ev AS (
+        SELECT t, count(*) FILTER (NOT censored) AS d,
+               count(*) AS exits
+        FROM span GROUP BY t
+    ), risk AS (
+        SELECT t, d,
+               (SELECT count(*) FROM span)
+                 - coalesce(sum(exits) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_at_risk
+        FROM ev
+    )
+    SELECT t AS lifetime_days, CAST(d AS BIGINT) AS n_churned,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           round(exp(sum(ln(1.0 - d * 1.0 / n_at_risk))
+                     OVER (ORDER BY t)), 4) AS survival
+    FROM risk WHERE d > 0
+    """,
+)
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer lifetime (days between
+    first and last order), with right-censoring: customers still
+    active near the dataset edge (< {KM_CENSOR_DAYS} days before the
+    as-of) haven't churned — treating them as deaths is the classic
+    bias KM exists to avoid. S(t) = Π(1 − d_i/n_i) over event times;
+    the product is exp(Σ ln(·)) so the running aggregate is
+    distributable, and both engines fold the SAME doubles in the SAME
+    (t-ordered) sequence — identical bit results, round(4) on top.
+
+    Scale: one custkey aggregate; event times collapse to a tiny
+    per-day grid before any window; the as-of is an aggregate scalar
+    (subquery / broadcast), never wall-clock."""
+    o = load(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("asof"))
+    span = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("t"),
+            (
+                F.datediff(F.max("asof"), F.max("o_orderdate")) < KM_CENSOR_DAYS
+            ).alias("censored"),
+        )
+    )
+    total = span.agg(F.count(F.lit(1)).alias("n_total"))
+    ev = span.groupBy("t").agg(
+        F.count(F.when(~F.col("censored"), 1)).alias("d"),
+        F.count(F.lit(1)).alias("exits"),
+    )
+    wt = W.orderBy("t")
+    risk = (
+        ev.crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            "d",
+            (
+                F.col("n_total")
+                - F.coalesce(
+                    F.sum("exits").over(
+                        wt.rowsBetween(W.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+            ).alias("n_at_risk"),
+        )
+    )
+    return (
+        risk.select(
+            F.col("t").alias("lifetime_days"),
+            F.col("d").alias("n_churned"),
+            "n_at_risk",
+            F.round(
+                F.exp(
+                    F.sum(F.log(1.0 - F.col("d") / F.col("n_at_risk"))).over(
+                        W.orderBy("t")
+                    )
+                ),
+                4,
+            ).alias("survival"),
+        )
+        .where(F.col("n_churned") > 0)
+    )
