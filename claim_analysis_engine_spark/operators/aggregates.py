@@ -1721,3 +1721,102 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_churned") > 0)
     )
+
+
+# -------------------------------------------------------- dq_column_profile
+
+PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+
+
+@REG.op(
+    "dq_column_profile",
+    oracle="""
+    WITH vals AS (
+        SELECT 'o_orderstatus' AS col, CAST(o_orderstatus AS VARCHAR) AS v FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+    ), c AS (
+        SELECT col, v, count(*) AS n FROM vals GROUP BY 1, 2
+    ), tot AS (
+        SELECT col, CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_distinct
+        FROM c GROUP BY col
+    ), t AS (
+        SELECT c.col, max(tot.n_rows) AS n_rows, max(tot.n_distinct) AS n_distinct,
+               round(sum(-(c.n * 1.0 / tot.n_rows)
+                         * ln(c.n * 1.0 / tot.n_rows)), 4) AS entropy
+        FROM c JOIN tot ON tot.col = c.col GROUP BY c.col
+    ), top AS (
+        SELECT col, v AS top_value, CAST(n AS BIGINT) AS top_n,
+               row_number() OVER (PARTITION BY col ORDER BY n DESC, v) AS rk
+        FROM c
+    )
+    SELECT t.col, t.n_rows, CAST(t.n_distinct AS BIGINT) AS n_distinct,
+           round(t.n_distinct * 1.0 / t.n_rows, 4) AS distinct_ratio,
+           t.entropy, top.top_value, top.top_n
+    FROM t JOIN top ON top.col = t.col AND top.rk = 1
+    """,
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling in ONE scan — the pandas-profiling summary
+    (row count, cardinality, distinct ratio, Shannon entropy, modal
+    value) for a declared column set, as the fifth dq class: entropy
+    near zero flags a degenerate feed (one value took over), a
+    distinct-ratio jump flags a key column leaking into a categorical.
+
+    One scan: each row EXPLODES to (col, value-as-string) pairs — 4×
+    row expansion instead of 4 table scans — then a single (col, v)
+    aggregate feeds every statistic. Modal ties break lexicographically
+    so both engines elect the same value; entropy is a float sum over
+    value frequencies (fold-order drift ~1e-12, round(4)).
+
+    At 100 TB the same plan holds: the explode is map-side, the value
+    histogram is the only shuffle, and adding columns is O(columns)
+    expansion of the SAME pass — never new scans."""
+    o = load(spark, sf_dir, "orders")
+    pairs = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.col", "p.v")
+    c = pairs.groupBy("col", "v").agg(F.count(F.lit(1)).alias("n"))
+    wcol = W.partitionBy("col")
+    withp = c.withColumn("p", F.col("n") / F.sum("n").over(wcol))
+    t = withp.groupBy("col").agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.sum(-F.col("p") * F.log("p")), 4).alias("entropy"),
+    )
+    top = (
+        c.withColumn(
+            "rk",
+            F.row_number().over(wcol.orderBy(F.desc("n"), "v")),
+        )
+        .where(F.col("rk") == 1)
+        .select("col", F.col("v").alias("top_value"), F.col("n").alias("top_n"))
+    )
+    return (
+        t.join(F.broadcast(top), "col")
+        .select(
+            "col",
+            "n_rows",
+            "n_distinct",
+            F.round(F.col("n_distinct") / F.col("n_rows"), 4).alias(
+                "distinct_ratio"
+            ),
+            "entropy",
+            "top_value",
+            "top_n",
+        )
+    )

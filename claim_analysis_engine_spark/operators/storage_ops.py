@@ -765,3 +765,67 @@ def dedup_audit_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_rows") > 1)
     )
+
+
+# ------------------------------------------------------ src_logs_parse
+
+@REG.op(
+    "src_logs_parse",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_lines,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 4) AS total_value,
+           CAST(max(floor(epoch(ts))) AS BIGINT) AS max_ts_s
+    FROM events GROUP BY 1
+    """,
+)
+def src_logs_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw log-line ingestion: render the event stream as text log
+    lines (`ts=… level=… user=… type=… value=… id=…`), write them
+    with the TEXT sink, read them back with the line source, parse
+    fields out with regexp_extract, and aggregate — the
+    grep-able-logs-to-table path every observability pipeline starts
+    from, exercised end to end (the oracle recomputes the aggregate
+    from the structured source, so a field mangled anywhere in
+    render→write→read→parse breaks the hash).
+
+    Parity note: value survives the text round-trip exactly because
+    Spark renders doubles shortest-round-trip — parsing the string
+    back yields the identical double, so the sum matches the oracle's
+    sum over the original column (round(4) covers fold order only).
+
+    Scale: text lines are newline-splittable (unlike multiline
+    formats), so read parallelism survives; parsing is JVM-side regex
+    in whole-stage codegen — the anti-pattern this op replaces is a
+    per-line Python loop over downloaded log files."""
+    out = tempfile.mkdtemp(prefix="cae_spark_logs_")
+    e = load(spark, sf_dir, "events")
+    lines = e.select(
+        F.concat(
+            F.lit("ts="),
+            F.col("ts").cast("timestamp").cast("long").cast("string"),
+            F.lit(" level=INFO user="),
+            F.col("user_id").cast("string"),
+            F.lit(" type="),
+            F.col("event_type"),
+            F.lit(" value="),
+            F.col("value").cast("string"),
+            F.lit(" id="),
+            F.col("event_id").cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    parsed = back.select(
+        F.regexp_extract("value", r"ts=(\d+)", 1).cast("long").alias("ts_s"),
+        F.regexp_extract("value", r"user=(\d+)", 1).cast("long").alias("user_id"),
+        F.regexp_extract("value", r"type=(\S+)", 1).alias("event_type"),
+        F.regexp_extract("value", r"value=(\S+)", 1).cast("double").alias("v"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("v"), 4).alias("total_value"),
+        F.max("ts_s").alias("max_ts_s"),
+    )
