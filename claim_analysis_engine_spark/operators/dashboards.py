@@ -745,3 +745,130 @@ def ep8_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(HYBRID_TOP)
     )
+
+
+# ------------------------------------------------------- ep9_growth_e2e
+
+@REG.op(
+    "ep9_growth_e2e",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS ms,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+        FROM orders
+    ), f AS (
+        SELECT o_custkey, min(ms) AS m0 FROM o GROUP BY 1
+    ), j AS (
+        SELECT f.m0, o.o_custkey, o.ms - f.m0 AS age_m, o.rev
+        FROM o JOIN f ON f.o_custkey = o.o_custkey
+    ), cohort AS (
+        SELECT m0, count(DISTINCT o_custkey) AS n_customers FROM j GROUP BY 1
+    ), ret AS (
+        SELECT m0, count(DISTINCT o_custkey) AS m3_buyers
+        FROM j WHERE age_m BETWEEN 1 AND 3 GROUP BY 1
+    ), ltv AS (
+        SELECT m0, CAST(sum(rev) * 100 AS BIGINT) AS rev3_cents
+        FROM j WHERE age_m <= 3 GROUP BY 1
+    ), spend AS (
+        SELECT m0, o_custkey, sum(rev) AS x FROM j GROUP BY 1, 2
+    ), ranked AS (
+        SELECT m0, x,
+               row_number() OVER (PARTITION BY m0 ORDER BY x DESC, o_custkey)
+                 AS rk,
+               count(*) OVER (PARTITION BY m0) AS n
+        FROM spend
+    ), conc AS (
+        SELECT m0,
+               CAST(sum(CASE WHEN rk * 10 <= n THEN x ELSE 0 END) * 100
+                    AS BIGINT) AS top_cents,
+               CAST(sum(x) * 100 AS BIGINT) AS total_cents
+        FROM ranked GROUP BY m0
+    )
+    SELECT concat(CAST((c.m0 - 1) // 12 AS VARCHAR), '-',
+                  lpad(CAST((c.m0 - 1) % 12 + 1 AS VARCHAR), 2, '0'))
+             AS cohort_month,
+           c.n_customers,
+           coalesce(r.m3_buyers, 0) AS m3_buyers,
+           CAST(coalesce(r.m3_buyers, 0) * 10000 // c.n_customers AS BIGINT)
+             AS ret_m3_bp,
+           CAST(l.rev3_cents // c.n_customers AS BIGINT) AS ltv_m3_cents,
+           CAST(k.top_cents * 10000 // k.total_cents AS BIGINT)
+             AS top_decile_share_bp
+    FROM cohort c
+    LEFT JOIN ret r ON r.m0 = c.m0
+    JOIN ltv l ON l.m0 = c.m0
+    JOIN conc k ON k.m0 = c.m0
+    """,
+)
+def ep9_growth_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth dashboard capstone composing this round's analytics
+    family into one cohort panel: acquisition size, 3-month repeat
+    rate, 3-month LTV, and intra-cohort revenue concentration — the
+    summary view over agg_cohort_ltv / evt_retention / agg_pareto's
+    machinery (same CTE skeleton, one panel).
+
+    Hash-discipline showcase: the ENTIRE result is integers and
+    strings — rates in basis points via integer floor division, money
+    in cents, never a float anywhere — so no rounding-tie can exist
+    between engines by construction (the lesson agg_cohort_ltv's
+    first attempt paid for).
+
+    Scale: one custkey shuffle (first-order + the join back), then
+    every panel statistic groups on the tiny (cohort[, age]) grids;
+    the per-cohort concentration window sorts the CUSTOMER dimension
+    within cohort, not the fact table."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ms"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    f = o.groupBy("o_custkey").agg(F.min("ms").alias("m0"))
+    j = o.join(f, "o_custkey").select(
+        "m0", "o_custkey", (F.col("ms") - F.col("m0")).alias("age_m"), "rev"
+    )
+    cohort = j.groupBy("m0").agg(F.countDistinct("o_custkey").alias("n_customers"))
+    ret = (
+        j.where(F.col("age_m").between(1, 3))
+        .groupBy("m0")
+        .agg(F.countDistinct("o_custkey").alias("m3_buyers"))
+    )
+    ltv = (
+        j.where(F.col("age_m") <= 3)
+        .groupBy("m0")
+        .agg((F.sum("rev") * 100).cast("long").alias("rev3_cents"))
+    )
+    spend = j.groupBy("m0", "o_custkey").agg(F.sum("rev").alias("x"))
+    wm = W.partitionBy("m0")
+    ranked = spend.select(
+        "m0",
+        "x",
+        F.row_number().over(wm.orderBy(F.desc("x"), "o_custkey")).alias("rk"),
+        F.count(F.lit(1)).over(wm).alias("n"),
+    )
+    conc = ranked.groupBy("m0").agg(
+        (F.sum(F.when(F.col("rk") * 10 <= F.col("n"), F.col("x")).otherwise(F.lit(0).cast("decimal(18,2)"))) * 100)
+        .cast("long")
+        .alias("top_cents"),
+        (F.sum("x") * 100).cast("long").alias("total_cents"),
+    )
+    return (
+        cohort.join(ret, "m0", "left")
+        .join(ltv, "m0")
+        .join(conc, "m0")
+        .select(
+            F.concat(
+                ((F.col("m0") - 1) / 12).cast("int").cast("string"),
+                F.lit("-"),
+                F.lpad(((F.col("m0") - 1) % 12 + 1).cast("string"), 2, "0"),
+            ).alias("cohort_month"),
+            "n_customers",
+            F.coalesce("m3_buyers", F.lit(0)).alias("m3_buyers"),
+            F.expr("CAST(coalesce(m3_buyers, 0) * 10000 AS BIGINT) div n_customers").alias(
+                "ret_m3_bp"
+            ),
+            F.expr("rev3_cents div n_customers").alias("ltv_m3_cents"),
+            F.expr("CAST(top_cents * 10000 AS BIGINT) div total_cents").alias(
+                "top_decile_share_bp"
+            ),
+        )
+    )
