@@ -53,6 +53,7 @@ def registry() -> dict[str, Op]:
         dashboards,
         dedup_text,
         events,
+        graph_ops,
         joins_temporal,
         multimodal,
         pivots,
@@ -109,6 +110,7 @@ def registry() -> dict[str, Op]:
         relational,
         aggregates,
         pivots,
+        graph_ops,
     ):
         for op_id, op in mod.REG.ops.items():
             if op_id in merged:
