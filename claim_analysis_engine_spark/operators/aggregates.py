@@ -1820,3 +1820,89 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_n",
         )
     )
+
+
+# ---------------------------------------------------- agg_new_vs_returning
+
+@REG.op(
+    "agg_new_vs_returning",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS ms,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+        FROM orders
+    ), f AS (
+        SELECT o_custkey, min(ms) AS m0 FROM o GROUP BY 1
+    ), tagged AS (
+        SELECT o.ms, o.rev, o.ms = f.m0 AS is_new
+        FROM o JOIN f ON f.o_custkey = o.o_custkey
+    ), m AS (
+        SELECT ms,
+               count(*) FILTER (is_new) AS new_orders,
+               count(*) FILTER (NOT is_new) AS ret_orders,
+               CAST(coalesce(sum(rev) FILTER (is_new), 0) * 100 AS BIGINT)
+                 AS new_cents,
+               CAST(coalesce(sum(rev) FILTER (NOT is_new), 0) * 100 AS BIGINT)
+                 AS ret_cents
+        FROM tagged GROUP BY 1
+    )
+    SELECT concat(CAST((ms - 1) // 12 AS VARCHAR), '-',
+                  lpad(CAST((ms - 1) % 12 + 1 AS VARCHAR), 2, '0')) AS month,
+           CAST(new_orders AS BIGINT) AS new_orders,
+           CAST(ret_orders AS BIGINT) AS ret_orders,
+           new_cents, ret_cents,
+           CAST(new_cents * 10000 // greatest(new_cents + ret_cents, 1)
+                AS BIGINT) AS new_share_bp
+    FROM m
+    """,
+)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning revenue mix per month — the acquisition-vs-
+    retention balance every growth report opens with: an order is
+    "new" iff it falls in its customer's first month. Integer month
+    serials for the first-month test, money in cents, share in basis
+    points by floor division — the all-integer hash discipline
+    (ep9_growth_e2e's construction).
+
+    Scale: one custkey shuffle for first months, a join back, one
+    month-grain aggregate with FILTER-style conditional sums (one
+    pass, map-side combinable)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ms"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    f = o.groupBy("o_custkey").agg(F.min("ms").alias("m0"))
+    tagged = o.join(f, "o_custkey").select(
+        "ms", "rev", (F.col("ms") == F.col("m0")).alias("is_new")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    m = tagged.groupBy("ms").agg(
+        F.count(F.when(F.col("is_new"), 1)).alias("new_orders"),
+        F.count(F.when(~F.col("is_new"), 1)).alias("ret_orders"),
+        (
+            F.coalesce(F.sum(F.when(F.col("is_new"), F.col("rev"))), zero) * 100
+        )
+        .cast("long")
+        .alias("new_cents"),
+        (
+            F.coalesce(F.sum(F.when(~F.col("is_new"), F.col("rev"))), zero)
+            * 100
+        )
+        .cast("long")
+        .alias("ret_cents"),
+    )
+    return m.select(
+        F.concat(
+            ((F.col("ms") - 1) / 12).cast("int").cast("string"),
+            F.lit("-"),
+            F.lpad(((F.col("ms") - 1) % 12 + 1).cast("string"), 2, "0"),
+        ).alias("month"),
+        "new_orders",
+        "ret_orders",
+        "new_cents",
+        "ret_cents",
+        F.expr(
+            "CAST(new_cents * 10000 AS BIGINT) div greatest(new_cents + ret_cents, 1L)"
+        ).alias("new_share_bp"),
+    )

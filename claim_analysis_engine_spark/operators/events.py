@@ -950,3 +950,50 @@ def evt_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("median_gap_s") <= BOT_MAX_MEDIAN_GAP_S)
         ).alias("is_bot"),
     )
+
+
+# ----------------------------------------------------- evt_heatmap_profile
+
+@REG.op(
+    "evt_heatmap_profile",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(dayofweek(ts) AS INT) + 1 AS dow,
+               CAST(hour(ts) AS INT) AS hod,
+               count(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    ), t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1)
+    SELECT c.event_type, c.dow, c.hod, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n * 10000 // t.total AS BIGINT) AS share_bp
+    FROM c JOIN t ON t.event_type = c.event_type
+    """,
+)
+def evt_heatmap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap per event type — the
+    load-profile panel capacity planning and anomaly baselining read
+    (an error burst at 3am Sunday means something different than at
+    noon Monday). Share in integer BASIS POINTS via floor division (no
+    float anywhere). Day-numbering convention is a cross-engine trap:
+    Spark's dayofweek is Sunday=1..7, DuckDB's Sunday=0..6 — the
+    oracle normalizes with +1 so both grids index Sunday=1.
+
+    Scale: one map-side-combinable aggregate to a ≤ |types|×168-cell
+    grid; the per-type total is a broadcast join back."""
+    c = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        F.expr("CAST(n * 10000 AS BIGINT) div total").alias("share_bp"),
+    )
