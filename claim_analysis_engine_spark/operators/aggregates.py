@@ -1906,3 +1906,119 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(new_cents * 10000 AS BIGINT) div greatest(new_cents + ret_cents, 1L)"
         ).alias("new_share_bp"),
     )
+
+
+# --------------------------------------------------------- agg_return_rates
+
+@REG.op(
+    "agg_return_rates",
+    oracle="""
+    WITH j AS (
+        SELECT p.p_type, l.l_returnflag = 'R' AS is_ret
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), per AS (
+        SELECT p_type, count(*) AS n_lines,
+               count(*) FILTER (is_ret) AS n_returned
+        FROM j GROUP BY 1
+    ), g AS (
+        SELECT CAST(sum(n_returned) AS BIGINT) AS gr,
+               CAST(sum(n_lines) AS BIGINT) AS gn
+        FROM per
+    )
+    SELECT per.p_type, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_returned AS BIGINT) AS n_returned,
+           CAST(n_returned * 10000 // n_lines AS BIGINT) AS return_bp,
+           round((n_returned * 1.0 / n_lines) / (g.gr * 1.0 / g.gn), 4)
+             AS lift_vs_global
+    FROM per CROSS JOIN g
+    """,
+)
+def agg_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate analysis per part type — the quality-complaint
+    breakdown by product family the reference's plant dashboards
+    present for claims: rate in basis points (integer floor division,
+    no float boundary) plus lift against the global rate (which part
+    families get returned MORE than the portfolio average). The part
+    dimension joins broadcast; the global rate is an aggregate scalar
+    cross-joined back. One fact scan, one (tiny) type-grain shuffle."""
+    j = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", (F.col("l_returnflag") == "R").alias("is_ret"))
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "part").select("p_partkey", "p_type")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    per = j.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("is_ret"), 1)).alias("n_returned"),
+    )
+    g = per.agg(
+        F.sum("n_returned").alias("gr"), F.sum("n_lines").alias("gn")
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "p_type",
+        "n_lines",
+        "n_returned",
+        F.expr("CAST(n_returned * 10000 AS BIGINT) div n_lines").alias(
+            "return_bp"
+        ),
+        F.round(
+            (F.col("n_returned") / F.col("n_lines"))
+            / (F.col("gr") / F.col("gn")),
+            4,
+        ).alias("lift_vs_global"),
+    )
+
+
+# -------------------------------------------------------- agg_supply_risk
+
+@REG.op(
+    "agg_supply_risk",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), per AS (
+        SELECT l_partkey, count(*) AS n_suppliers FROM ps GROUP BY 1
+    ), j AS (
+        SELECT p.p_brand, per.n_suppliers
+        FROM per JOIN part p ON p.p_partkey = per.l_partkey
+    )
+    SELECT p_brand, count(*) AS n_parts,
+           count(*) FILTER (n_suppliers = 1) AS n_single_sourced,
+           CAST(count(*) FILTER (n_suppliers = 1) * 10000 // count(*)
+                AS BIGINT) AS single_bp,
+           CAST(max(n_suppliers) AS BIGINT) AS max_suppliers
+    FROM j GROUP BY 1
+    """,
+)
+def agg_supply_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration risk per brand: how many parts are
+    SINGLE-SOURCED (one supplier ever shipped them) — the multi-
+    sourcing dq view a procurement dashboard keys on (a single-sourced
+    part is a line-down risk; a brand where most parts are is a
+    structural one). Distinct (part, supplier) pairs collapse the fact
+    table first — one shuffle on partkey — then the part dim joins
+    broadcast and the brand rollup is tiny. Shares in basis points
+    (integer floor division)."""
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    per = ps.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_suppliers"))
+    j = per.join(
+        F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.count(F.when(F.col("n_suppliers") == 1, 1)).alias("n_single_sourced"),
+        F.expr(
+            "CAST(count(CASE WHEN n_suppliers = 1 THEN 1 END) * 10000 AS BIGINT)"
+            " div count(1)"
+        ).alias("single_bp"),
+        F.max("n_suppliers").cast("long").alias("max_suppliers"),
+    )

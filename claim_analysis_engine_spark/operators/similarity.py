@@ -1141,3 +1141,66 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_rank",
         )
     )
+
+
+# -------------------------------------------------------- emb_norm_profile
+
+NORM_ZERO_EPS = 1e-9  # below this L2 a vector is effectively zero
+
+
+@REG.op(
+    "emb_norm_profile",
+    oracle=f"""
+    WITH xd AS (
+      SELECT label,
+             round(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2,
+             len(embedding) AS dim
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n_vecs,
+           CAST(max(dim) AS BIGINT) AS dim,
+           round(avg(l2), 4) AS mean_norm,
+           round(min(l2), 4) AS min_norm,
+           round(max(l2), 4) AS max_norm,
+           CAST(count(*) FILTER (l2 < {NORM_ZERO_EPS}) AS BIGINT) AS n_zero
+    FROM xd GROUP BY 1
+    """,
+)
+def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column hygiene profile per label: L2-norm
+    distribution, dimension check, and zero-vector count — the vector
+    dq class (a batch of zero or wildly-scaled vectors silently wrecks
+    cosine retrieval; this is the panel that catches the bad encoder
+    run BEFORE it reaches an index build, the tabular sibling of
+    emb_drift_monitor's centroid canary).
+
+    Parity: each vector's norm is a sequential left-to-right fold of
+    the same float32→double values in both engines (bit-identical),
+    quantized round(6) per vector BEFORE the per-label aggregates so
+    the min/max pick identical representatives; the mean's fold-order
+    drift is healed by round(4). One map-side-combinable aggregate —
+    at 100 TB of vectors this is a single pass, no shuffle of the
+    vectors themselves (only the tiny per-label partials move)."""
+    xd = load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.lit(0.0),
+                    lambda a, x: a + x * x,
+                )
+            ),
+            6,
+        ).alias("l2"),
+        F.size("embedding").alias("dim"),
+    )
+    return xd.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.max("dim").cast("long").alias("dim"),
+        F.round(F.avg("l2"), 4).alias("mean_norm"),
+        F.round(F.min("l2"), 4).alias("min_norm"),
+        F.round(F.max("l2"), 4).alias("max_norm"),
+        F.count(F.when(F.col("l2") < NORM_ZERO_EPS, 1)).alias("n_zero"),
+    )
