@@ -2022,3 +2022,53 @@ def agg_supply_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("single_bp"),
         F.max("n_suppliers").cast("long").alias("max_suppliers"),
     )
+
+
+# ------------------------------------------------- agg_cumulative_distinct
+
+@REG.op(
+    "agg_cumulative_distinct",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey,
+               min(year(o_orderdate) * 12 + month(o_orderdate)) AS m0
+        FROM orders GROUP BY 1
+    ), per AS (
+        SELECT m0, count(*) AS n_new FROM f GROUP BY 1
+    )
+    SELECT concat(CAST((m0 - 1) // 12 AS VARCHAR), '-',
+                  lpad(CAST((m0 - 1) % 12 + 1 AS VARCHAR), 2, '0')) AS month,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(sum(n_new) OVER (ORDER BY m0) AS BIGINT) AS cum_customers
+    FROM per
+    """,
+)
+def agg_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-acquisition curve: cumulative DISTINCT customers ever
+    seen, by month. Cumulative distinct is not a window aggregate any
+    engine incrementalizes — the exact decomposition is the
+    FIRST-OCCURRENCE trick: each key contributes once at its min
+    month, so a per-month first-timer count plus a running sum over
+    the tiny month grid reproduces |∪ keys through m| exactly. The
+    same rewrite is how a 100 TB deployment gets exact cumulative
+    reach without re-scanning history every month (evt_power_users_
+    rolling is the windowed sibling; this is the unbounded one).
+
+    One custkey shuffle; the window runs over |months| rows."""
+    f = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m0")
+        )
+    )
+    per = f.groupBy("m0").agg(F.count(F.lit(1)).alias("n_new"))
+    return per.select(
+        F.concat(
+            ((F.col("m0") - 1) / 12).cast("int").cast("string"),
+            F.lit("-"),
+            F.lpad(((F.col("m0") - 1) % 12 + 1).cast("string"), 2, "0"),
+        ).alias("month"),
+        "n_new",
+        F.sum("n_new").over(W.orderBy("m0")).alias("cum_customers"),
+    )

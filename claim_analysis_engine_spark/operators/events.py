@@ -997,3 +997,60 @@ def evt_heatmap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("CAST(n * 10000 AS BIGINT) div total").alias("share_bp"),
     )
+
+
+# ---------------------------------------------------------- evt_gap_hist
+
+@REG.op(
+    "evt_gap_hist",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
+        FROM events
+    ), g AS (
+        SELECT ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts_s, event_id) AS gap
+        FROM o
+    ), b AS (
+        SELECT CASE WHEN gap = 0 THEN 0 ELSE length(bin(gap)) END AS bucket
+        FROM g WHERE gap IS NOT NULL
+    ), c AS (
+        SELECT bucket, count(*) AS n FROM b GROUP BY 1
+    ), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT CAST(c.bucket AS INT) AS bit_bucket, CAST(c.n AS BIGINT) AS n_gaps,
+           CAST(c.n * 10000 // t.total AS BIGINT) AS share_bp
+    FROM c CROSS JOIN t
+    """,
+)
+def evt_gap_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap histogram in power-of-two second buckets —
+    the cadence fingerprint of the whole event feed (evt_bot_detection
+    judges one user; this is the population view that tells you WHERE
+    to put its thresholds: human traffic shows a heavy 2^10-2^14 s
+    mass, machine traffic piles under 2^6). Bucket = bit length of the
+    gap (integer, no float log2 boundary); shares in basis points via
+    floor division.
+
+    One user_id window shuffle, then a ~40-cell aggregate."""
+    o = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("ts_s", "event_id")
+    g = o.select((F.col("ts_s") - F.lag("ts_s").over(w)).alias("gap")).where(
+        F.col("gap").isNotNull()
+    )
+    b = g.select(
+        F.when(F.col("gap") == 0, 0)
+        .otherwise(F.length(F.bin("gap")))
+        .cast("int")
+        .alias("bit_bucket")
+    )
+    c = b.groupBy("bit_bucket").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "bit_bucket",
+        F.col("n").alias("n_gaps"),
+        F.expr("CAST(n * 10000 AS BIGINT) div total").alias("share_bp"),
+    )

@@ -1169,3 +1169,50 @@ def txt_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .where(F.col("n_shared_fps") >= WIN_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------- corpus_length_hist
+
+@REG.op(
+    "corpus_length_hist",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, len({_TOKENS_SQL}) AS n_tok FROM documents
+    ), b AS (
+        SELECT source,
+               CASE WHEN n_tok = 0 THEN 0 ELSE length(bin(n_tok)) END AS bucket,
+               n_tok
+        FROM t
+    )
+    SELECT source, CAST(bucket AS INT) AS bit_bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM b GROUP BY 1, 2
+    """,
+)
+def corpus_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram per source in power-of-two buckets — the
+    length profile a training pipeline reads before choosing sequence
+    length and packing strategy (corpus_pack_sequences' sizing input:
+    how much of each source truncates at 2^k?). Bucket = BIT LENGTH of
+    the token count (length of its binary rendering), which is exactly
+    ⌊log2 n⌋+1 computed in INTEGER space — float log2 lands on ulp
+    boundaries at exact powers of two and re-buckets rows differently
+    per engine; bin() cannot.
+
+    One projection + one tiny (source × ~14 buckets) aggregate."""
+    t = load(spark, sf_dir, "documents").select(
+        "source", F.size(_tokens_col()).alias("n_tok")
+    )
+    b = t.select(
+        "source",
+        F.when(F.col("n_tok") == 0, 0)
+        .otherwise(F.length(F.bin("n_tok")))
+        .cast("int")
+        .alias("bit_bucket"),
+        "n_tok",
+    )
+    return b.groupBy("source", "bit_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
