@@ -203,3 +203,40 @@ def join_exog_align(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exog_qty", F.lit(0).cast("decimal(18,2)")).cast("double"), 2
         ).alias("exog_qty"),
     )
+
+
+# ------------------------------------------------- agg_discount_elasticity
+
+@REG.op(
+    "agg_discount_elasticity",
+    oracle="""
+    SELECT l_returnflag AS flag, count(*) AS n,
+           round(regr_slope(l_quantity, l_discount), 4) AS qty_per_discount,
+           round(corr(l_quantity, l_discount), 4) AS correlation,
+           round(avg(l_discount), 4) AS mean_discount,
+           round(avg(l_quantity), 4) AS mean_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount elasticity per return flag: OLS slope of quantity on
+    discount (units moved per point of discount) with the correlation
+    beside it — the does-discounting-work panel, and the engine's ANSI
+    regression-aggregate surface (regr_slope / corr are built-in
+    mergeable aggregates in BOTH engines: partial sums of x, y, xy,
+    x², map-side combinable like any sum — the 100 TB plan is one
+    aggregate exchange on the tiny flag key).
+
+    Parity: both engines reduce the same (x, y) pairs through the
+    same moment formulas; fold-order ulp drift over 60k rows sits ~10
+    orders below the round(4) quantum."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("l_quantity", "l_discount"), 4).alias(
+            "qty_per_discount"
+        ),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("correlation"),
+        F.round(F.avg("l_discount"), 4).alias("mean_discount"),
+        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+    )

@@ -14,6 +14,7 @@ sides; sort orders are plain ASCII lexicographic in both engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from claim_analysis_engine_spark.registry import OpRegistry
@@ -1216,3 +1217,70 @@ def corpus_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------- corpus_vocab_coverage
+
+VOCAB_COVERAGE_PCTS = (50, 90, 99)  # integer percents of token mass
+
+
+@REG.op(
+    "corpus_vocab_coverage",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKENS_SQL} AS toks FROM documents),
+    tok AS (SELECT unnest(toks) AS w FROM t),
+    c AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+    ranked AS (
+        SELECT n,
+               row_number() OVER (ORDER BY n DESC, w) AS rk,
+               sum(n) OVER (ORDER BY n DESC, w) AS cum,
+               sum(n) OVER () AS total,
+               count(*) OVER () AS vocab
+        FROM c
+    )
+    SELECT CAST(max(vocab) AS BIGINT) AS vocab_size,
+           CAST(max(total) AS BIGINT) AS total_tokens,
+           {", ".join(
+               f"CAST(min(CASE WHEN cum * 100 >= total * {p} THEN rk END) AS BIGINT)"
+               f" AS vocab_for_{p}pct"
+               for p in VOCAB_COVERAGE_PCTS
+           )}
+    FROM ranked
+    """,
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the smallest top-k vocabulary (by
+    frequency, word tiebreak) covering 50/90/99% of all token
+    occurrences — THE sizing input for tokenizer vocab selection
+    (corpus_bpe_train decides how many merges to learn from exactly
+    this curve; Zipf's law makes the 99% point far larger than 10× the
+    50% point, which is why subword units exist). Thresholds are
+    integer cross-products over exact counts — no float anywhere.
+
+    Scale: one token-grain aggregate (the txt_corpus_ngrams shuffle),
+    then the ranking window runs over the VOCABULARY (distinct words),
+    orders of magnitude smaller than the token stream; at web-corpus
+    vocab sizes the single-task window swaps for the range-partitioned
+    2-stage rank (sort_global_shards' pattern)."""
+    tok = load(spark, sf_dir, "documents").select(
+        F.explode(_tokens_col()).alias("w")
+    )
+    c = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    w_ord = W.orderBy(F.desc("n"), "w")
+    ranked = c.select(
+        "n",
+        F.row_number().over(w_ord).alias("rk"),
+        F.sum("n").over(w_ord).alias("cum"),
+        F.sum("n").over(W.partitionBy()).alias("total"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("vocab"),
+    )
+    aggs = [
+        F.max("vocab").alias("vocab_size"),
+        F.max("total").alias("total_tokens"),
+    ] + [
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("total") * p, F.col("rk"))
+        ).alias(f"vocab_for_{p}pct")
+        for p in VOCAB_COVERAGE_PCTS
+    ]
+    return ranked.agg(*aggs)
