@@ -2072,3 +2072,51 @@ def agg_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(W.orderBy("m0")).alias("cum_customers"),
     )
+
+
+# ------------------------------------------------------ agg_seasonal_index
+
+@REG.op(
+    "agg_seasonal_index",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderstatus AS status, month(o_orderdate) AS moy, count(*) AS n
+        FROM orders GROUP BY 1, 2
+    ), avgm AS (
+        SELECT status, sum(n) AS total, count(*) AS n_months FROM m GROUP BY 1
+    )
+    SELECT m.status, CAST(m.moy AS INT) AS moy, CAST(m.n AS BIGINT) AS n,
+           CAST(CAST(m.n AS BIGINT) * 10000 * a.n_months // a.total AS BIGINT)
+             AS seasonal_index_bp
+    FROM m JOIN avgm a ON a.status = m.status
+    """,
+)
+def agg_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal index per calendar month: each month-of-year's
+    volume relative to the series' average month, in basis points
+    (10000 = an average month) — the ratio-to-moving-average seasonal
+    profile the reference's rs_stl_z decomposition assumes, surfaced
+    as its own auditable table. n·months/total is computed as ONE
+    integer cross-product before the floor division, so the index is
+    exact (no float average in the denominator).
+
+    One month-grain aggregate plus a broadcast join back."""
+    m = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.month("o_orderdate").alias("moy"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = m.groupBy("status").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_months")
+    )
+    return m.join(F.broadcast(a), "status").select(
+        "status",
+        "moy",
+        "n",
+        F.expr("CAST(n * 10000 * n_months AS BIGINT) div total").alias(
+            "seasonal_index_bp"
+        ),
+    )

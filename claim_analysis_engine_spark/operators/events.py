@@ -1054,3 +1054,157 @@ def evt_gap_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_gaps"),
         F.expr("CAST(n * 10000 AS BIGINT) div total").alias("share_bp"),
     )
+
+
+# --------------------------------------------------------- evt_stickiness
+
+STICKY_WINDOWS = (1, 7, 28)  # day / week-ish / month-ish actives
+
+
+@REG.op(
+    "evt_stickiness",
+    oracle=f"""
+    WITH ed AS (
+        SELECT DISTINCT date_trunc('day', ts)::DATE AS d, user_id FROM events
+    ), days AS (SELECT DISTINCT d FROM ed),
+    w AS (
+        SELECT days.d,
+               count(DISTINCT CASE WHEN ed.d = days.d
+                                   THEN ed.user_id END) AS dau,
+               count(DISTINCT CASE WHEN ed.d > days.d - 7
+                                   THEN ed.user_id END) AS wau,
+               count(DISTINCT ed.user_id) AS mau
+        FROM days JOIN ed
+          ON ed.d BETWEEN days.d - 27 AND days.d
+        GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           CAST(mau AS BIGINT) AS mau,
+           CAST(dau * 10000 // greatest(mau, 1) AS BIGINT) AS dau_mau_bp,
+           CAST(wau * 10000 // greatest(mau, 1) AS BIGINT) AS wau_mau_bp
+    FROM w
+    """,
+)
+def evt_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness panel: DAU, trailing-7 WAU, trailing-28 MAU and the
+    DAU/MAU + WAU/MAU ratios per observed day — the engagement-depth
+    metric every growth team tracks (DAU/MAU near 10000 bp = daily
+    habit; near 350 bp = monthly drop-in). Same inverted-window
+    formulation as evt_power_users_rolling: each (user, day) explodes
+    to the 28 anchor days it supports, ONE shuffle computes all three
+    distinct counts as conditional aggregates over the widest window
+    — not three separate range joins. Ratios in basis points by floor
+    division (all-integer result)."""
+    ed = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    days = ed.select("d").distinct()
+    anchors = ed.select(
+        "user_id",
+        "d",
+        F.explode(
+            F.expr("sequence(d, date_add(d, 27), interval 1 day)")
+        ).alias("anchor"),
+    )
+    w = (
+        anchors.join(
+            F.broadcast(days.select(F.col("d").alias("anchor"))),
+            "anchor",
+            "left_semi",
+        )
+        .groupBy("anchor")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("d") == F.col("anchor"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(
+                    F.col("d") > F.date_sub(F.col("anchor"), 7), F.col("user_id")
+                )
+            ).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+        )
+    )
+    return w.select(
+        F.date_format("anchor", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        F.expr("CAST(dau * 10000 AS BIGINT) div greatest(mau, 1L)").alias(
+            "dau_mau_bp"
+        ),
+        F.expr("CAST(wau * 10000 AS BIGINT) div greatest(mau, 1L)").alias(
+            "wau_mau_bp"
+        ),
+    )
+
+
+# --------------------------------------------------- evt_conversion_lag
+
+@REG.op(
+    "evt_conversion_lag",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events
+    ), v AS (
+        SELECT user_id, min(ts_s) AS fv FROM e
+        WHERE event_type = 'view' GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, min(ts_s) AS fp
+        FROM e JOIN v USING (user_id)
+        WHERE event_type = 'purchase' AND ts_s > fv
+        GROUP BY 1
+    ), lag AS (
+        SELECT p.fp - v.fv AS lag_s FROM p JOIN v USING (user_id)
+    ), b AS (
+        SELECT CASE WHEN lag_s = 0 THEN 0 ELSE length(bin(lag_s)) END AS bucket
+        FROM lag
+    ), c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT CAST(c.bucket AS INT) AS bit_bucket, CAST(c.n AS BIGINT) AS n_users,
+           CAST(c.n * 10000 // t.total AS BIGINT) AS share_bp
+    FROM c CROSS JOIN t
+    """,
+)
+def evt_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: seconds from a user's first view
+    to their first subsequent purchase, in power-of-two buckets — the
+    histogram behind evt_funnel's single conversion number (is the
+    funnel minutes or days? that decides the attribution window and
+    the remarketing cadence). Bit-length bucketing (integer), shares
+    in basis points; two conditional min-aggregates on the user key —
+    the funnel's plan shape, one extra subtraction."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("fv"))
+    )
+    p = (
+        e.join(v, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts_s") > F.col("fv")))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("fp"))
+    )
+    lag = p.join(v, "user_id").select((F.col("fp") - F.col("fv")).alias("lag_s"))
+    b = lag.select(
+        F.when(F.col("lag_s") == 0, 0)
+        .otherwise(F.length(F.bin("lag_s")))
+        .cast("int")
+        .alias("bit_bucket")
+    )
+    c = b.groupBy("bit_bucket").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "bit_bucket",
+        F.col("n").alias("n_users"),
+        F.expr("CAST(n * 10000 AS BIGINT) div total").alias("share_bp"),
+    )
