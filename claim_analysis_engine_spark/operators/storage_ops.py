@@ -829,3 +829,74 @@ def src_logs_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("v"), 4).alias("total_value"),
         F.max("ts_s").alias("max_ts_s"),
     )
+
+
+# -------------------------------------------------- snk_manifest_publish
+
+@REG.op(
+    "snk_manifest_publish",
+    oracle="""
+    SELECT o_orderpriority AS priority, count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM orders GROUP BY 1
+    """,
+)
+def snk_manifest_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic publish via a MANIFEST — the lakehouse commit primitive
+    without a table format: the writer stages parquet files, then
+    atomically publishes a manifest listing exactly the files of this
+    snapshot; readers load ONLY manifest-listed files. A torn write
+    (crashed job leaving partial files), a concurrent writer's
+    stragglers, or an orphaned retry file are all INVISIBLE to
+    readers, because directory listing is no longer the source of
+    truth — the property Delta/Iceberg formalize, demonstrated here
+    with nothing but parquet + one JSON rename. This op plants an
+    ORPHAN parquet file in the directory after publishing; the
+    aggregate still matches the source-table oracle only if the
+    reader honored the manifest (a dir-listing read would double
+    count).
+
+    Scale: the manifest is file NAMES (KBs for thousands of files) —
+    written once by the driver after all tasks commit, the same
+    commit-protocol shape as Spark's v2 FileCommitProtocol; reads
+    pass the explicit file list so planning skips the directory scan
+    entirely."""
+    import json
+    import os
+    import shutil
+
+    out = tempfile.mkdtemp(prefix="cae_spark_manifest_")
+    data_dir = os.path.join(out, "data")
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(data_dir)
+    )
+    files = sorted(
+        f for f in os.listdir(data_dir) if f.endswith(".parquet")
+    )
+    manifest = {"snapshot": 1, "files": files}
+    tmp_manifest = os.path.join(out, "_manifest.json.tmp")
+    with open(tmp_manifest, "w") as fh:
+        json.dump(manifest, fh)
+    # the atomic commit: a rename IS the publish
+    os.rename(tmp_manifest, os.path.join(out, "manifest.json"))
+
+    # plant an orphan AFTER publish — a torn concurrent write. A
+    # directory-listing reader would now double-count; the manifest
+    # reader must not see it.
+    src_file = os.path.join(data_dir, files[0])
+    shutil.copy(src_file, os.path.join(data_dir, "part-orphan-torn.parquet"))
+
+    with open(os.path.join(out, "manifest.json")) as fh:
+        published = json.load(fh)["files"]
+    paths = [os.path.join(data_dir, f) for f in published]
+    back = spark.read.parquet(*paths)
+    return back.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_price"),
+    )
