@@ -535,3 +535,32 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.least("a_e", "b_e"), F.greatest("a_s", "b_s")) + 1
         ).alias("overlap_days"),
     )
+
+
+# ------------------------------------------------- join_asof_tolerance
+
+ASOF_TOLERANCE_S = 3600  # a feature older than this is unusable
+
+
+@REG.op(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT * FROM ({REG.ops["join_asof"].oracle}) t
+    WHERE gap_s <= {ASOF_TOLERANCE_S}
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND: the most recent purchase
+    at-or-before each click counts only if it is at most
+    {ASOF_TOLERANCE_S}s old — otherwise the click has NO match. This
+    is the semantics real feature stores enforce (a point-in-time
+    feature beyond its TTL must read as missing, not as a years-old
+    value silently passing for fresh — the quiet train-serve-skew
+    bug); the plain as-of join is the TTL=∞ special case.
+
+    Because the as-of pick is the LATEST qualifying row, bounding
+    staleness is exactly a post-selection filter on the gap — no
+    second window needed, the one user-keyed union-window plan (see
+    join_asof) is unchanged and Catalyst pushes the filter into its
+    output projection."""
+    return join_asof(spark, sf_dir).where(F.col("gap_s") <= ASOF_TOLERANCE_S)
