@@ -2120,3 +2120,59 @@ def agg_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_index_bp"
         ),
     )
+
+
+# ------------------------------------------------------- agg_backlog_aging
+
+@REG.op(
+    "agg_backlog_aging",
+    oracle="""
+    WITH ref AS (SELECT max(o_orderdate) AS asof FROM orders),
+    open_o AS (
+        SELECT date_diff('day', o_orderdate, ref.asof) AS age_d,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+        FROM orders CROSS JOIN ref
+        WHERE o_orderstatus = 'O'
+    ), b AS (
+        SELECT CASE WHEN age_d = 0 THEN 0 ELSE length(bin(age_d)) END AS bucket,
+               rev
+        FROM open_o
+    )
+    SELECT CAST(bucket AS INT) AS bit_bucket,
+           count(*) AS n_open,
+           CAST(sum(rev) * 100 AS BIGINT) AS open_cents
+    FROM b GROUP BY 1
+    """,
+)
+def agg_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: orders still in status 'O' bucketed by
+    age in power-of-two days, with the money stuck in each bucket —
+    the operations dashboard that separates a healthy rolling backlog
+    (mass in young buckets) from rot (old buckets holding value). The
+    as-of is the data's own newest date (deterministic, replayable);
+    ages bucket by integer BIT LENGTH (the corpus_length_hist trick);
+    money stays integer cents.
+
+    One filtered scan + a ~14-cell aggregate; the status filter
+    reaches the parquet scan as a pushed predicate."""
+    o = load(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("asof"))
+    open_o = (
+        o.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.datediff(F.col("asof"), F.col("o_orderdate")).alias("age_d"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+        )
+    )
+    b = open_o.select(
+        F.when(F.col("age_d") == 0, 0)
+        .otherwise(F.length(F.bin("age_d")))
+        .cast("int")
+        .alias("bit_bucket"),
+        "rev",
+    )
+    return b.groupBy("bit_bucket").agg(
+        F.count(F.lit(1)).alias("n_open"),
+        (F.sum("rev") * 100).cast("long").alias("open_cents"),
+    )

@@ -1208,3 +1208,104 @@ def evt_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_users"),
         F.expr("CAST(n * 10000 AS BIGINT) div total").alias("share_bp"),
     )
+
+
+# ------------------------------------------------- evt_peak_concurrency
+
+@REG.op(
+    "evt_peak_concurrency",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts_s, event_id,
+               CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                                ORDER BY ts_s, event_id)
+                         > {SESSION_GAP_S}
+                    OR lag(ts_s) OVER (PARTITION BY user_id
+                                       ORDER BY ts_s, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM o
+    ), sess AS (
+        SELECT user_id, session_id, min(ts_s) AS s0, max(ts_s) AS s1
+        FROM (SELECT user_id, ts_s, event_id,
+                     CAST(sum(is_start) OVER (PARTITION BY user_id
+                                              ORDER BY ts_s, event_id)
+                          AS BIGINT) AS session_id
+              FROM flagged) g
+        GROUP BY user_id, session_id
+    ), bounds AS (
+        SELECT s0 AS t, 1 AS delta, user_id, session_id FROM sess
+        UNION ALL
+        SELECT s1 + 1, -1, user_id, session_id FROM sess
+    ), swept AS (
+        SELECT t,
+               CAST(sum(delta) OVER (ORDER BY t, delta, user_id, session_id)
+                    AS BIGINT) AS concurrency
+        FROM bounds
+    )
+    SELECT strftime(to_timestamp(t), '%Y-%m-%d') AS day,
+           CAST(max(concurrency) AS BIGINT) AS peak_concurrent
+    FROM swept GROUP BY 1
+    """,
+)
+def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — capacity sizing's headline
+    number, computed by the classic SWEEP LINE: each session (gap-
+    based, the evt_sessionize construction) emits +1 at its start and
+    −1 one second after its end; the running sum over the globally
+    time-ordered boundary stream IS the concurrency curve, and the
+    daily max reads it at the day's boundaries (concurrency only
+    changes at boundaries, and the cumulative sum carries sessions
+    spanning midnight into the next day automatically). Ends sort
+    before starts at the same second (delta ascending), so
+    back-to-back sessions don't double-count.
+
+    Scale: the boundary stream is 2×|sessions| rows — tiny next to
+    the event table; the one global-order window serializes it
+    through a single task, fine at millions of sessions; beyond that
+    the sweep range-partitions by time with per-partition carry-in
+    (prefix sums of each partition's deltas — sort_global_shards'
+    two-stage pattern)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        "event_id",
+    )
+    wu = W.partitionBy("user_id").orderBy("ts_s", "event_id")
+    flagged = e.withColumn(
+        "is_start",
+        F.when(
+            (F.col("ts_s") - F.lag("ts_s").over(wu) > SESSION_GAP_S)
+            | F.lag("ts_s").over(wu).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = (
+        flagged.withColumn("session_id", F.sum("is_start").over(wu))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_s").alias("s0"), F.max("ts_s").alias("s1"))
+    )
+    bounds = sess.select(
+        F.col("s0").alias("t"), F.lit(1).alias("delta"), "user_id", "session_id"
+    ).unionByName(
+        sess.select(
+            (F.col("s1") + 1).alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_id",
+        )
+    )
+    swept = bounds.select(
+        "t",
+        F.sum("delta")
+        .over(W.orderBy("t", "delta", "user_id", "session_id"))
+        .alias("concurrency"),
+    )
+    return (
+        swept.groupBy(
+            F.date_format(F.timestamp_seconds("t"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.max("concurrency").alias("peak_concurrent"))
+    )
