@@ -240,3 +240,55 @@ def agg_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("l_discount"), 4).alias("mean_discount"),
         F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
     )
+
+
+# ----------------------------------------------------------- agg_cycle_time
+
+@REG.op(
+    "agg_cycle_time",
+    oracle="""
+    WITH c AS (
+        SELECT o.o_orderpriority AS priority,
+               date_diff('day', o.o_orderdate, max(l.l_shipdate)) AS cycle_d
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT priority, count(*) AS n_orders,
+           round(avg(cycle_d), 4) AS mean_days,
+           round(quantile_cont(cycle_d, 0.5), 4) AS p50_days,
+           round(quantile_cont(cycle_d, 0.95), 4) AS p95_days,
+           CAST(max(cycle_d) AS BIGINT) AS max_days
+    FROM c GROUP BY 1
+    """,
+)
+def agg_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-last-shipment cycle time per priority: mean, exact
+    median, exact p95, max — the fulfillment SLA panel (did URGENT
+    actually ship faster?), and the claims-domain sibling of the
+    reference's reception-lag stats (agg_lag_stats) computed on the
+    order lifecycle instead of the intake lag.
+
+    One orderkey-grain aggregate (max shipdate per order — map-side
+    combinable), then the exact percentiles over the per-order frame
+    group on the 5-value priority key; integer day counts interpolate
+    identically in both engines, round(4) on the interpolated values."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    c = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff("last_ship", "o_orderdate").alias("cycle_d"),
+        )
+    )
+    return c.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("cycle_d"), 4).alias("mean_days"),
+        F.round(F.percentile("cycle_d", F.lit(0.5)), 4).alias("p50_days"),
+        F.round(F.percentile("cycle_d", F.lit(0.95)), 4).alias("p95_days"),
+        F.max("cycle_d").cast("long").alias("max_days"),
+    )

@@ -244,10 +244,16 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(emb, cent)
 
 
-def _ivf_search(emb: DataFrame, cent: DataFrame) -> DataFrame:
+def _ivf_search(
+    emb: DataFrame, cent: DataFrame, n_probe: int = None
+) -> DataFrame:
     """The IVF probe/search given ANY (cell_id, ecent) centroid frame —
-    shared by sim_ivf (first-8 stand-in, oracle-replicable) and
-    sim_ivf_search_trained (Lloyd-trained centroids)."""
+    shared by sim_ivf (first-8 stand-in, oracle-replicable),
+    sim_ivf_search_trained (Lloyd-trained centroids), and
+    sim_nprobe_sweep (which varies n_probe; default is the module's
+    N_PROBE)."""
+    if n_probe is None:
+        n_probe = N_PROBE
     assign0 = (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "embedding", "cell_id", _cos("embedding", "ecent").alias("cos"))
@@ -262,7 +268,7 @@ def _ivf_search(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
     assigned = assign0.where(F.col("rk") == 1).select("vec_id", "cell_id")
     probes = assign0.where(
-        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("rk") <= N_PROBE)
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("rk") <= n_probe)
     ).select(F.col("vec_id").alias("query_id"), "cell_id")
     cand = probes.join(
         assigned.withColumnRenamed("vec_id", "neighbor_id"), "cell_id"
@@ -1204,3 +1210,97 @@ def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l2"), 4).alias("max_norm"),
         F.count(F.when(F.col("l2") < NORM_ZERO_EPS, 1)).alias("n_zero"),
     )
+
+
+# -------------------------------------------------------- sim_nprobe_sweep
+
+NPROBE_SWEEP = (1, 2, 4)
+
+
+@REG.op("sim_nprobe_sweep")  # rows-only: the trained quantizer is
+# learned state; the recall/cost MONOTONICITY contract is asserted in
+# tests/test_similarity_recall.py
+def sim_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@k and candidate-scan cost of the
+    TRAINED index at nprobe ∈ {NPROBE_SWEEP} — the table a deployment
+    reads to pick its operating point (recall rises with nprobe,
+    candidates scanned rise with it too; the knee is the setting).
+    Truth is the exact brute-force top-k over the same query sample;
+    per-nprobe branches reuse ONE trained centroid set (memoized) and
+    ONE exact-truth frame, so the sweep costs {len(NPROBE_SWEEP)}
+    probe/search passes, not {len(NPROBE_SWEEP)} trainings.
+
+    At 100 TB this is exactly how nprobe is chosen there too: a
+    sampled query set, exact truth on the sample only, the sweep as a
+    batch job after every index rebuild (sim_recall_report's health
+    check generalized from a point to the curve)."""
+    cents = train_ivf_centroids(spark, sf_dir)
+    cent = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        "cell_id int, ecent array<double>",
+    )
+    emb = _emb(spark, sf_dir)
+    truth = (
+        sim_topk_brute(spark, sf_dir)
+        .where(F.col("rank") <= ANN_K)
+        .select(F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn"))
+    )
+    # one shared assignment ranking for the COST side: per (query,
+    # rk<=nprobe) probed cell, the exact number of candidate vectors
+    # scanned is the cell's member count minus the query itself when it
+    # lives in that cell — the pre-top-k quantity _ivf_search pays for,
+    # NOT the post-top-k result rows (those are capped at k and say
+    # nothing about cost)
+    assign0 = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cell_id", _cos("embedding", "ecent").alias("cos"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(
+                    F.round("cos", 6).desc(), F.col("cell_id")
+                )
+            ),
+        )
+    )
+    cell_sizes = (
+        assign0.where(F.col("rk") == 1)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    branches = []
+    for npb in NPROBE_SWEEP:
+        ivf = _ivf_search(emb, cent, n_probe=npb).select(
+            F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+        )
+        joined = truth.join(
+            ivf, (F.col("aq") == F.col("tq")) & (F.col("an") == F.col("tn")), "left"
+        )
+        per_q = joined.groupBy("tq").agg(
+            (F.count("an") / F.lit(float(ANN_K))).alias("r")
+        )
+        stats = per_q.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg("r"), 4).alias("mean_recall_at_k"),
+        )
+        probes = assign0.where(
+            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("rk") <= npb)
+        ).select("vec_id", "cell_id", (F.col("rk") == 1).cast("long").alias("own"))
+        cost = (
+            probes.join(F.broadcast(cell_sizes), "cell_id")
+            .agg(
+                (F.sum("n_members") - F.sum("own")).alias("n_candidates")
+            )
+        )
+        branches.append(
+            stats.crossJoin(cost).select(
+                F.lit(npb).alias("nprobe"),
+                "n_queries",
+                "mean_recall_at_k",
+                "n_candidates",
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

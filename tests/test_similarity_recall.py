@@ -217,3 +217,22 @@ def test_mips_norm_augmentation_equivalence_and_divergence(spark):
         if any(r["rank"] != r["cos_rank"] for r in rows):
             diverged += 1
     assert diverged >= 1, "MIPS ordering never diverged from cosine — vacuous"
+
+
+def test_nprobe_sweep_is_monotone_in_recall_and_cost(spark):
+    """The sweep's whole claim: more probed cells can only add
+    candidates, so recall and candidate count are both non-decreasing
+    in nprobe, and the widest setting beats the narrowest strictly."""
+    from claim_analysis_engine_spark.operators.similarity import sim_nprobe_sweep
+    from tests.conftest import SF_SMALL
+
+    rows = sorted(
+        (r["nprobe"], r["mean_recall_at_k"], r["n_candidates"])
+        for r in sim_nprobe_sweep(spark, SF_SMALL).collect()
+    )
+    recalls = [r[1] for r in rows]
+    costs = [r[2] for r in rows]
+    assert recalls == sorted(recalls)
+    assert costs == sorted(costs)
+    assert recalls[-1] > recalls[0]
+    assert costs[-1] > costs[0]
