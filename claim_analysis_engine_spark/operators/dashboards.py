@@ -872,3 +872,105 @@ def ep9_growth_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------- ep10_ops_e2e
+
+SLA_DAYS_SQL = """CASE o_orderpriority
+        WHEN '1-URGENT' THEN 540
+        WHEN '2-HIGH' THEN 640
+        WHEN '3-MEDIUM' THEN 730
+        WHEN '4-NOT SPECIFIED' THEN 800
+        ELSE 900 END"""
+
+
+@REG.op(
+    "ep10_ops_e2e",
+    oracle=f"""
+    WITH cyc AS (
+        SELECT o.o_orderkey, o.o_orderpriority,
+               date_diff('day', o.o_orderdate, max(l.l_shipdate)) AS cycle_d
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    ), sla AS (
+        SELECT o_orderpriority AS priority, count(*) AS n_orders,
+               round(quantile_cont(cycle_d, 0.5), 4) AS p50_days,
+               max({SLA_DAYS_SQL}) AS sla_days,
+               count(*) FILTER (cycle_d > {SLA_DAYS_SQL}) AS n_breach
+        FROM cyc GROUP BY 1
+    ), backlog AS (
+        SELECT o_orderpriority AS priority,
+               count(*) AS n_open,
+               CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) * 100
+                    AS BIGINT) AS open_cents
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+    )
+    SELECT s.priority, CAST(s.n_orders AS BIGINT) AS n_orders,
+           s.p50_days, CAST(s.sla_days AS BIGINT) AS sla_days,
+           CAST(s.n_breach AS BIGINT) AS n_breach,
+           CAST(s.n_breach * 10000 // s.n_orders AS BIGINT) AS breach_bp,
+           CAST(coalesce(b.n_open, 0) AS BIGINT) AS n_open,
+           coalesce(b.open_cents, 0) AS open_cents
+    FROM sla s LEFT JOIN backlog b ON b.priority = s.priority
+    """,
+)
+def ep10_ops_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-operations capstone: per priority, the cycle-time
+    median, tiered SLA threshold, breach count and rate, and the open
+    backlog (count + value in cents) — composing agg_cycle_time,
+    agg_backlog_aging's filter, and an SLA rulebook into the single
+    panel an ops review opens with (URGENT carries the tightest SLA,
+    so equal cycle times show as unequal breach rates — the point of
+    tiering). Breach rates in basis points by integer floor division;
+    money in cents; the only float is the interpolated median,
+    round(4).
+
+    Plan: one orderkey-grain aggregate for cycles (map-side max), one
+    exact-percentile + conditional-count aggregate on the 5-value
+    priority key, one filtered scan for the backlog, one broadcast
+    join — the fact table is read twice (cycle grain vs open filter),
+    never shuffled twice on the same key."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sla_col = F.expr(SLA_DAYS_SQL)
+    cyc = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff("last_ship", "o_orderdate").alias("cycle_d"),
+            sla_col.alias("sla_days"),
+        )
+    )
+    sla = cyc.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.percentile("cycle_d", F.lit(0.5)), 4).alias("p50_days"),
+        F.max("sla_days").cast("long").alias("sla_days"),
+        F.count(F.when(F.col("cycle_d") > F.col("sla_days"), 1)).alias("n_breach"),
+    )
+    backlog = (
+        o.where(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_open"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("open_cents"),
+        )
+    )
+    return (
+        sla.join(F.broadcast(backlog), "priority", "left")
+        .select(
+            "priority",
+            "n_orders",
+            "p50_days",
+            "sla_days",
+            "n_breach",
+            F.expr("CAST(n_breach * 10000 AS BIGINT) div n_orders").alias(
+                "breach_bp"
+            ),
+            F.coalesce("n_open", F.lit(0)).alias("n_open"),
+            F.coalesce("open_cents", F.lit(0)).alias("open_cents"),
+        )
+    )
