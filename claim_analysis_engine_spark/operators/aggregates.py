@@ -2176,3 +2176,107 @@ def agg_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_open"),
         (F.sum("rev") * 100).cast("long").alias("open_cents"),
     )
+
+
+# ------------------------------------------------------ agg_rolling_slope
+
+SLOPE_WIN = 6          # rolling OLS window, months
+SLOPE_X0 = 1990 * 12   # month-serial origin keeps the moment sums small
+
+
+@REG.op(
+    "agg_rolling_slope",
+    oracle=f"""
+    WITH m AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                    - {SLOPE_X0} AS BIGINT) AS x,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) // 100 AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), r AS (
+        SELECT segment, x,
+               count(*)   OVER w AS n,
+               sum(x)     OVER w AS sx,
+               sum(y)     OVER w AS sy,
+               sum(x * y) OVER w AS sxy,
+               sum(x * x) OVER w AS sx2
+        FROM m
+        WINDOW w AS (PARTITION BY segment ORDER BY x
+                     ROWS BETWEEN {SLOPE_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT segment, x AS month_serial,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sx2 - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n * sxy - sx * sy > 0 THEN 'rising'
+                WHEN n * sxy - sx * sy < 0 THEN 'falling'
+                ELSE 'flat' END AS trend
+    FROM r WHERE n = {SLOPE_WIN}
+    """,
+)
+def agg_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {SLOPE_WIN}-month OLS trend slope of revenue per market
+    segment — the "is this segment growing?" panel, computed from the
+    five MERGEABLE moment sums (n, Σx, Σy, Σxy, Σx²) over one window
+    frame: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), emitted as the exact
+    integer numerator/denominator pair instead of the float quotient,
+    plus the sign classification. Publishing the RATIONAL number is
+    what makes an iterative float formula hash-certifiable: every
+    moment sum is an integer (whole-dollar y, origin-shifted month
+    serial x), exact under any fold order in both engines, and no
+    division ever happens.
+
+    x is the actual month serial, not a row index, so a missing month
+    widens the regression spacing instead of silently compressing the
+    time axis (same sparsity honesty as agg_backtest_snaive's join).
+
+    Scale: one fact shuffle down to the (segment, month) grain, then
+    windows over a few-hundred-row frame; the moment-sum shape is the
+    same one a streaming/partial aggregation would keep, so the op
+    ports to an incremental refresh unchanged."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - SLOPE_X0)
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+                " AS BIGINT) div 100"
+            ).alias("y")
+        )
+    )
+    w = (
+        W.partitionBy("segment")
+        .orderBy("x")
+        .rowsBetween(-(SLOPE_WIN - 1), W.currentRow)
+    )
+    r = m.select(
+        "segment",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sx2"),
+    ).where(F.col("n") == SLOPE_WIN)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    return r.select(
+        "segment",
+        F.col("x").alias("month_serial"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(num > 0, "rising")
+        .when(num < 0, "falling")
+        .otherwise("flat")
+        .alias("trend"),
+    )

@@ -1309,3 +1309,162 @@ def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.max("concurrency").alias("peak_concurrent"))
     )
+
+
+# ---------------------------------------------------------- evt_path_topk
+
+PATH_LEN = 3   # journey n-gram length
+PATH_TOPK = 20
+
+
+@REG.op(
+    "evt_path_topk",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
+        FROM events
+    ), seq AS (
+        SELECT event_type AS t0,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ), paths AS (
+        SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n
+        FROM seq WHERE t2 IS NOT NULL GROUP BY 1
+    ), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM paths)
+    SELECT path, CAST(n AS BIGINT) AS n,
+           CAST(n * 10000 // total AS BIGINT) AS share_bp
+    FROM paths, t
+    ORDER BY n DESC, path LIMIT {PATH_TOPK}
+    """,
+)
+def evt_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PATH_TOPK} {PATH_LEN}-step user journeys — the path-mining
+    panel behind funnel design ("what do users actually do?"): each
+    user's event stream, ordered by (epoch second, event_id), yields
+    overlapping {PATH_LEN}-grams of event types via lead(); counting
+    the grams globally ranks the most-travelled paths, with share in
+    integer basis points of ALL paths (not just the survivors).
+    Deterministic top-k: ties break on the path string, and paths are
+    unique group keys, so both engines elect the same {PATH_TOPK}
+    rows.
+
+    Scale: one user_id shuffle for the lead window (no self-joins —
+    the naive 3-way event join is quadratic in per-user activity),
+    one aggregate to the ≤ |types|^{PATH_LEN} path grain, and the
+    top-k is a TakeOrderedAndProject (per-partition heaps, never a
+    global sort); the grand total joins back as a broadcast scalar."""
+    o = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("ts_s", "event_id")
+    seq = o.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    paths = (
+        seq.where(F.col("t2").isNotNull())
+        .groupBy(F.concat_ws(">", "t0", "t1", "t2").alias("path"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = paths.agg(F.sum("n").alias("total"))
+    return (
+        paths.crossJoin(F.broadcast(total))
+        .select(
+            "path",
+            "n",
+            F.expr("CAST(n * 10000 AS BIGINT) div total").alias("share_bp"),
+        )
+        .orderBy(F.desc("n"), "path")
+        .limit(PATH_TOPK)
+    )
+
+
+# ------------------------------------------------------------ evt_ab_lift
+
+AB_SALT = "exp42:"  # experiment namespace — a new salt is a fresh split
+
+
+@REG.op(
+    "evt_ab_lift",
+    oracle=f"""
+    WITH assign AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN substr(md5('{AB_SALT}' || CAST(user_id AS VARCHAR)),
+                                1, 1) < '8'
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM events
+    ), conv AS (
+        SELECT user_id,
+               count(*) AS n_purchases,
+               round(sum(value), 2) AS revenue
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT a.arm,
+           count(*) AS n_users,
+           CAST(count(c.user_id) AS BIGINT) AS n_converters,
+           CAST(count(c.user_id) * 10000 // count(*) AS BIGINT) AS conv_bp,
+           CAST(coalesce(sum(c.n_purchases), 0) AS BIGINT) AS n_purchases,
+           round(coalesce(sum(c.revenue), 0), 2) AS revenue
+    FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+    GROUP BY 1
+    """,
+)
+def evt_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout over a HASH-ASSIGNED split: the arm is a
+    salted-md5 digit of user_id (the standard deterministic bucketing
+    — no assignment table to store, no RNG state to replicate, and a
+    new salt is an independent re-randomization), and the panel reads
+    per-arm exposure, converter count, conversion rate in integer
+    basis points, purchase volume, and revenue. Per-user revenue is
+    rounded BEFORE the arm rollup so both engines fold identical
+    2-decimal values in any order.
+
+    Scale: assignment is an expression on the fact stream — no join
+    against an assignment store; one distinct per grain and a
+    broadcast-sized 2-row result. The same salted-digit split is how
+    a 100 TB events table runs hundreds of concurrent experiments
+    without any shared state but the salt registry."""
+    e = load(spark, sf_dir, "events")
+    assign = e.select(
+        "user_id",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))),
+                1,
+                1,
+            )
+            < "8",
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+    ).distinct()
+    conv = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+    return (
+        assign.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("n_purchases").alias("n_converters"),
+            F.expr(
+                "CAST(count(n_purchases) * 10000 AS BIGINT) div count(*)"
+            ).alias("conv_bp"),
+            F.coalesce(F.sum("n_purchases"), F.lit(0)).alias("n_purchases"),
+            F.round(F.coalesce(F.sum("revenue"), F.lit(0.0)), 2).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -292,3 +292,94 @@ def agg_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("cycle_d", F.lit(0.95)), 4).alias("p95_days"),
         F.max("cycle_d").cast("long").alias("max_days"),
     )
+
+
+# ---------------------------------------------------- agg_backtest_snaive
+
+@REG.op(
+    "agg_backtest_snaive",
+    oracle="""
+    WITH m AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+                 AS serial,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), bt AS (
+        SELECT cur.segment,
+               abs(cur.cents - prev.cents) * 10000 // cur.cents AS ape_bp,
+               CASE WHEN prev.cents > cur.cents THEN 1 ELSE 0 END AS over
+        FROM m cur JOIN m prev
+          ON prev.segment = cur.segment AND prev.serial = cur.serial - 12
+        WHERE cur.cents > 0
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_backtests,
+           CAST(sum(ape_bp) // count(*) AS BIGINT) AS mape_bp,
+           CAST(sum(over) AS BIGINT) AS n_over_forecast
+    FROM bt GROUP BY 1
+    """,
+)
+def agg_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin BACKTEST of the seasonal-naive forecaster
+    (ŷ(m) = y(m−12)) over monthly revenue per market segment — the
+    accuracy floor every model in the ml_* family must beat before it
+    earns compute (the reference tunes SARIMAX/GBDT/LSTM but ships no
+    baseline to beat; this op is that missing yardstick, and unlike
+    the learned models it is exactly SQL-expressible, so it gets a
+    hash gate, not a rows-only check). Per segment: backtest count,
+    mean absolute percentage error in integer basis points, and how
+    many months the naive forecast OVERSHOT (bias direction). All
+    arithmetic is integer cents and floor divisions — no float
+    boundary can re-grade a month in one engine only.
+
+    The 12-month alignment is a self-JOIN on month serial, not
+    lag(12) over a window: a gap month would silently misalign lag's
+    row offset, while serial−12 is calendar-exact under sparsity.
+
+    Scale: the fact table aggregates straight to the (segment, month)
+    grain — the self-join and the rollup run on frames of a few
+    hundred rows regardless of fact size; one fact shuffle total."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("serial"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    cur, prev = m.alias("cur"), m.alias("prev")
+    bt = (
+        cur.join(
+            prev,
+            (F.col("prev.segment") == F.col("cur.segment"))
+            & (F.col("prev.serial") == F.col("cur.serial") - 12),
+        )
+        .where(F.col("cur.cents") > 0)
+        .select(
+            F.col("cur.segment").alias("segment"),
+            F.expr(
+                "abs(cur.cents - prev.cents) * 10000 div cur.cents"
+            ).alias("ape_bp"),
+            F.when(F.col("prev.cents") > F.col("cur.cents"), 1)
+            .otherwise(0)
+            .alias("over"),
+        )
+    )
+    return bt.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_backtests"),
+        F.expr("CAST(sum(ape_bp) AS BIGINT) div count(*)").alias("mape_bp"),
+        F.sum("over").alias("n_over_forecast"),
+    )

@@ -900,3 +900,100 @@ def snk_manifest_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
         ).alias("total_price"),
     )
+
+
+# ---------------------------------------------- snk_manifest_timetravel
+
+TT_SPLIT_DATE = "1998-01-01"  # batch 1 = orders before; batch 2 = the rest
+
+
+@REG.op(
+    "snk_manifest_timetravel",
+    oracle=f"""
+    SELECT 1 AS version,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM orders WHERE o_orderdate < DATE '{TT_SPLIT_DATE}'
+    UNION ALL
+    SELECT 2 AS version,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM orders
+    """,
+)
+def snk_manifest_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the manifest commit log — the second lakehouse
+    primitive after snk_manifest_publish's atomic single commit: an
+    append-only table accrues VERSIONED manifests (v2 = v1's files +
+    the new batch's files; data files are immutable and never
+    rewritten), and a reader picks any committed version and sees
+    exactly that snapshot. Version 1 is read AFTER version 2 was
+    committed and after a torn concurrent write left an orphan file in
+    the v2 data directory — the v1 row only matches the oracle's
+    "orders before {TT_SPLIT_DATE}" if old manifests stay immutable,
+    and the v2 row only matches "all orders" if the reader ignores
+    non-manifest files. This is Delta/Iceberg `VERSION AS OF` with
+    nothing but parquet + JSON renames.
+
+    Scale: each manifest is the file-name list of its snapshot (KBs
+    per thousand files), written once by the driver after all tasks
+    commit; appends reuse every prior data file by reference, so
+    commit cost is O(new files), not O(table). Reads plan from the
+    explicit list — no directory scan, no eventual-consistency
+    listing hazards."""
+    import json
+    import os
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="cae_spark_timetravel_")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    split = F.lit(TT_SPLIT_DATE).cast("date")
+
+    def commit(version: int, batch_df, prior_files: list[str]) -> list[str]:
+        batch_dir = os.path.join(root, f"batch{version}")
+        batch_df.write.mode("overwrite").parquet(batch_dir)
+        new = sorted(
+            os.path.join(f"batch{version}", f)
+            for f in os.listdir(batch_dir)
+            if f.endswith(".parquet")
+        )
+        files = prior_files + new
+        tmp = os.path.join(root, f"_manifest-{version}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": files}, fh)
+        os.rename(tmp, os.path.join(root, f"manifest-{version}.json"))
+        return files
+
+    v1_files = commit(1, orders.where(F.col("o_orderdate") < split), [])
+    commit(2, orders.where(F.col("o_orderdate") >= split), v1_files)
+
+    # torn concurrent write after both commits: invisible to readers
+    first_v2 = next(
+        f for f in sorted(os.listdir(os.path.join(root, "batch2")))
+        if f.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(root, "batch2", first_v2),
+        os.path.join(root, "batch2", "part-orphan-torn.parquet"),
+    )
+
+    def read_as_of(version: int):
+        with open(os.path.join(root, f"manifest-{version}.json")) as fh:
+            files = json.load(fh)["files"]
+        snap = spark.read.parquet(*[os.path.join(root, f) for f in files])
+        return snap.agg(
+            F.lit(version).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_price"),
+        )
+
+    return read_as_of(1).unionByName(read_as_of(2))

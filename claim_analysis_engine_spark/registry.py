@@ -133,10 +133,15 @@ def registry() -> dict[str, Op]:
 # the driver's 50-slot window for every entry to get a row.
 # Ops added AFTER this list filled (agg_percentiles, agg_gini,
 # cust_rfm, agg_basket_pairs, join_bloom_prefilter, agg_heavy_hitters,
-# src_jsonl_roundtrip, join_interval_overlap, agg_ohlc_daily, ...)
+# src_jsonl_roundtrip, join_interval_overlap, agg_ohlc_daily, ...,
+# through the batch-C six: prune_file_stats, snk_manifest_timetravel,
+# evt_path_topk, evt_ab_lift, agg_backtest_snaive, agg_rolling_slope)
 # fall outside the window by construction — they are covered by the
 # local DuckDB parity suite this round and are the first candidates
-# for the ROUND9 front rotation.
+# for the ROUND9 front rotation. There are now ~55 such late ops, more
+# than one 50-slot window holds: ROUND9_FRONT should take every
+# oracle-bearing late op first (~52); the rows-only stragglers
+# (sim_nprobe_sweep) ride the next rotation.
 ROUND8_FRONT: tuple[str, ...] = (
     # re-certification of the r7 silent-data-loss FAIL
     "ep1_ingest_e2e",

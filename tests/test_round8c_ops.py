@@ -1,0 +1,203 @@
+"""Behavior tests for the late-round-8 batch C operators: planted
+known-answer inputs for the analytic ops (the oracle proves
+cross-engine agreement; these prove the MATH), and structural
+assertions for the storage-layout ops (pruning actually pruned,
+time travel actually isolated versions)."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import tempfile
+
+from tests.conftest import SF_SMALL
+
+
+def _stage(df, tmp: str, name: str) -> str:
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/{name}.parquet")
+    return tmp
+
+
+# ------------------------------------------------------ prune_file_stats
+
+def test_file_stats_skipping_actually_prunes(spark):
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        prune_file_stats,
+    )
+
+    row = prune_file_stats(spark, SF_SMALL).collect()[0]
+    # the layout clusters ~83 ship months into one file each; the
+    # 3-month predicate must read a small fraction, never everything
+    assert row["n_files_total"] > 20
+    assert 1 <= row["n_files_read"] <= 6
+    assert row["n_files_read"] < row["n_files_total"]
+    assert row["n_rows"] > 0
+
+
+# ------------------------------------------------ snk_manifest_timetravel
+
+def test_timetravel_versions_are_isolated(spark):
+    from claim_analysis_engine_spark.operators.storage_ops import (
+        snk_manifest_timetravel,
+    )
+    from claim_analysis_engine_spark.tables import load
+
+    out = {
+        r["version"]: r for r in snk_manifest_timetravel(spark, SF_SMALL).collect()
+    }
+    n_all = load(spark, SF_SMALL, "orders").count()
+    # v1 is a strict prefix; v2 sees every order and NOT the planted
+    # torn orphan (which would double-count part of batch 2)
+    assert 0 < out[1]["n_orders"] < n_all
+    assert out[2]["n_orders"] == n_all
+
+
+# ---------------------------------------------------------- evt_path_topk
+
+def test_path_topk_counts_overlapping_trigrams(spark):
+    from claim_analysis_engine_spark.operators.events import evt_path_topk
+
+    tmp = tempfile.mkdtemp(prefix="cae_planted_path_")
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: view click purchase view click purchase  -> trigrams:
+    # v>c>p, c>p>v, p>v>c, v>c>p  (v>c>p twice)
+    for i, t in enumerate(["view", "click", "purchase"] * 2):
+        eid += 1
+        rows.append((eid, base + datetime.timedelta(seconds=10 * i), 1, t, 1.0, "{}"))
+    # user 2: error error error -> e>e>e once
+    for i in range(3):
+        eid += 1
+        rows.append((eid, base + datetime.timedelta(seconds=10 * i), 2, "error", 1.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _stage(events, tmp, "events")
+    out = {r["path"]: r for r in evt_path_topk(spark, tmp).collect()}
+    assert out["view>click>purchase"]["n"] == 2
+    assert out["error>error>error"]["n"] == 1
+    # 5 trigrams total -> shares 4000 / 2000 bp
+    assert out["view>click>purchase"]["share_bp"] == 4000
+    assert out["error>error>error"]["share_bp"] == 2000
+
+
+# ------------------------------------------------------------ evt_ab_lift
+
+def test_ab_lift_assignment_matches_md5_and_rates(spark):
+    from claim_analysis_engine_spark.operators.events import AB_SALT, evt_ab_lift
+
+    tmp = tempfile.mkdtemp(prefix="cae_planted_ab_")
+    base = datetime.datetime(2024, 1, 1)
+
+    def arm(uid: int) -> str:
+        h = hashlib.md5(f"{AB_SALT}{uid}".encode()).hexdigest()
+        return "A" if h[0] < "8" else "B"
+
+    rows = []
+    eid = 0
+    converters = {"A": 0, "B": 0}
+    users = {"A": 0, "B": 0}
+    for uid in range(1, 41):
+        a = arm(uid)
+        users[a] += 1
+        eid += 1
+        rows.append((eid, base, uid, "view", 1.0, "{}"))
+        if uid % 2 == 0:  # every second user purchases once, value 10.00
+            converters[a] += 1
+            eid += 1
+            rows.append((eid, base, uid, "purchase", 10.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _stage(events, tmp, "events")
+    out = {r["arm"]: r for r in evt_ab_lift(spark, tmp).collect()}
+    for a in ("A", "B"):
+        assert out[a]["n_users"] == users[a]
+        assert out[a]["n_converters"] == converters[a]
+        assert out[a]["conv_bp"] == converters[a] * 10000 // users[a]
+        assert out[a]["revenue"] == 10.0 * converters[a]
+
+
+# ----------------------------------------------------- agg_backtest_snaive
+
+def test_backtest_snaive_exact_ape_and_bias(spark):
+    from claim_analysis_engine_spark.operators.sales import agg_backtest_snaive
+
+    tmp = tempfile.mkdtemp(prefix="cae_planted_bt_")
+    customer = spark.createDataFrame(
+        [(1, "c1", 1, 0.0, "GROW"), (2, "c2", 1, 0.0, "SHRINK")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    orders = []
+    ok = 0
+    for m in range(1, 13):
+        for year, grow_rev, shrink_rev in ((2023, 100.0, 200.0), (2024, 110.0, 150.0)):
+            ok += 1
+            orders.append((ok, 1, "F", grow_rev, datetime.date(year, m, 15), "1-URGENT"))
+            ok += 1
+            orders.append((ok, 2, "F", shrink_rev, datetime.date(year, m, 15), "1-URGENT"))
+    odf = spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    _stage(customer, tmp, "customer")
+    _stage(odf, tmp, "orders")
+    out = {r["segment"]: r for r in agg_backtest_snaive(spark, tmp).collect()}
+    # GROW: actual 110 vs naive 100 -> ape = 1000*10000//11000 = 909, never over
+    assert out["GROW"]["n_backtests"] == 12
+    assert out["GROW"]["mape_bp"] == 909
+    assert out["GROW"]["n_over_forecast"] == 0
+    # SHRINK: actual 150 vs naive 200 -> ape = 5000*10000//15000 = 3333, always over
+    assert out["SHRINK"]["mape_bp"] == 3333
+    assert out["SHRINK"]["n_over_forecast"] == 12
+
+
+# ------------------------------------------------------- agg_rolling_slope
+
+def test_rolling_slope_exact_on_linear_revenue(spark):
+    from claim_analysis_engine_spark.operators.aggregates import (
+        SLOPE_WIN,
+        agg_rolling_slope,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cae_planted_slope_")
+    customer = spark.createDataFrame(
+        [(1, "c1", 1, 0.0, "LIN")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    # contiguous months, revenue exactly 1000 + 7*k dollars at month k
+    orders = []
+    for k in range(12):
+        orders.append(
+            (
+                k + 1,
+                1,
+                "F",
+                float(1000 + 7 * k),
+                datetime.date(2024 + (k // 12), k % 12 + 1, 10),
+                "1-URGENT",
+            )
+        )
+    odf = spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    _stage(customer, tmp, "customer")
+    _stage(odf, tmp, "orders")
+    rows = agg_rolling_slope(spark, tmp).collect()
+    # 12 contiguous months -> 12 - (SLOPE_WIN-1) full windows
+    assert len(rows) == 12 - (SLOPE_WIN - 1)
+    # unit-spaced x: den = n^2(n^2-1)/12 = 105 for n=6; slope exactly 7
+    for r in rows:
+        assert r["slope_den"] == SLOPE_WIN**2 * (SLOPE_WIN**2 - 1) // 12
+        assert r["slope_num"] == 7 * r["slope_den"]
+        assert r["trend"] == "rising"
