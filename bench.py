@@ -125,6 +125,21 @@ EXTRA = [
     "agg_decay_recency",
     "sim_mips_topk",
     "ep3_forecast_contract",
+    # late-round-8 surface: the lakehouse layer (file-stats skipping
+    # with its layout memoized per session — layout-once-query-many is
+    # the pattern; manifest time travel), the growth/ops capstones,
+    # and the analytics panels. graph_pagerank is NOT timed here: its
+    # 10 power-iteration rounds cost ~6.5 s warm at sf0.1 (measured,
+    # iterative tiny-frame floor like dedup_cluster_cc's fixpoint) and
+    # would dominate the pass; its correctness gate covers it.
+    "prune_file_stats",
+    "snk_manifest_timetravel",
+    "evt_path_topk",
+    "evt_ab_lift",
+    "agg_backtest_snaive",
+    "agg_rolling_slope",
+    "ep9_growth_e2e",
+    "ep10_ops_e2e",
 ]
 
 
