@@ -201,3 +201,41 @@ def test_rolling_slope_exact_on_linear_revenue(spark):
         assert r["slope_den"] == SLOPE_WIN**2 * (SLOPE_WIN**2 - 1) // 12
         assert r["slope_num"] == 7 * r["slope_den"]
         assert r["trend"] == "rising"
+
+
+# ---------------------------------------- physical-read proof assertions
+
+def test_file_skipping_plan_reads_only_survivor_files(spark):
+    """The docstring's claim — the pruned read plans over only the
+    surviving files — checked at the PHYSICAL level: the result frame's
+    input files must number exactly n_files_read, not n_files_total."""
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        prune_file_stats,
+    )
+
+    df = prune_file_stats(spark, SF_SMALL)
+    row = df.collect()[0]
+    files = [f for f in df.inputFiles() if "fileskip" in f]
+    assert len(files) == row["n_files_read"]
+    assert len(files) < row["n_files_total"]
+
+
+def test_timetravel_reads_never_touch_the_orphan(spark):
+    from claim_analysis_engine_spark.operators.storage_ops import (
+        snk_manifest_timetravel,
+    )
+
+    df = snk_manifest_timetravel(spark, SF_SMALL)
+    df.collect()
+    assert not any("orphan" in f for f in df.inputFiles())
+
+
+def test_path_topk_is_take_ordered_not_global_sort(spark):
+    from claim_analysis_engine_spark.operators.events import evt_path_topk
+
+    plan = evt_path_topk(spark, SF_SMALL)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
