@@ -133,6 +133,7 @@ EXTRA = [
     # iterative tiny-frame floor like dedup_cluster_cc's fixpoint) and
     # would dominate the pass; its correctness gate covers it.
     "prune_file_stats",
+    "prune_zorder_2d",
     "snk_manifest_timetravel",
     "evt_path_topk",
     "evt_ab_lift",

@@ -239,3 +239,24 @@ def test_path_topk_is_take_ordered_not_global_sort(spark):
         )
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# --------------------------------------------------------- prune_zorder_2d
+
+def test_zorder_skipping_prunes_on_both_dims(spark):
+    """The z-layout's point: BOTH single-dim predicates skip files —
+    each must read at most half of the shard files (the predicate pins
+    at least one leading bit of its dimension), never everything. The
+    exact shard population is data-dependent (sf0.001's narrower date
+    band materializes 6 shards: bx reads 2, by reads 3), so the
+    assertion is on the skipping RATIO, not a fixed count."""
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        prune_zorder_2d,
+    )
+
+    out = {r["dim"]: r for r in prune_zorder_2d(spark, SF_SMALL).collect()}
+    assert len(out) == 2
+    for r in out.values():
+        assert r["n_files_total"] >= 4
+        assert 1 <= r["n_files_read"] <= r["n_files_total"] // 2
+        assert r["n_rows"] > 0
