@@ -137,6 +137,7 @@ EXTRA = [
     "snk_manifest_timetravel",
     "evt_path_topk",
     "evt_ab_lift",
+    "evt_enrich_stream",
     "agg_backtest_snaive",
     "agg_rolling_slope",
     "ep9_growth_e2e",

@@ -5,7 +5,9 @@ checkpoint), reads the sink back, and returns a frame whose values a
 DuckDB oracle reproduces from the batch table — so the driver's hash
 gate certifies actual streaming execution, not a batch stand-in.
 
-Three jobs cross the gate:
+The founding three jobs (later joined by the stream-stream interval
+join, the foreachBatch mart/SCD2 maintainers, and the stream-static
+enrichment join — see each op's docstring):
 * evt_dedup_stream — dropDuplicatesWithinWatermark over a stage dir
   holding TWO copies of every event (a synthetic at-least-once bus);
   the deduped stream must aggregate exactly like the single-copy batch.
@@ -425,3 +427,111 @@ def _install_scd2_oracle() -> None:
 
 
 _install_scd2_oracle()
+
+
+# ----------------------------------------------------- evt_enrich_stream
+
+ENRICH_SALT = "tier1:"  # md5-digit tier assignment, evt_ab_lift's idiom
+
+
+@REG.op(
+    "evt_enrich_stream",
+    oracle=f"""
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL 1 HOUR AS horizon FROM events
+    ), dim AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN substr(md5('{ENRICH_SALT}' || CAST(user_id AS VARCHAR)),
+                              1, 1) < '6' THEN 'gold'
+                  WHEN substr(md5('{ENRICH_SALT}' || CAST(user_id AS VARCHAR)),
+                              1, 1) < 'b' THEN 'silver'
+                  ELSE 'bronze' END AS tier
+      FROM events
+    )
+    SELECT d.tier,
+           strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS window_start,
+           count(*) AS n_purchases,
+           round(sum(e.value), 4) AS revenue
+    FROM events e JOIN dim d ON d.user_id = e.user_id, wm
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2, horizon
+    HAVING date_trunc('day', min(e.ts)) + INTERVAL 1 DAY <= horizon
+    """,
+)
+def evt_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment under the hash gate — the remaining
+    fundamental Structured Streaming join shape after the
+    stream-stream gate (evt_join_stream): each micro-batch of the
+    purchase stream joins a STATIC dimension (user → loyalty tier, an
+    md5-digit assignment so the oracle can rebuild the dim
+    relationally), then a watermarked daily window aggregates revenue
+    per tier in append mode. The static side needs no watermark and no
+    state — Spark re-plans it into every micro-batch as a broadcast —
+    so the gate certifies the join is stateless while the downstream
+    aggregation still honors the finalization contract (only windows
+    whose end precedes the final watermark emit, the boundary the
+    oracle reproduces with the same HAVING idiom as
+    evt_tumbling_stream).
+
+    Scale: this is THE nightly-dim enrichment pattern (prices, user
+    profiles, geo tables) — dim updates swap the static frame between
+    restarts; state cost stays exactly the window-aggregation state,
+    never the dim."""
+    stage = _stage_events(sf_dir, copies=1)
+    dim = (
+        spark.read.parquet(stage)
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(ENRICH_SALT), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                < "6",
+                "gold",
+            )
+            .when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(ENRICH_SALT), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                < "b",
+                "silver",
+            )
+            .otherwise("bronze"),
+        )
+    )
+    stream = streaming.read_events_stream(spark, stage)
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), "user_id")
+    )
+    result = (
+        purchases.groupBy(F.window("ts", "1 day"), "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("revenue"),
+        )
+        .select(
+            "tier",
+            F.date_format(F.col("window.start"), "yyyy-MM-dd").alias(
+                "window_start"
+            ),
+            "n_purchases",
+            "revenue",
+        )
+    )
+    return _drain_to_parquet(spark, result)
