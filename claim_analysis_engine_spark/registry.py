@@ -131,17 +131,31 @@ def registry() -> dict[str, Op]:
 # have never had a driver row — exactly the r7 order's positions 50+.
 # New round-8 ops append after them; the whole list must stay within
 # the driver's 50-slot window for every entry to get a row.
-# Ops added AFTER this list filled (agg_percentiles, agg_gini,
-# cust_rfm, agg_basket_pairs, join_bloom_prefilter, agg_heavy_hitters,
-# src_jsonl_roundtrip, join_interval_overlap, agg_ohlc_daily, ...,
-# through the batch-C six: prune_file_stats, snk_manifest_timetravel,
-# evt_path_topk, evt_ab_lift, agg_backtest_snaive, agg_rolling_slope)
-# fall outside the window by construction — they are covered by the
-# local DuckDB parity suite this round and are the first candidates
-# for the ROUND9 front rotation. There are now ~55 such late ops, more
-# than one 50-slot window holds: ROUND9_FRONT should take every
-# oracle-bearing late op first (~52); the rows-only stragglers
-# (sim_nprobe_sweep) ride the next rotation.
+# Ops added AFTER this list filled fall outside the window by
+# construction — covered by the local DuckDB parity suite this round.
+# EXACTLY 57 registered ops have never had a driver row (56 with
+# oracles + sim_nprobe_sweep rows-only); one 50-slot window cannot
+# hold them all. ROUND9_FRONT should take the first 50 of this list
+# (capstones + storage round-trips + scale patterns + the late
+# analytics panels, oracle-bearing before rows-only); the last 7 ride
+# the round-10 rotation together with any round-9 additions:
+#   src_jsonl_roundtrip snk_csv_roundtrip dedup_audit_hub
+#   src_logs_parse snk_manifest_publish snk_manifest_timetravel
+#   prune_file_stats prune_zorder_2d evt_enrich_stream
+#   ep9_growth_e2e ep10_ops_e2e join_bloom_prefilter agg_heavy_hitters
+#   join_interval_overlap join_asof_tolerance join_star_flatten
+#   graph_pagerank graph_triangles graph_link_predict
+#   agg_backtest_snaive agg_rolling_slope agg_discount_elasticity
+#   agg_cycle_time emb_norm_profile txt_winnowing corpus_length_hist
+#   corpus_vocab_coverage agg_ohlc_daily evt_power_users_rolling
+#   evt_anomaly_mad evt_streaks evt_bot_detection evt_heatmap_profile
+#   evt_gap_hist evt_stickiness evt_conversion_lag evt_peak_concurrency
+#   evt_path_topk evt_ab_lift agg_percentiles agg_gini cust_rfm
+#   agg_basket_pairs agg_benford agg_pareto dq_freshness agg_cohort_ltv
+#   agg_abc_class agg_survival_km dq_column_profile
+#   -- round-10 tail: agg_new_vs_returning agg_return_rates
+#   agg_supply_risk agg_cumulative_distinct agg_seasonal_index
+#   agg_backlog_aging sim_nprobe_sweep
 ROUND8_FRONT: tuple[str, ...] = (
     # re-certification of the r7 silent-data-loss FAIL
     "ep1_ingest_e2e",
