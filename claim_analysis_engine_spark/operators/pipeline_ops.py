@@ -30,7 +30,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from claim_analysis_engine_spark.registry import OpRegistry
-from claim_analysis_engine_spark.tables import load
+from claim_analysis_engine_spark.tables import load, session_memo_key
 
 REG = OpRegistry()
 
@@ -1139,7 +1139,19 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-interacting top-N merges per round to cut round count — noted
     here, single-merge rounds kept for exact classic-BPE parity.
     Stops early when the best pair's corpus count drops below
-    BPE_MIN_PAIR (nothing left worth merging)."""
+    BPE_MIN_PAIR (nothing left worth merging). The finished merge
+    table is memoized per (session, corpus) and shared with
+    corpus_bpe_encode — the lifecycle's two halves pay for one
+    induction."""
+    _MERGE_SCHEMA = (
+        "rank int, left string, right string, merged string, pair_count bigint"
+    )
+    memo_key = session_memo_key(spark, sf_dir)
+    if memo_key in _BPE_MERGE_MEMO:
+        return spark.createDataFrame(
+            [tuple(m.values()) for m in _BPE_MERGE_MEMO[memo_key]],
+            _MERGE_SCHEMA,
+        )
     toks = F.array_remove(F.split("text", " "), "")
     words = (
         load(spark, sf_dir, "documents")
@@ -1189,7 +1201,97 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 seg = seg.where(F.size("sym") >= 2).localCheckpoint()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.createDataFrame(
-        merges,
-        "rank int, left string, right string, merged string, pair_count bigint",
+    if len(_BPE_MERGE_MEMO) >= _BPE_MERGE_MEMO_MAX:
+        _BPE_MERGE_MEMO.pop(next(iter(_BPE_MERGE_MEMO)))
+    _BPE_MERGE_MEMO[memo_key] = [
+        dict(zip(("rank", "left", "right", "merged", "pair_count"), m))
+        for m in merges
+    ]
+    return spark.createDataFrame(merges, _MERGE_SCHEMA)
+
+
+# -------------------------------------------------- corpus_bpe_encode
+
+# learned merge tables per (session, sf_dir): the trainer populates it
+# and the encoder reads it, so the two lifecycle halves never pay for
+# the iterative induction twice in one session
+_BPE_MERGE_MEMO: dict[tuple, list] = {}
+_BPE_MERGE_MEMO_MAX = 4
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[dict]:
+    key = session_memo_key(spark, sf_dir)
+    if key not in _BPE_MERGE_MEMO:
+        corpus_bpe_train(spark, sf_dir)  # populates the memo
+    return sorted(_BPE_MERGE_MEMO[key], key=lambda m: m["rank"])
+
+
+@REG.op("corpus_bpe_encode")  # rows-only: encoding applies the LEARNED
+# merge table (no SQL twin); tests/test_bpe.py pins per-doc token
+# counts against an independent pure-Python encoder over the same
+# merge list
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table to ENCODE the corpus — the
+    second half of the tokenizer lifecycle corpus_bpe_train begins
+    (train → encode → per-doc token accounting, what an LLM batch job
+    does to every shard before packing). The distributed shape is the
+    whole point: segmentation happens once per DISTINCT WORD (the
+    vocab-sized frame, merges applied in rank order with the same
+    array fold the trainer used — greedy left-to-right semantics by
+    construction), and the corpus-sized work is one broadcast join of
+    the word→token-count map back onto the token stream plus a per-doc
+    aggregate. Encoding cost therefore scales with |vocab| + one
+    corpus pass, never |corpus| × |merges|.
+
+    Per doc: word count, BPE token count, exact character mass, and
+    the saving vs character-level tokenization in integer basis
+    points. The merge table is memoized per (session, corpus) and
+    shared with the trainer op.
+
+    Scale: the merge loop runs on the vocab frame at 8 shuffle
+    partitions (tiny-frame lesson); the word→count map broadcasts
+    (|vocab| rows); one doc-keyed aggregate ends the plan."""
+    merges = _bpe_merges(spark, sf_dir)
+    toks = F.array_remove(F.split("text", " "), "")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(toks).alias("w")
+    )
+    vocab = docs.select("w").distinct()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        seg = vocab.select(
+            "w", F.expr("filter(split(w, ''), x -> x <> '')").alias("sym")
+        ).localCheckpoint()
+        for i, m in enumerate(merges, start=1):
+            seg = seg.select(
+                "w", _bpe_apply_merge(F.col("sym"), m["left"], m["right"]).alias("sym")
+            )
+            if i % 5 == 0:  # the trainer's checkpoint cadence
+                seg = seg.localCheckpoint()
+        word_tokens = seg.select(
+            "w",
+            F.size("sym").alias("n_tok"),
+            F.length("w").alias("n_chr"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        docs.join(F.broadcast(word_tokens), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+            F.sum("n_chr").cast("long").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            F.expr(
+                "CAST((n_chars - n_bpe_tokens) * 10000 AS BIGINT)"
+                " div n_chars"
+            ).alias("saving_bp"),
+        )
     )

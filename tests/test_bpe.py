@@ -64,3 +64,59 @@ def test_bpe_merge_table_matches_pure_python_reference(spark):
     ]
     assert got == expected
     assert len(got) >= 10, "corpus too degenerate for a meaningful check"
+
+
+def _python_encode(segs_word: list[str], merges: list[tuple]) -> list[str]:
+    """Apply the merge list in rank order, greedy left-to-right —
+    the same semantics as the engine's array fold."""
+    sym = list(segs_word)
+    for _rank, a, b, _ab, _c in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_bpe_encode_counts_match_pure_python_reference(spark):
+    from claim_analysis_engine_spark.operators.pipeline_ops import (
+        corpus_bpe_encode,
+    )
+
+    freqs = dict(
+        duckdb.query(
+            f"""
+            SELECT w, count(*) FROM (
+              SELECT unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS w
+              FROM '{SF_SMALL}/documents.parquet') GROUP BY 1
+            """
+        ).fetchall()
+    )
+    merges = _python_bpe(freqs, BPE_MERGES)
+    tok_of = {w: len(_python_encode(list(w), merges)) for w in freqs}
+
+    expected = {}
+    for doc_id, text in duckdb.query(
+        f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall():
+        words = [w for w in text.split(" ") if w]
+        expected[doc_id] = (
+            len(words),
+            sum(tok_of[w] for w in words),
+            sum(len(w) for w in words),
+        )
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["n_chars"])
+        for r in corpus_bpe_encode(spark, SF_SMALL).collect()
+    }
+    assert got == expected
+    # encoding must actually compress: most docs save vs char-level
+    rows = corpus_bpe_encode(spark, SF_SMALL).collect()
+    assert sum(1 for r in rows if r["saving_bp"] > 0) > len(rows) * 0.9
