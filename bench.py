@@ -138,6 +138,7 @@ EXTRA = [
     "evt_path_topk",
     "evt_ab_lift",
     "evt_enrich_stream",
+    "evt_alert_throttle",
     "agg_backtest_snaive",
     "agg_rolling_slope",
     "ep9_growth_e2e",

@@ -1468,3 +1468,98 @@ def evt_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------------ evt_alert_throttle
+
+THROTTLE_COOLDOWN_S = 6 * 3600  # suppress repeat alerts within 6 h
+
+
+@REG.op(
+    "evt_alert_throttle",
+    oracle=f"""
+    WITH RECURSIVE a AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events WHERE event_type = 'error'
+    ), k AS (
+        SELECT user_id,
+               min_by(event_id, ts_s * 10000000 + event_id) AS event_id,
+               min(ts_s) AS ts_s
+        FROM a GROUP BY user_id
+        UNION ALL
+        SELECT a.user_id,
+               min_by(a.event_id, a.ts_s * 10000000 + a.event_id) AS event_id,
+               min(a.ts_s) AS ts_s
+        FROM k JOIN a ON a.user_id = k.user_id
+                     AND a.ts_s >= k.ts_s + {THROTTLE_COOLDOWN_S}
+        GROUP BY a.user_id
+    )
+    SELECT user_id, event_id, ts_s FROM k
+    """,
+)
+def evt_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY alert throttling (alert-fatigue suppression): per user,
+    the first error fires an alert and every later error within
+    {THROTTLE_COOLDOWN_S}s of the LAST FIRED alert is suppressed —
+    the pager-dedup rule every ops pipeline needs. This is the
+    canonical NOT-window-expressible fold: whether an event fires
+    depends on which earlier events fired (the anchor moves), so no
+    lag/session_window reformulation exists — evt_sessionize's gap
+    rule looks similar but anchors on the previous EVENT, this
+    anchors on the previous KEPT event.
+
+    Spark side: one sorted per-user array fold (collect_list →
+    sort_array → F.aggregate carrying (last_fired, kept[]) — pure
+    JVM, no Python, state bounded by per-user alert count exactly
+    like the sessionizers). Oracle side: a recursive CTE whose each
+    level elects the next fired alert per user via min_by over the
+    post-cooldown tail — an ORACLE-CHECKED sequential fold, the
+    dedup_cluster_cc treatment applied to throttling.
+
+    Scale: one user_id shuffle; per-user state is the alert list (the
+    same bound sessionize carries). The streaming form is
+    applyInPandasWithState with (last_fired) as the state row —
+    noted, not duplicated."""
+    a = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+            "event_id",
+        )
+    )
+    per_user = a.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts_s", "event_id"))
+        ).alias("evs")
+    )
+    acc0 = F.struct(
+        F.lit(-(10**15)).cast("long").alias("last"),
+        F.array().cast(
+            "array<struct<ts_s:bigint,event_id:bigint>>"
+        ).alias("kept"),
+    )
+    kept = per_user.select(
+        "user_id",
+        F.aggregate(
+            "evs",
+            acc0,
+            lambda acc, e: F.when(
+                e["ts_s"] >= acc["last"] + THROTTLE_COOLDOWN_S,
+                F.struct(
+                    e["ts_s"].alias("last"),
+                    F.concat(acc["kept"], F.array(e)).alias("kept"),
+                ),
+            ).otherwise(acc),
+            lambda acc: acc["kept"],
+        ).alias("kept"),
+    )
+    return kept.select(
+        "user_id", F.explode("kept").alias("e")
+    ).select(
+        "user_id",
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.ts_s").alias("ts_s"),
+    )

@@ -155,8 +155,9 @@ def registry() -> dict[str, Op]:
 #   agg_abc_class agg_survival_km dq_column_profile
 #   -- round-10 tail: agg_new_vs_returning agg_return_rates
 #   agg_supply_risk agg_cumulative_distinct agg_seasonal_index
-#   agg_backlog_aging sim_nprobe_sweep corpus_bpe_encode (rows-only,
-#   added after the list above was counted)
+#   agg_backlog_aging sim_nprobe_sweep corpus_bpe_encode
+#   evt_alert_throttle (the last two added after the list above was
+#   counted)
 ROUND8_FRONT: tuple[str, ...] = (
     # re-certification of the r7 silent-data-loss FAIL
     "ep1_ingest_e2e",

@@ -260,3 +260,29 @@ def test_zorder_skipping_prunes_on_both_dims(spark):
         assert r["n_files_total"] >= 4
         assert 1 <= r["n_files_read"] <= r["n_files_total"] // 2
         assert r["n_rows"] > 0
+
+
+# ------------------------------------------------------ evt_alert_throttle
+
+def test_alert_throttle_anchors_on_last_fired_not_last_event(spark):
+    """Errors at 0h, 3h, 5h, 7h with a 6h cooldown: greedy keeps 0h and
+    7h (7h >= 0h+6h). A gap-from-previous-EVENT rule would suppress 7h
+    too (2h after the 5h error) — this is the case that separates
+    throttling from sessionization."""
+    from claim_analysis_engine_spark.operators.events import evt_alert_throttle
+
+    tmp = tempfile.mkdtemp(prefix="cae_planted_throttle_")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i + 1, base + datetime.timedelta(hours=h), 1, "error", 1.0, "{}")
+        for i, h in enumerate([0, 3, 5, 7])
+    ]
+    rows.append((99, base, 1, "click", 1.0, "{}"))  # non-errors never alert
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _stage(events, tmp, "events")
+    kept = sorted(r["event_id"] for r in evt_alert_throttle(spark, tmp).collect())
+    assert kept == [1, 4]
