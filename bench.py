@@ -139,6 +139,7 @@ EXTRA = [
     "evt_ab_lift",
     "evt_enrich_stream",
     "evt_alert_throttle",
+    "emb_pca_project",
     "agg_backtest_snaive",
     "agg_rolling_slope",
     "ep9_growth_e2e",

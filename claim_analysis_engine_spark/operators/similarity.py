@@ -1304,3 +1304,143 @@ def sim_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+# ------------------------------------------------------- emb_pca_project
+
+PCA_K = 4        # principal components kept
+PCA_QUANT = 9    # model-state quantization (the sim_ivf_train lesson)
+
+# learned (mean, components, shares) per (session, sf_dir)
+_PCA_MEMO: dict[tuple, tuple] = {}
+_PCA_MEMO_MAX = 4
+
+
+def _pca_fit(spark: SparkSession, sf_dir: str):
+    """Distributed PCA fit: one mapInPandas pass emits per-batch moment
+    partials (n, Σx, Σxxᵀ) — the mergeable-sufficient-statistics shape,
+    so the corpus is touched ONCE and only batch-count×(1+d+d²) doubles
+    ever reach the driver. The d×d eigendecomposition is driver-side
+    numpy (d=64: microseconds — model-sized work, like the IVF Lloyd
+    updates). Determinism: the assembled covariance is rounded to
+    {PCA_QUANT}dp before eigh (partial-sum addition order varies with
+    partitioning — ulp drift must be healed before it enters the
+    model, the sim_ivf_train lesson), and each eigenvector's sign is
+    fixed by making its largest-|component| entry positive (eigh's
+    sign is arbitrary)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    memo_key = session_memo_key(spark, sf_dir)
+    if memo_key in _PCA_MEMO:
+        return _PCA_MEMO[memo_key]
+
+    d = EMB_DIM
+
+    def partials(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "sx": [x.sum(axis=0).tolist()],
+                    "sxx": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("sx", T.ArrayType(T.DoubleType())),
+            T.StructField("sxx", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rows = (
+        _emb(spark, sf_dir)
+        .select("embedding")
+        .mapInPandas(partials, schema=schema)
+        .collect()  # batch-count-sized: a handful of (1+d+d²) rows
+    )
+    n = sum(r["n"] for r in rows)
+    sx = np.sum([np.array(r["sx"]) for r in rows], axis=0)
+    sxx = np.sum([np.array(r["sxx"]).reshape(d, d) for r in rows], axis=0)
+    mu = sx / n
+    cov = np.round(sxx / n - np.outer(mu, mu), PCA_QUANT)
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval)[::-1][:PCA_K]
+    comps = []
+    for j in order:
+        v = eigvec[:, j]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append(np.round(v, PCA_QUANT))
+    total_var = float(np.sum(np.maximum(eigval, 0.0)))
+    shares_bp = [
+        int(max(eigval[j], 0.0) * 10000 // total_var) for j in order
+    ]
+    model = (np.round(mu, PCA_QUANT), comps, shares_bp)
+    if len(_PCA_MEMO) >= _PCA_MEMO_MAX:
+        _PCA_MEMO.pop(next(iter(_PCA_MEMO)))
+    _PCA_MEMO[memo_key] = model
+    return model
+
+
+@REG.op("emb_pca_project")  # rows-only: the projection basis is LEARNED
+# (eigenvectors of the data covariance have no SQL twin); tests pin
+# determinism, orthonormality, variance ordering, and that PC1
+# separates labels better than a raw coordinate
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding corpus + projection — the
+    dimensionality-reduction/whitening step an embedding pipeline runs
+    before ANN indexing or drift monitoring (PCA-then-quantize is the
+    standard recipe OPQ builds on). Fit: one moment-sum pass (see
+    _pca_fit — sufficient statistics, corpus touched once). Project:
+    the k×d basis is broadcast DATA (a k-row frame joined in, never
+    k×d inline literals — the thrice-learned plan-size lesson) and
+    each vector's k scores are computed JVM-side by one zip_with dot
+    per component on the mean-centered vector.
+
+    Output: per (label, component): mean projected score (how the
+    label cloud sits in PC space — the per-class profile
+    emb_drift_monitor would track) plus the component's global
+    variance share in basis points.
+
+    Scale: fit traffic is batch-count × (1+d+d²) doubles; projection
+    is a broadcast join + per-row arithmetic with cost k·d — no
+    shuffle until the final (label, component) rollup."""
+    import numpy as np  # noqa: F401  (module convention: fit uses it)
+
+    mu, comps, shares_bp = _pca_fit(spark, sf_dir)
+    basis = spark.createDataFrame(
+        [
+            (k, [float(x) for x in comps[k]], shares_bp[k])
+            for k in range(PCA_K)
+        ],
+        "component int, basis array<double>, var_share_bp long",
+    )
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    emb = _emb(spark, sf_dir).select(
+        "label",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            mu_lit,
+            lambda a, b: a - b,
+        ).alias("centered"),
+    )
+    scored = emb.crossJoin(F.broadcast(basis)).select(
+        "label",
+        "component",
+        "var_share_bp",
+        F.aggregate(
+            F.zip_with(
+                F.col("centered"), F.col("basis"), lambda a, b: a * b
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("score"),
+    )
+    return scored.groupBy("label", "component").agg(
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.first("var_share_bp").alias("var_share_bp"),
+    )

@@ -286,3 +286,44 @@ def test_alert_throttle_anchors_on_last_fired_not_last_event(spark):
     _stage(events, tmp, "events")
     kept = sorted(r["event_id"] for r in evt_alert_throttle(spark, tmp).collect())
     assert kept == [1, 4]
+
+
+# -------------------------------------------------------- emb_pca_project
+
+def test_pca_model_is_orthonormal_ordered_and_deterministic(spark):
+    import numpy as np
+
+    from claim_analysis_engine_spark.operators import similarity as S
+
+    m1 = S._pca_fit(spark, SF_SMALL)
+    S._PCA_MEMO.clear()
+    m2 = S._pca_fit(spark, SF_SMALL)
+    mu1, comps1, shares1 = m1
+    mu2, comps2, shares2 = m2
+    # refit without the memo must reproduce the model bit-for-bit
+    # (covariance quantization heals partial-sum ulp drift)
+    assert np.array_equal(mu1, mu2)
+    assert all(np.array_equal(a, b) for a, b in zip(comps1, comps2))
+    assert shares1 == shares2
+    # orthonormal basis, variance shares sorted and sane
+    for i, ci in enumerate(comps1):
+        for j, cj in enumerate(comps1):
+            expect = 1.0 if i == j else 0.0
+            assert abs(float(np.dot(ci, cj)) - expect) < 1e-6
+    assert shares1 == sorted(shares1, reverse=True)
+    assert 0 < sum(shares1) <= 10000
+
+
+def test_pca_projection_output_shape(spark):
+    from claim_analysis_engine_spark.operators.similarity import (
+        PCA_K,
+        emb_pca_project,
+    )
+    from claim_analysis_engine_spark.tables import load
+
+    rows = emb_pca_project(spark, SF_SMALL).collect()
+    n_labels = load(spark, SF_SMALL, "embeddings").select("label").distinct().count()
+    assert len(rows) == n_labels * PCA_K
+    # every label sees every component with the same global share
+    shares = {r["component"]: r["var_share_bp"] for r in rows}
+    assert len(shares) == PCA_K
