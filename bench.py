@@ -140,6 +140,7 @@ EXTRA = [
     "evt_enrich_stream",
     "evt_alert_throttle",
     "emb_pca_project",
+    "cdc_extract_roundtrip",
     "agg_backtest_snaive",
     "agg_rolling_slope",
     "ep9_growth_e2e",

@@ -927,3 +927,145 @@ def join_star_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------- cdc_extract_roundtrip
+
+CDC_SIG_MOD = 2305843009213693951  # 2^61 - 1: keeps the signature in bigint
+
+
+@REG.op(
+    "cdc_extract_roundtrip",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT o_orderkey AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents
+        FROM orders WHERE year(o_orderdate) <= 1997
+    ), s2 AS (
+        SELECT k, CASE WHEN k % 7 = 0 THEN cents + 1000 ELSE cents END AS cents
+        FROM s1 WHERE k % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM orders WHERE year(o_orderdate) = 1998
+    ), counts AS (
+        SELECT 'I' AS op,
+               (SELECT count(*) FROM orders WHERE year(o_orderdate) = 1998)
+                 AS n_changes
+        UNION ALL
+        SELECT 'D', (SELECT count(*) FROM s1 WHERE k % 13 = 0)
+        UNION ALL
+        SELECT 'U', (SELECT count(*) FROM s1
+                     WHERE k % 7 = 0 AND k % 13 <> 0)
+    ), sig AS (
+        SELECT CAST(sum(k * cents) % {CDC_SIG_MOD} AS BIGINT) AS s,
+               count(*) AS n
+        FROM s2
+    )
+    SELECT c.op, CAST(c.n_changes AS BIGINT) AS n_changes,
+           sig.s AS recon_sig, sig.s AS target_sig,
+           CAST(sig.n AS BIGINT) AS recon_rows, TRUE AS recon_matches
+    FROM counts c, sig
+    """,
+)
+def cdc_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC EXTRACT — the changefeed GENERATOR merge_cdc_tombstone
+    consumes: diff two table snapshots into insert/update/delete
+    change rows (one full-outer key join; I = new key, D = vanished
+    key, U = shared key with a differing payload), then prove the
+    extract by ROUND-TRIP: applying the extracted changes back onto
+    snapshot 1 must reconstruct snapshot 2 exactly, witnessed by a
+    key-weighted content signature (Σ key·cents mod 2⁶¹−1 — one
+    transposed digit anywhere breaks it). The op emits the change
+    profile AND the reconstruction verdict; the oracle computes the
+    expected counts from the snapshot definitions and the signature
+    from snapshot 2 directly, so a wrong diff, a missed delete, or a
+    double-applied update all hash-mismatch at the gate.
+
+    This is snapshot-diff CDC (Debezium-style log tailing without a
+    log): the pattern for sources that only publish full dumps. The
+    snapshots here are deterministic transforms of orders (s2 = s1
+    minus every 13th key, every 7th key's price +10.00, plus the 1998
+    inserts) so both engines build identical inputs.
+
+    Scale: one full-outer join on the snapshot key + two aggregates;
+    the changefeed is |changes| rows, never |table|; the signature is
+    an integer aggregate (map-side combinable, overflow-safe via the
+    Mersenne modulus on a decimal accumulator)."""
+    orders = load(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    s1 = orders.where(F.year("o_orderdate") <= 1997).select(
+        F.col("o_orderkey").alias("k"), cents.alias("cents")
+    )
+    s2 = (
+        s1.where(F.col("k") % 13 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 7 == 0, F.col("cents") + 1000)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionByName(
+            orders.where(F.year("o_orderdate") == 1998).select(
+                F.col("o_orderkey").alias("k"), cents.alias("cents")
+            )
+        )
+    )
+
+    # ------------------------------------------------------- extract
+    old = s1.select(F.col("k"), F.col("cents").alias("old_cents"))
+    new = s2.select(F.col("k"), F.col("cents").alias("new_cents"))
+    diff = old.join(new, "k", "full_outer")
+    changes = diff.select(
+        "k",
+        F.when(F.col("old_cents").isNull(), "I")
+        .when(F.col("new_cents").isNull(), "D")
+        .when(F.col("old_cents") != F.col("new_cents"), "U")
+        .alias("op"),
+        F.col("new_cents"),
+    ).where(F.col("op").isNotNull())
+
+    # ------------------------------------- apply back onto snapshot 1
+    touched = changes.select("k", "op")
+    recon = (
+        s1.join(touched, "k", "left_anti")  # untouched rows carry over
+        .unionByName(
+            changes.where(F.col("op") != "D").select(
+                "k", F.col("new_cents").alias("cents")
+            )
+        )
+    )
+
+    def sig(df: DataFrame, s_name: str, n_name: str) -> DataFrame:
+        return df.agg(
+            F.pmod(
+                F.sum(
+                    F.col("k").cast("decimal(38,0)")
+                    * F.col("cents").cast("decimal(38,0)")
+                ),
+                F.lit(CDC_SIG_MOD).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias(s_name),
+            F.count(F.lit(1)).alias(n_name),
+        )
+
+    recon_sig = sig(recon, "recon_sig", "recon_rows")
+    target_sig = sig(s2, "target_sig", "target_rows")
+    counts = changes.groupBy("op").agg(F.count(F.lit(1)).alias("n_changes"))
+    return (
+        counts.crossJoin(F.broadcast(recon_sig))
+        .crossJoin(F.broadcast(target_sig))
+        .select(
+            "op",
+            "n_changes",
+            "recon_sig",
+            "target_sig",
+            "recon_rows",
+            (
+                (F.col("recon_sig") == F.col("target_sig"))
+                & (F.col("recon_rows") == F.col("target_rows"))
+            ).alias("recon_matches"),
+        )
+    )

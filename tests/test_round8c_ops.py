@@ -327,3 +327,34 @@ def test_pca_projection_output_shape(spark):
     # every label sees every component with the same global share
     shares = {r["component"]: r["var_share_bp"] for r in rows}
     assert len(shares) == PCA_K
+
+
+# --------------------------------------------------- cdc_extract_roundtrip
+
+def test_cdc_extract_classifies_planted_changes(spark):
+    """26 keys in the 1997 snapshot: every 13th deleted (13, 26), every
+    7th not deleted updated (7, 14, 21), two 1998 inserts — the diff
+    must classify exactly that and the round-trip must close."""
+    from claim_analysis_engine_spark.operators.relational import (
+        cdc_extract_roundtrip,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cae_planted_cdc_")
+    rows = [
+        (k, 1, "F", 100.0 + k, datetime.date(1997, 6, 15), "1-URGENT")
+        for k in range(1, 27)
+    ] + [
+        (k, 1, "F", 500.0, datetime.date(1998, 2, 1), "1-URGENT")
+        for k in (100, 101)
+    ]
+    odf = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    _stage(odf, tmp, "orders")
+    out = {r["op"]: r for r in cdc_extract_roundtrip(spark, tmp).collect()}
+    assert out["I"]["n_changes"] == 2
+    assert out["D"]["n_changes"] == 2
+    assert out["U"]["n_changes"] == 3
+    assert all(r["recon_matches"] for r in out.values())
