@@ -141,6 +141,7 @@ EXTRA = [
     "evt_alert_throttle",
     "emb_pca_project",
     "cdc_extract_roundtrip",
+    "corpus_chunk_overlap",
     "agg_backtest_snaive",
     "agg_rolling_slope",
     "ep9_growth_e2e",

@@ -1295,3 +1295,84 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("saving_bp"),
         )
     )
+
+
+# -------------------------------------------------- corpus_chunk_overlap
+
+CHUNK_TOKENS = 64   # retrieval chunk size, tokens
+CHUNK_STRIDE = 48   # stride between chunk starts (overlap = 16 tokens)
+
+
+@REG.op(
+    "corpus_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks,
+               len({_TOKENS_SQL}) AS n FROM documents
+    ), starts AS (
+        SELECT doc_id, n, unnest(generate_series(1, n, {CHUNK_STRIDE}))
+                 AS start
+        FROM t WHERE n >= 1
+    ), chunks AS (
+        SELECT s.doc_id,
+               CAST((s.start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(s.start AS BIGINT) AS start_tok,
+               list_slice(t.toks, s.start,
+                          least(s.start + {CHUNK_TOKENS} - 1, s.n))
+                 AS ctoks
+        FROM starts s JOIN t ON t.doc_id = s.doc_id
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(len(ctoks) AS BIGINT) AS n_tokens,
+           md5(array_to_string(ctoks, ' ')) AS chunk_md5
+    FROM chunks
+    """,
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the RAG/embedding-prep
+    splitter (every retrieval corpus is chunked before it is embedded;
+    the {CHUNK_TOKENS}-token window with a {CHUNK_STRIDE}-token stride
+    keeps {CHUNK_TOKENS - CHUNK_STRIDE} tokens of overlap so an answer
+    spanning a boundary survives in at least one chunk). Chunk starts
+    are a sequence + explode, payloads one array slice each — all
+    JVM-side; the md5 of each chunk's text is the content witness, so
+    an off-by-one in either engine's slicing breaks the hash, not just
+    a count.
+
+    Scale: cost is one corpus pass with a bounded ×(n/stride) row
+    expansion (the same shape evt_power_users_rolling uses); no
+    shuffle at all — chunking is embarrassingly parallel and the
+    chunk table writes straight to the embedding job's input. The
+    sibling corpus_dedup_chunks uses DISJOINT chunks because dedup
+    must not double-count; retrieval wants overlap — both exist for
+    that reason."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", _tokens_col().alias("toks")
+    ).withColumn("n", F.size("toks")).where(F.col("n") >= 1)
+    starts = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunks = starts.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) div {CHUNK_STRIDE} AS BIGINT)").alias(
+            "chunk_idx"
+        ),
+        F.col("start").cast("long").alias("start_tok"),
+        F.slice(
+            "toks",
+            F.col("start"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start") + 1),
+        ).alias("ctoks"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.size("ctoks").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "ctoks")).alias("chunk_md5"),
+    )

@@ -358,3 +358,37 @@ def test_cdc_extract_classifies_planted_changes(spark):
     assert out["D"]["n_changes"] == 2
     assert out["U"]["n_changes"] == 3
     assert all(r["recon_matches"] for r in out.values())
+
+
+# --------------------------------------------------- corpus_chunk_overlap
+
+def test_chunk_overlap_covers_and_overlaps_exactly(spark):
+    """A 100-token doc with window 64 / stride 48 chunks at starts
+    1, 49, 97 -> lengths 64, 52, 4; consecutive full chunks share
+    exactly window-stride = 16 tokens, and every token is covered."""
+    from claim_analysis_engine_spark.operators.pipeline_ops import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        corpus_chunk_overlap,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cae_planted_chunk_")
+    text = " ".join(f"t{i}" for i in range(1, 101))
+    docs = spark.createDataFrame(
+        [(1, text, "en", "src1", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _stage(docs, tmp, "documents")
+    rows = sorted(
+        corpus_chunk_overlap(spark, tmp).collect(), key=lambda r: r["chunk_idx"]
+    )
+    assert [(r["start_tok"], r["n_tokens"]) for r in rows] == [
+        (1, 64),
+        (49, 52),
+        (97, 4),
+    ]
+    # coverage: last token of the final chunk is token 100
+    assert rows[-1]["start_tok"] + rows[-1]["n_tokens"] - 1 == 100
+    # overlap between consecutive full chunks is window - stride
+    assert CHUNK_TOKENS - CHUNK_STRIDE == 16
+    assert rows[0]["start_tok"] + rows[0]["n_tokens"] - rows[1]["start_tok"] == 16
