@@ -142,6 +142,7 @@ EXTRA = [
     "emb_pca_project",
     "cdc_extract_roundtrip",
     "corpus_chunk_overlap",
+    "ep11_rag_e2e",
     "agg_backtest_snaive",
     "agg_rolling_slope",
     "ep9_growth_e2e",

@@ -974,3 +974,138 @@ def ep10_ops_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("open_cents", F.lit(0)).alias("open_cents"),
         )
     )
+
+
+# ---------------------------------------------------------- ep11_rag_e2e
+
+RAG_TOP_K = 10
+
+
+def _ep11_oracle() -> str:
+    from claim_analysis_engine_spark.operators.pipeline_ops import _CHUNKS_SQL
+    from claim_analysis_engine_spark.operators.textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+    )
+
+    return f"""
+    WITH {_CHUNKS_SQL},
+    ctoks AS (
+        SELECT doc_id, chunk_idx, unnest(ctoks) AS tok FROM chunks
+    ),
+    cl AS (
+        SELECT doc_id, chunk_idx, count(*) AS clen
+        FROM ctoks GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_chunks, avg(clen) AS avgcl
+        FROM cl
+    ),
+    tf AS (
+        SELECT doc_id, chunk_idx, tok, count(*) AS tf FROM ctoks
+        WHERE tok IN {BM25_TERMS!r} GROUP BY 1, 2, 3
+    ),
+    df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT t.doc_id, t.chunk_idx,
+               round(sum(
+                 ln((s.n_chunks - d.df + 0.5) / (d.df + 0.5) + 1)
+                 * t.tf * ({BM25_K1} + 1)
+                 / (t.tf + {BM25_K1}
+                    * (1 - {BM25_B} + {BM25_B} * l.clen / s.avgcl))
+               ), 6) AS score
+        FROM tf t
+        JOIN df d USING (tok)
+        JOIN cl l USING (doc_id, chunk_idx), stats s
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT doc_id, chunk_idx, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, chunk_idx) AS rk
+        FROM scored
+    )
+    SELECT b.doc_id, b.chunk_idx, c.start_tok, b.score,
+           md5(array_to_string(c.ctoks, ' ')) AS chunk_md5
+    FROM best b JOIN chunks c
+      ON c.doc_id = b.doc_id AND c.chunk_idx = b.chunk_idx
+    WHERE b.rk = 1
+    ORDER BY b.score DESC, b.doc_id LIMIT {RAG_TOP_K}
+    """
+
+
+@REG.op("ep11_rag_e2e", oracle=_ep11_oracle())
+def ep11_rag_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval capstone at PASSAGE granularity: the overlapping
+    chunk table (corpus_chunk_overlap's shared builder) is scored with
+    BM25 at the CHUNK grain — chunk-level df/avg-length statistics,
+    not document-level, because retrieval quality at 100 TB lives or
+    dies on passage scoring — then each document is represented by its
+    BEST chunk (max score, earliest chunk on ties) and the top-10
+    documents return WITH PROVENANCE: which chunk, its token offset,
+    and its content md5, exactly what a generation stage needs to
+    quote its source. Composes the chunker's oracle CTE and the BM25
+    formula the doc-level op certified, so the whole passage pipeline
+    sits under one hash.
+
+    Scale: chunking is shuffle-free; postings prune to the query
+    terms before any exchange; chunk stats are broadcast-sized; the
+    best-chunk window partitions by doc_id; the final top-k is
+    TakeOrderedAndProject. Nothing in the plan holds more than the
+    postings of three terms."""
+    from claim_analysis_engine_spark.operators.pipeline_ops import chunk_frame
+    from claim_analysis_engine_spark.operators.textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+    )
+
+    chunks = chunk_frame(spark, sf_dir).cache()
+    ctoks = chunks.select(
+        "doc_id", "chunk_idx", F.explode("ctoks").alias("tok")
+    )
+    cl = ctoks.groupBy("doc_id", "chunk_idx").agg(
+        F.count(F.lit(1)).alias("clen")
+    )
+    stats = cl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_chunks"),
+        F.avg("clen").alias("avgcl"),
+    )
+    tf = (
+        ctoks.where(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "chunk_idx", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_chunks") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("clen") / F.col("avgcl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(cl, ["doc_id", "chunk_idx"])
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(F.round(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / norm), 6).alias("score"))
+    )
+    best = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.desc("score"), "chunk_idx")
+        ),
+    ).where(F.col("rk") == 1)
+    return (
+        best.join(chunks, ["doc_id", "chunk_idx"])
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start_tok",
+            "score",
+            F.md5(F.concat_ws(" ", "ctoks")).alias("chunk_md5"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(RAG_TOP_K)
+    )

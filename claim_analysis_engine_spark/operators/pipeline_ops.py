@@ -1302,17 +1302,16 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_TOKENS = 64   # retrieval chunk size, tokens
 CHUNK_STRIDE = 48   # stride between chunk starts (overlap = 16 tokens)
 
-
-@REG.op(
-    "corpus_chunk_overlap",
-    oracle=f"""
-    WITH t AS (
+# chunk-table CTE shared with ep11_rag_e2e's oracle: yields `chunks`
+# (doc_id, chunk_idx, start_tok, ctoks)
+_CHUNKS_SQL = f"""
+    chunk_t AS (
         SELECT doc_id, {_TOKENS_SQL} AS toks,
                len({_TOKENS_SQL}) AS n FROM documents
-    ), starts AS (
+    ), chunk_starts AS (
         SELECT doc_id, n, unnest(generate_series(1, n, {CHUNK_STRIDE}))
                  AS start
-        FROM t WHERE n >= 1
+        FROM chunk_t WHERE n >= 1
     ), chunks AS (
         SELECT s.doc_id,
                CAST((s.start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
@@ -1320,8 +1319,43 @@ CHUNK_STRIDE = 48   # stride between chunk starts (overlap = 16 tokens)
                list_slice(t.toks, s.start,
                           least(s.start + {CHUNK_TOKENS} - 1, s.n))
                  AS ctoks
-        FROM starts s JOIN t ON t.doc_id = s.doc_id
+        FROM chunk_starts s JOIN chunk_t t ON t.doc_id = s.doc_id
     )
+"""
+
+
+def chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The overlapping chunk table (doc_id, chunk_idx, start_tok,
+    ctoks) shared by corpus_chunk_overlap and ep11_rag_e2e."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", _tokens_col().alias("toks")
+    ).withColumn("n", F.size("toks")).where(F.col("n") >= 1)
+    starts = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) div {CHUNK_STRIDE} AS BIGINT)").alias(
+            "chunk_idx"
+        ),
+        F.col("start").cast("long").alias("start_tok"),
+        F.slice(
+            "toks",
+            F.col("start"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start") + 1),
+        ).alias("ctoks"),
+    )
+
+
+@REG.op(
+    "corpus_chunk_overlap",
+    oracle=f"""
+    WITH {_CHUNKS_SQL}
     SELECT doc_id, chunk_idx, start_tok,
            CAST(len(ctoks) AS BIGINT) AS n_tokens,
            md5(array_to_string(ctoks, ' ')) AS chunk_md5
@@ -1346,30 +1380,7 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling corpus_dedup_chunks uses DISJOINT chunks because dedup
     must not double-count; retrieval wants overlap — both exist for
     that reason."""
-    t = load(spark, sf_dir, "documents").select(
-        "doc_id", _tokens_col().alias("toks")
-    ).withColumn("n", F.size("toks")).where(F.col("n") >= 1)
-    starts = t.select(
-        "doc_id",
-        "toks",
-        "n",
-        F.explode(
-            F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STRIDE))
-        ).alias("start"),
-    )
-    chunks = starts.select(
-        "doc_id",
-        F.expr(f"CAST((start - 1) div {CHUNK_STRIDE} AS BIGINT)").alias(
-            "chunk_idx"
-        ),
-        F.col("start").cast("long").alias("start_tok"),
-        F.slice(
-            "toks",
-            F.col("start"),
-            F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start") + 1),
-        ).alias("ctoks"),
-    )
-    return chunks.select(
+    return chunk_frame(spark, sf_dir).select(
         "doc_id",
         "chunk_idx",
         "start_tok",
