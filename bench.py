@@ -143,6 +143,7 @@ EXTRA = [
     "cdc_extract_roundtrip",
     "corpus_chunk_overlap",
     "ep11_rag_e2e",
+    "agg_hll_intersection",
     "agg_backtest_snaive",
     "agg_rolling_slope",
     "ep9_growth_e2e",

@@ -1012,3 +1012,56 @@ def prune_zorder_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return branch("bx", ZP_BX_LO, ZP_BX_HI).unionByName(
         branch("by", ZP_BY_LO, ZP_BY_HI)
     )
+
+
+# ---------------------------------------------- agg_hll_intersection
+
+@REG.op("agg_hll_intersection")  # rows-only: sketch estimates are
+# engine-specific; tests bound the intersection error vs the exact
+# semi-join count
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience OVERLAP from sketches — the question HLL union alone
+    can't answer (returning-customer counts, cross-campaign reach,
+    retention between periods): |A∩B| estimated by inclusion-exclusion
+    over three HLL estimates (|A| + |B| − |A∪B|, clipped at 0), with
+    the exact semi-join count beside it so the error is observable.
+    At 100 TB the exact path re-shuffles both periods' key universes
+    for EVERY pair of periods anyone asks about; the sketch path
+    answers any pair from the stored per-period sketch table in
+    sketch space — the same materialize-once argument as
+    agg_hll_union_rollup, extended from rollups to intersections.
+
+    Caveat the op makes measurable: inclusion-exclusion compounds
+    sketch error when the true intersection is small relative to the
+    sets — the emitted exact column is the audit for exactly that."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("y")
+    )
+    a = o.where(F.col("y") == 1996).select("o_custkey")
+    b = o.where(F.col("y") == 1997).select("o_custkey")
+    sk = (
+        a.agg(F.hll_sketch_agg("o_custkey").alias("sk_a"))
+        .crossJoin(b.agg(F.hll_sketch_agg("o_custkey").alias("sk_b")))
+        .select(
+            F.hll_sketch_estimate("sk_a").alias("est_a"),
+            F.hll_sketch_estimate("sk_b").alias("est_b"),
+            F.hll_sketch_estimate(
+                F.hll_union("sk_a", "sk_b")
+            ).alias("est_union"),
+        )
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                F.lit(0),
+            ).alias("est_intersection"),
+        )
+    )
+    exact = (
+        a.distinct()
+        .join(b.distinct(), "o_custkey", "left_semi")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return sk.crossJoin(F.broadcast(exact))

@@ -392,3 +392,19 @@ def test_chunk_overlap_covers_and_overlaps_exactly(spark):
     # overlap between consecutive full chunks is window - stride
     assert CHUNK_TOKENS - CHUNK_STRIDE == 16
     assert rows[0]["start_tok"] + rows[0]["n_tokens"] - rows[1]["start_tok"] == 16
+
+
+# ------------------------------------------------- agg_hll_intersection
+
+def test_hll_intersection_error_bounded(spark):
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        agg_hll_intersection,
+    )
+
+    row = agg_hll_intersection(spark, SF_SMALL).collect()[0]
+    exact = row["exact_intersection"]
+    assert exact > 0
+    # inclusion-exclusion compounds the ~2% per-sketch error; 10% is a
+    # loose cap that still catches a broken union or a sign mistake
+    assert abs(row["est_intersection"] - exact) / exact < 0.10
+    assert row["est_union"] <= row["est_a"] + row["est_b"]
