@@ -1299,8 +1299,8 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------- corpus_chunk_overlap
 
-CHUNK_TOKENS = 64   # retrieval chunk size, tokens
-CHUNK_STRIDE = 48   # stride between chunk starts (overlap = 16 tokens)
+RAG_CHUNK_TOKENS = 64   # retrieval chunk size, tokens
+RAG_CHUNK_STRIDE = 48   # stride between chunk starts (overlap = 16 tokens)
 
 # chunk-table CTE shared with ep11_rag_e2e's oracle: yields `chunks`
 # (doc_id, chunk_idx, start_tok, ctoks)
@@ -1309,15 +1309,15 @@ _CHUNKS_SQL = f"""
         SELECT doc_id, {_TOKENS_SQL} AS toks,
                len({_TOKENS_SQL}) AS n FROM documents
     ), chunk_starts AS (
-        SELECT doc_id, n, unnest(generate_series(1, n, {CHUNK_STRIDE}))
+        SELECT doc_id, n, unnest(generate_series(1, n, {RAG_CHUNK_STRIDE}))
                  AS start
         FROM chunk_t WHERE n >= 1
     ), chunks AS (
         SELECT s.doc_id,
-               CAST((s.start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST((s.start - 1) // {RAG_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
                CAST(s.start AS BIGINT) AS start_tok,
                list_slice(t.toks, s.start,
-                          least(s.start + {CHUNK_TOKENS} - 1, s.n))
+                          least(s.start + {RAG_CHUNK_TOKENS} - 1, s.n))
                  AS ctoks
         FROM chunk_starts s JOIN chunk_t t ON t.doc_id = s.doc_id
     )
@@ -1335,19 +1335,19 @@ def chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         "n",
         F.explode(
-            F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STRIDE))
+            F.sequence(F.lit(1), F.col("n"), F.lit(RAG_CHUNK_STRIDE))
         ).alias("start"),
     )
     return starts.select(
         "doc_id",
-        F.expr(f"CAST((start - 1) div {CHUNK_STRIDE} AS BIGINT)").alias(
+        F.expr(f"CAST((start - 1) div {RAG_CHUNK_STRIDE} AS BIGINT)").alias(
             "chunk_idx"
         ),
         F.col("start").cast("long").alias("start_tok"),
         F.slice(
             "toks",
             F.col("start"),
-            F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start") + 1),
+            F.least(F.lit(RAG_CHUNK_TOKENS), F.col("n") - F.col("start") + 1),
         ).alias("ctoks"),
     )
 
@@ -1365,8 +1365,8 @@ def chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-window document chunking — the RAG/embedding-prep
     splitter (every retrieval corpus is chunked before it is embedded;
-    the {CHUNK_TOKENS}-token window with a {CHUNK_STRIDE}-token stride
-    keeps {CHUNK_TOKENS - CHUNK_STRIDE} tokens of overlap so an answer
+    the {RAG_CHUNK_TOKENS}-token window with a {RAG_CHUNK_STRIDE}-token stride
+    keeps {RAG_CHUNK_TOKENS - RAG_CHUNK_STRIDE} tokens of overlap so an answer
     spanning a boundary survives in at least one chunk). Chunk starts
     are a sequence + explode, payloads one array slice each — all
     JVM-side; the md5 of each chunk's text is the content witness, so

@@ -367,8 +367,8 @@ def test_chunk_overlap_covers_and_overlaps_exactly(spark):
     1, 49, 97 -> lengths 64, 52, 4; consecutive full chunks share
     exactly window-stride = 16 tokens, and every token is covered."""
     from claim_analysis_engine_spark.operators.pipeline_ops import (
-        CHUNK_STRIDE,
-        CHUNK_TOKENS,
+        RAG_CHUNK_STRIDE,
+        RAG_CHUNK_TOKENS,
         corpus_chunk_overlap,
     )
 
@@ -390,7 +390,7 @@ def test_chunk_overlap_covers_and_overlaps_exactly(spark):
     # coverage: last token of the final chunk is token 100
     assert rows[-1]["start_tok"] + rows[-1]["n_tokens"] - 1 == 100
     # overlap between consecutive full chunks is window - stride
-    assert CHUNK_TOKENS - CHUNK_STRIDE == 16
+    assert RAG_CHUNK_TOKENS - RAG_CHUNK_STRIDE == 16
     assert rows[0]["start_tok"] + rows[0]["n_tokens"] - rows[1]["start_tok"] == 16
 
 
