@@ -144,6 +144,8 @@ EXTRA = [
     "corpus_chunk_overlap",
     "ep11_rag_e2e",
     "agg_hll_intersection",
+    "src_partition_evolution",
+    "sales_interpolate_linear",
     "agg_backtest_snaive",
     "agg_rolling_slope",
     "ep9_growth_e2e",

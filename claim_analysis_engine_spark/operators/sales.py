@@ -383,3 +383,143 @@ def agg_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(ape_bp) AS BIGINT) div count(*)").alias("mape_bp"),
         F.sum("over").alias("n_over_forecast"),
     )
+
+
+# ------------------------------------------------ sales_interpolate_linear
+
+INTERP_BUCKETS = 100  # sparse demand grain: ~40-60% of months missing
+
+
+@REG.op(
+    "sales_interpolate_linear",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(o_custkey % {INTERP_BUCKETS} AS BIGINT) AS bucket,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                 AS serial,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2
+    ), bounds AS (
+        SELECT min(serial) AS lo, max(serial) AS hi FROM m
+    ), spine AS (
+        SELECT b.bucket, s.serial
+        FROM (SELECT DISTINCT bucket FROM m) b,
+             (SELECT unnest(generate_series(lo, hi)) AS serial
+              FROM bounds) s
+    ), g AS (
+        SELECT sp.bucket, sp.serial, m.n,
+               max(CASE WHEN m.n IS NOT NULL THEN sp.serial END)
+                 OVER (PARTITION BY sp.bucket ORDER BY sp.serial
+                       ROWS UNBOUNDED PRECEDING) AS prev_serial,
+               min(CASE WHEN m.n IS NOT NULL THEN sp.serial END)
+                 OVER (PARTITION BY sp.bucket ORDER BY sp.serial
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS next_serial
+        FROM spine sp LEFT JOIN m ON m.bucket = sp.bucket
+                                 AND m.serial = sp.serial
+    )
+    SELECT g.bucket, g.serial,
+           CASE WHEN g.n IS NOT NULL THEN 'obs'
+                WHEN g.prev_serial IS NOT NULL AND g.next_serial IS NOT NULL
+                  THEN 'interp'
+                ELSE 'edge' END AS src,
+           CASE WHEN g.n IS NOT NULL THEN g.n * 1000
+                WHEN g.prev_serial IS NOT NULL AND g.next_serial IS NOT NULL
+                  THEN (p.n * (g.next_serial - g.serial)
+                        + q.n * (g.serial - g.prev_serial)) * 1000
+                       // (g.next_serial - g.prev_serial)
+                ELSE NULL END AS value_milli
+    FROM g
+    LEFT JOIN m p ON p.bucket = g.bucket AND p.serial = g.prev_serial
+    LEFT JOIN m q ON q.bucket = g.bucket AND q.serial = g.next_serial
+    """,
+)
+def sales_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR gap interpolation over a sparse monthly demand series —
+    the data-prep step between zero-fill (sales_gap_fill: absence
+    means zero) and model input (many forecasters need absence to
+    mean MISSING, bridged smoothly): per bucket, each missing month
+    takes the line between its nearest observed neighbors, emitted in
+    exact integer MILLI-units via one cross-multiplied floor division
+    (no float ratio can round differently per engine). Months before
+    the first / after the last observation stay null ('edge') — honest
+    extrapolation refusal, flagged not faked.
+
+    The nearest-observed-neighbor lookup is the portable idiom: a
+    running max/min of observed serials (two frame windows), then the
+    neighbor VALUES arrive by equi-join on (bucket, neighbor serial)
+    — no IGNORE NULLS window support required of either engine.
+
+    Scale: the spine is |buckets| × |months| (grain-sized, fact-size
+    independent); two window passes over one bucket partitioning and
+    two grain-sized equi-joins. The same plan interpolates any metric
+    at any grain."""
+    o = load(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            (F.col("o_custkey") % INTERP_BUCKETS).cast("long").alias("bucket"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("serial"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = m.agg(
+        F.min("serial").alias("lo"), F.max("serial").alias("hi")
+    )
+    spine = (
+        m.select("bucket")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "bucket",
+            F.explode(F.sequence("lo", "hi")).alias("serial"),
+        )
+    )
+    g = spine.join(m, ["bucket", "serial"], "left")
+    wb = W.partitionBy("bucket").orderBy("serial")
+    obs_serial = F.when(F.col("n").isNotNull(), F.col("serial"))
+    g = g.select(
+        "bucket",
+        "serial",
+        "n",
+        F.max(obs_serial)
+        .over(wb.rowsBetween(W.unboundedPreceding, 0))
+        .alias("prev_serial"),
+        F.min(obs_serial)
+        .over(wb.rowsBetween(0, W.unboundedFollowing))
+        .alias("next_serial"),
+    )
+    p = m.select(
+        F.col("bucket"),
+        F.col("serial").alias("prev_serial"),
+        F.col("n").alias("pn"),
+    )
+    q = m.select(
+        F.col("bucket"),
+        F.col("serial").alias("next_serial"),
+        F.col("n").alias("qn"),
+    )
+    j = g.join(p, ["bucket", "prev_serial"], "left").join(
+        q, ["bucket", "next_serial"], "left"
+    )
+    interp_ok = F.col("prev_serial").isNotNull() & F.col(
+        "next_serial"
+    ).isNotNull()
+    return j.select(
+        "bucket",
+        "serial",
+        F.when(F.col("n").isNotNull(), "obs")
+        .when(interp_ok, "interp")
+        .otherwise("edge")
+        .alias("src"),
+        F.when(F.col("n").isNotNull(), F.col("n") * 1000)
+        .when(
+            interp_ok,
+            F.expr(
+                "(pn * (next_serial - serial) + qn * (serial - prev_serial))"
+                " * 1000 div (next_serial - prev_serial)"
+            ),
+        )
+        .alias("value_milli"),
+    )

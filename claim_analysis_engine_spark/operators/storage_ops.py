@@ -997,3 +997,129 @@ def snk_manifest_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return read_as_of(1).unionByName(read_as_of(2))
+
+
+# ---------------------------------------------- src_partition_evolution
+
+PE_SPLIT_YEAR = 1998  # generations: < split by year; >= split by (year, month)
+PE_QUERY_MONTH = 6
+
+# (gen1 root, gen2 root, dir counts) per (session, sf_dir) — the
+# two-generation layout is written once and queried many times (the
+# prune_file_stats layout-memo lesson)
+_PEVOLVE_MEMO: dict[tuple, tuple] = {}
+_PEVOLVE_MEMO_MAX = 4
+
+
+@REG.op(
+    "src_partition_evolution",
+    oracle=f"""
+    WITH g1 AS (
+        SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+               o_totalprice
+        FROM orders WHERE year(o_orderdate) < {PE_SPLIT_YEAR}
+    ), g2 AS (
+        SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+               o_totalprice
+        FROM orders WHERE year(o_orderdate) >= {PE_SPLIT_YEAR}
+    )
+    SELECT 'year-only' AS gen,
+           (SELECT CAST(count(DISTINCT y) AS BIGINT) FROM g1) AS n_dirs_total,
+           (SELECT CAST(count(DISTINCT y) AS BIGINT) FROM g1) AS n_dirs_read,
+           count(*) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM g1 WHERE m = {PE_QUERY_MONTH}
+    UNION ALL
+    SELECT 'year-month' AS gen,
+           (SELECT CAST(count(DISTINCT (y, m)) AS BIGINT) FROM g2),
+           (SELECT CAST(count(DISTINCT y) AS BIGINT) FROM g2
+             WHERE m = {PE_QUERY_MONTH}),
+           count(*),
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+    FROM g2 WHERE m = {PE_QUERY_MONTH}
+    """,
+)
+def src_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SCHEME evolution — the sibling of src_schema_evolution
+    for the layout axis: the table's early generation was partitioned
+    by year only, the later one by (year, month) (finer partitioning
+    is the standard response to growth), and the same logical query —
+    "all Junes" — prunes ASYMMETRICALLY: the year-month generation
+    reads only its month=6 directories while the year-only generation
+    must read every directory and row-filter. The op runs the query
+    against both generations and emits each one's directory counts
+    (total vs read, derived from the same directory listing Spark's
+    FileIndex scans) beside the answer; the oracle recomputes BOTH the
+    pruning arithmetic and the answers from the raw table. This is the
+    measured argument for (and honest cost of) partition evolution:
+    old data keeps its coarse layout until a compaction rewrite pays
+    to re-partition it.
+
+    Plan note (asserted in tests): the year-month scan carries the
+    month predicate in PartitionFilters; the year-only scan can only
+    carry it as a data Filter."""
+    import os
+
+    from claim_analysis_engine_spark.tables import session_memo_key
+
+    memo_key = session_memo_key(spark, sf_dir)
+    if memo_key not in _PEVOLVE_MEMO:
+        root = tempfile.mkdtemp(prefix="cae_spark_pevolve_")
+        g1_root = os.path.join(root, "gen1")
+        g2_root = os.path.join(root, "gen2")
+        o = load(spark, sf_dir, "orders").select(
+            "o_totalprice",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        (
+            o.where(F.col("y") < PE_SPLIT_YEAR)
+            .repartition("y")
+            .write.partitionBy("y")
+            .mode("overwrite")
+            .parquet(g1_root)
+        )
+        (
+            o.where(F.col("y") >= PE_SPLIT_YEAR)
+            .repartition("y", "m")
+            .write.partitionBy("y", "m")
+            .mode("overwrite")
+            .parquet(g2_root)
+        )
+        if len(_PEVOLVE_MEMO) >= _PEVOLVE_MEMO_MAX:
+            _PEVOLVE_MEMO.pop(next(iter(_PEVOLVE_MEMO)))
+        _PEVOLVE_MEMO[memo_key] = (g1_root, g2_root)
+    g1_root, g2_root = _PEVOLVE_MEMO[memo_key]
+
+    g1_dirs = [d for d in os.listdir(g1_root) if d.startswith("y=")]
+    g2_dirs = [
+        (yd, md)
+        for yd in os.listdir(g2_root)
+        if yd.startswith("y=")
+        for md in os.listdir(os.path.join(g2_root, yd))
+        if md.startswith("m=")
+    ]
+    g2_read = [(yd, md) for yd, md in g2_dirs if md == f"m={PE_QUERY_MONTH}"]
+
+    def answer(df, gen, n_total, n_read):
+        return df.agg(
+            F.lit(gen).alias("gen"),
+            F.lit(n_total).cast("long").alias("n_dirs_total"),
+            F.lit(n_read).cast("long").alias("n_dirs_read"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+
+    # year-only generation: month can only be a row filter
+    q1 = spark.read.parquet(g1_root).where(F.col("m") == PE_QUERY_MONTH)
+    # year-month generation: month prunes partitions
+    q2 = spark.read.parquet(g2_root).where(F.col("m") == PE_QUERY_MONTH)
+    return answer(q1, "year-only", len(g1_dirs), len(g1_dirs)).unionByName(
+        answer(q2, "year-month", len(g2_dirs), len(g2_read))
+    )

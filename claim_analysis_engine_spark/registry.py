@@ -157,10 +157,12 @@ def registry() -> dict[str, Op]:
 #   agg_supply_risk agg_cumulative_distinct agg_seasonal_index
 #   agg_backlog_aging sim_nprobe_sweep corpus_bpe_encode
 #   evt_alert_throttle emb_pca_project cdc_extract_roundtrip
-#   corpus_chunk_overlap ep11_rag_e2e agg_hll_intersection (the last
-#   seven added after the list above was counted; the oracle-bearing
-#   ones among them — throttle, cdc, chunk, ep11 — should displace
-#   tail aggregates in the round-9 front)
+#   corpus_chunk_overlap ep11_rag_e2e agg_hll_intersection
+#   src_partition_evolution sales_interpolate_linear (the last nine
+#   added after the list above was counted; the oracle-bearing ones
+#   among them — throttle, cdc, chunk, ep11, partition-evolution,
+#   interpolation — should displace tail aggregates in the round-9
+#   front)
 ROUND8_FRONT: tuple[str, ...] = (
     # re-certification of the r7 silent-data-loss FAIL
     "ep1_ingest_e2e",

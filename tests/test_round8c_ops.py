@@ -408,3 +408,64 @@ def test_hll_intersection_error_bounded(spark):
     # loose cap that still catches a broken union or a sign mistake
     assert abs(row["est_intersection"] - exact) / exact < 0.10
     assert row["est_union"] <= row["est_a"] + row["est_b"]
+
+
+# ------------------------------------------------ src_partition_evolution
+
+def test_partition_evolution_prunes_only_the_fine_generation(spark):
+    from claim_analysis_engine_spark.operators.storage_ops import (
+        src_partition_evolution,
+    )
+
+    out = {r["gen"]: r for r in src_partition_evolution(spark, SF_SMALL).collect()}
+    coarse, fine = out["year-only"], out["year-month"]
+    # the coarse generation cannot prune a month query: reads every dir
+    assert coarse["n_dirs_read"] == coarse["n_dirs_total"]
+    # the fine generation reads exactly its month=6 dirs — one per year
+    assert 1 <= fine["n_dirs_read"] < fine["n_dirs_total"]
+    assert fine["n_dirs_total"] >= 12 * fine["n_dirs_read"] - 12
+    assert coarse["n_rows"] > 0 and fine["n_rows"] > 0
+
+
+# --------------------------------------------- sales_interpolate_linear
+
+def test_interpolation_is_exact_on_a_planted_gap(spark):
+    """Bucket with 10 orders in Jan and 30 in May 1997, nothing
+    between: Feb/Mar/Apr interpolate to 15/20/25 (milli 15000/20000/
+    25000); months outside the observed span are 'edge' with null."""
+    from claim_analysis_engine_spark.operators.sales import (
+        sales_interpolate_linear,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cae_planted_interp_")
+    rows = []
+    ok = 0
+    for _ in range(10):
+        ok += 1
+        rows.append((ok, 5, "F", 100.0, datetime.date(1997, 1, 15), "1-URGENT"))
+    for _ in range(30):
+        ok += 1
+        rows.append((ok, 5, "F", 100.0, datetime.date(1997, 5, 15), "1-URGENT"))
+    # a second bucket extends the global spine beyond bucket 5's span
+    ok += 1
+    rows.append((ok, 6, "F", 100.0, datetime.date(1996, 12, 1), "1-URGENT"))
+    odf = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    _stage(odf, tmp, "orders")
+    out = {
+        (r["bucket"], r["serial"]): r
+        for r in sales_interpolate_linear(spark, tmp).collect()
+    }
+    jan = 1997 * 12 + 1
+    assert out[(5, jan)]["src"] == "obs"
+    assert out[(5, jan)]["value_milli"] == 10_000
+    for off, milli in ((1, 15_000), (2, 20_000), (3, 25_000)):
+        assert out[(5, jan + off)]["src"] == "interp"
+        assert out[(5, jan + off)]["value_milli"] == milli
+    assert out[(5, jan + 4)]["value_milli"] == 30_000
+    # Dec 1996 precedes bucket 5's first observation -> edge, null
+    assert out[(5, jan - 1)]["src"] == "edge"
+    assert out[(5, jan - 1)]["value_milli"] is None
