@@ -128,6 +128,17 @@ SINK_OPS = [
     "evt_join_stream",
     "evt_mart_refresh_stream",
     "evt_scd2_refresh_stream",
+    # round-8 sink/layout surface
+    "src_jsonl_roundtrip",
+    "snk_csv_roundtrip",
+    "src_logs_parse",
+    "dedup_audit_hub",
+    "snk_manifest_publish",
+    "snk_manifest_timetravel",
+    "prune_file_stats",
+    "prune_zorder_2d",
+    "src_partition_evolution",
+    "evt_enrich_stream",
 ]
 
 
