@@ -1240,14 +1240,23 @@ def evt_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT s1 + 1, -1, user_id, session_id FROM sess
     ), swept AS (
-        SELECT t,
+        SELECT t, delta,
                CAST(sum(delta) OVER (ORDER BY t, delta, user_id, session_id)
                     AS BIGINT) AS concurrency
         FROM bounds
+    ), per_day AS (
+        SELECT strftime(to_timestamp(t), '%Y-%m-%d') AS day,
+               max(concurrency) AS day_max,
+               sum(delta) AS day_delta
+        FROM swept GROUP BY 1
     )
-    SELECT strftime(to_timestamp(t), '%Y-%m-%d') AS day,
-           CAST(max(concurrency) AS BIGINT) AS peak_concurrent
-    FROM swept GROUP BY 1
+    SELECT day,
+           CAST(greatest(day_max,
+                COALESCE(sum(day_delta) OVER (ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0))
+                AS BIGINT) AS peak_concurrent
+    FROM per_day
     """,
 )
 def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1255,12 +1264,18 @@ def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     number, computed by the classic SWEEP LINE: each session (gap-
     based, the evt_sessionize construction) emits +1 at its start and
     −1 one second after its end; the running sum over the globally
-    time-ordered boundary stream IS the concurrency curve, and the
-    daily max reads it at the day's boundaries (concurrency only
-    changes at boundaries, and the cumulative sum carries sessions
-    spanning midnight into the next day automatically). Ends sort
-    before starts at the same second (delta ascending), so
-    back-to-back sessions don't double-count.
+    time-ordered boundary stream IS the concurrency curve. The daily
+    peak is max(carried-in level at the day's start, levels at the
+    day's own boundaries): concurrency only changes at boundaries,
+    but a day whose FIRST boundary is an ending would otherwise
+    report the post-decrement level and miss the higher carried-in
+    plateau (5 sessions all ending on day D must read peak 5, not
+    4). The carried-in level is the running sum of all prior days'
+    delta totals — a day-grain window, no second sweep. Days with no
+    boundary at all emit no row (their level is the previous day's
+    carry-out, constant all day). Ends sort before starts at the
+    same second (delta ascending), so back-to-back sessions don't
+    double-count.
 
     Scale: the boundary stream is 2×|sessions| rows — tiny next to
     the event table; the one global-order window serializes it
@@ -1299,15 +1314,26 @@ def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     swept = bounds.select(
         "t",
+        "delta",
         F.sum("delta")
         .over(W.orderBy("t", "delta", "user_id", "session_id"))
         .alias("concurrency"),
     )
-    return (
-        swept.groupBy(
-            F.date_format(F.timestamp_seconds("t"), "yyyy-MM-dd").alias("day")
-        )
-        .agg(F.max("concurrency").alias("peak_concurrent"))
+    per_day = swept.groupBy(
+        F.date_format(F.timestamp_seconds("t"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.max("concurrency").alias("day_max"),
+        F.sum("delta").alias("day_delta"),
+    )
+    carried_in = (
+        F.sum("day_delta")
+        .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, -1))
+    )
+    return per_day.select(
+        "day",
+        F.greatest(
+            F.col("day_max"), F.coalesce(carried_in, F.lit(0))
+        ).alias("peak_concurrent"),
     )
 
 

@@ -1094,6 +1094,8 @@ def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_MERGES = 20       # merge-table size to learn
 BPE_MIN_PAIR = 2      # stop early when the best pair occurs < this
+BPE_BATCH = 8         # max compatible merges applied per round
+BPE_CAND_WINDOW = BPE_BATCH * 8  # ranked candidates considered per round
 
 
 def _bpe_apply_merge(sym_col: F.Column, a: str, b: str) -> F.Column:
@@ -1125,24 +1127,35 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pair's corpus count is its per-word count weighted by word
     frequency), and each round is one map-side-combinable weighted
     pair count over it. Per round: explode adjacent symbol pairs,
-    sum(freq) per pair, take the single most frequent (count desc,
-    then lexicographic (left, right) — byte-deterministic), apply the
-    merge to every word's segmentation with one array fold (no UDF,
-    no Python in the data path), localCheckpoint the tiny frame so
-    plan depth stays O(1) across rounds. The merge pair itself is the
-    round's model state: two string literals — constant plan size,
-    the legitimate literal case (vs the broadcast-DATA rule for
-    model-sized state).
+    sum(freq) per pair, then BATCH up to BPE_BATCH pairwise-
+    NON-INTERACTING merges from the top-BPE_CAND_WINDOW ranked
+    candidates (count desc, then lexicographic (left, right) —
+    byte-deterministic) and apply them all in one pass of nested
+    array folds (no UDF, no Python in the data path),
+    localCheckpoint the tiny frame once per round so plan depth
+    stays O(1). Two merges are non-interacting when their symbol
+    sets AND merged tokens are disjoint — then neither can create,
+    destroy, or consume an adjacency the other counts, so every
+    recorded pair_count is still the pair's EXACT corpus count at
+    application time; conflicting pairs are deferred to the next
+    round's refreshed statistics. Each merge pair is two string
+    literals — constant plan size, the legitimate literal case (vs
+    the broadcast-DATA rule for model-sized state).
 
-    At 100 TB the same loop runs on the same vocab-sized frame (the
-    corpus is touched ONCE to build word counts); production batches
-    non-interacting top-N merges per round to cut round count — noted
-    here, single-merge rounds kept for exact classic-BPE parity.
-    Stops early when the best pair's corpus count drops below
-    BPE_MIN_PAIR (nothing left worth merging). The finished merge
-    table is memoized per (session, corpus) and shared with
-    corpus_bpe_encode — the lifecycle's two halves pay for one
-    induction."""
+    Batching is what makes the schedule scale: classic single-merge
+    rounds pay one Spark job PER MERGE (a 2,000-merge production
+    vocabulary = 2,000 sequential job floors); batched rounds pay
+    one job per ~BPE_BATCH merges with the same exactness guarantee
+    above. The selection can differ from classic BPE only in merge
+    ORDER (a pair newly created by an in-batch merge waits one
+    round); tests/test_bpe.py pins the table against a pure-Python
+    twin of THIS batched algorithm. At 100 TB the same loop runs on
+    the same vocab-sized frame (the corpus is touched ONCE to build
+    word counts). Stops early when the best pair's corpus count
+    drops below BPE_MIN_PAIR (nothing left worth merging). The
+    finished merge table is memoized per (session, corpus) and
+    shared with corpus_bpe_encode — the lifecycle's two halves pay
+    for one induction."""
     _MERGE_SCHEMA = (
         "rank int, left string, right string, merged string, pair_count bigint"
     )
@@ -1166,7 +1179,7 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w", "freq", F.expr("filter(split(w, ''), x -> x <> '')").alias("sym")
         ).localCheckpoint()
         merges: list[tuple] = []
-        for rank in range(1, BPE_MERGES + 1):
+        while len(merges) < BPE_MERGES:
             pairs = seg.where(F.size("sym") >= 2).select(
                 "freq",
                 F.explode(
@@ -1177,28 +1190,44 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("p"),
             )
-            top = (
+            ranked = (
                 pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
                 .agg(F.sum("freq").alias("c"))
                 .orderBy(F.col("c").desc(), "a", "b")
-                .limit(1)
+                .limit(BPE_CAND_WINDOW)  # TakeOrdered; candidate window
                 .collect()
             )
-            if not top or top[0]["c"] < BPE_MIN_PAIR:
+            # fill the round's batch: accept ranked pairs whose symbols
+            # and merged token are disjoint from everything already
+            # accepted this round (see docstring for why that keeps
+            # counts exact); conflicting pairs wait for fresh counts
+            accepted: list[tuple[str, str, int]] = []
+            used: set[str] = set()
+            for r in ranked:
+                if r["c"] < BPE_MIN_PAIR or len(merges) + len(accepted) >= BPE_MERGES:
+                    break
+                if len(accepted) >= BPE_BATCH:
+                    break
+                a, b = r["a"], r["b"]
+                if a in used or b in used or (a + b) in used:
+                    continue
+                accepted.append((a, b, int(r["c"])))
+                used.update((a, b, a + b))
+            if not accepted:
                 break
-            a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
-            merges.append((rank, a, b, a + b, c))
-            seg = seg.select(
-                "w", "freq", _bpe_apply_merge(F.col("sym"), a, b).alias("sym")
+            sym_col = F.col("sym")
+            for a, b, c in accepted:
+                merges.append((len(merges) + 1, a, b, a + b, c))
+                sym_col = _bpe_apply_merge(sym_col, a, b)
+            # one pass applies the whole batch (nested folds), one
+            # checkpoint per round keeps plan depth O(1) across rounds.
+            # Fully-merged words (one symbol) can never pair again and
+            # drop out of the working set for good.
+            seg = (
+                seg.select("w", "freq", sym_col.alias("sym"))
+                .where(F.size("sym") >= 2)
+                .localCheckpoint()
             )
-            # checkpoint every few rounds, not every round: un-checked
-            # rounds just stack a handful of array folds (re-run on a
-            # vocab-sized frame, cheap), while each localCheckpoint is
-            # a full job — 4 materializations instead of 20 halves the
-            # wall clock. Fully-merged words (one symbol) can never
-            # pair again and drop out of the working set for good.
-            if rank % 5 == 0:
-                seg = seg.where(F.size("sym") >= 2).localCheckpoint()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if len(_BPE_MERGE_MEMO) >= _BPE_MERGE_MEMO_MAX:

@@ -12,6 +12,7 @@ deployment makes up front.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -844,7 +845,10 @@ def prune_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()  # file-count-sized (83 rows here; KBs at 100 TB)
         )
         if len(_FILESKIP_MEMO) >= _FILESKIP_MEMO_MAX:
-            _FILESKIP_MEMO.pop(next(iter(_FILESKIP_MEMO)))
+            # the evicted layout dir is session-private — reclaim it,
+            # or long pytest/driver sessions orphan multi-MB trees
+            evicted_dir, _ = _FILESKIP_MEMO.pop(next(iter(_FILESKIP_MEMO)))
+            shutil.rmtree(evicted_dir, ignore_errors=True)
         _FILESKIP_MEMO[memo_key] = (out, stats)
     out, stats = _FILESKIP_MEMO[memo_key]
     d1, d2 = F.lit(FS_D1).cast("date"), F.lit(FS_D2).cast("date")
@@ -986,7 +990,8 @@ def prune_zorder_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         if len(_ZORDER_MEMO) >= _ZORDER_MEMO_MAX:
-            _ZORDER_MEMO.pop(next(iter(_ZORDER_MEMO)))
+            evicted_dir, _ = _ZORDER_MEMO.pop(next(iter(_ZORDER_MEMO)))
+            shutil.rmtree(evicted_dir, ignore_errors=True)
         _ZORDER_MEMO[memo_key] = (out, stats)
     out, stats = _ZORDER_MEMO[memo_key]
     n_total = len(stats)

@@ -14,6 +14,7 @@ appears here.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1088,7 +1089,11 @@ def src_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(g2_root)
         )
         if len(_PEVOLVE_MEMO) >= _PEVOLVE_MEMO_MAX:
-            _PEVOLVE_MEMO.pop(next(iter(_PEVOLVE_MEMO)))
+            # reclaim the evicted session-private layout dirs — long
+            # pytest/driver sessions would otherwise orphan them
+            old_g1, old_g2 = _PEVOLVE_MEMO.pop(next(iter(_PEVOLVE_MEMO)))
+            shutil.rmtree(old_g1, ignore_errors=True)
+            shutil.rmtree(old_g2, ignore_errors=True)
         _PEVOLVE_MEMO[memo_key] = (g1_root, g2_root)
     g1_root, g2_root = _PEVOLVE_MEMO[memo_key]
 

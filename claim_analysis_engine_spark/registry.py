@@ -117,10 +117,10 @@ def registry() -> dict[str, Op]:
                 raise ValueError(f"duplicate op id across modules: {op_id!r}")
             merged[op_id] = op
 
-    missing = [op_id for op_id in ROUND8_FRONT if op_id not in merged]
+    missing = [op_id for op_id in ROUND9_FRONT if op_id not in merged]
     if missing:  # a typo here would silently shrink the sampling window
-        raise ValueError(f"ROUND8_FRONT ids not in registry: {missing}")
-    front = {op_id: merged[op_id] for op_id in ROUND8_FRONT}
+        raise ValueError(f"ROUND9_FRONT ids not in registry: {missing}")
+    front = {op_id: merged[op_id] for op_id in ROUND9_FRONT}
     front.update((op_id, op) for op_id, op in merged.items() if op_id not in front)
     return front
 
@@ -133,36 +133,6 @@ def registry() -> dict[str, Op]:
 # the driver's 50-slot window for every entry to get a row.
 # Ops added AFTER this list filled fall outside the window by
 # construction — covered by the local DuckDB parity suite this round.
-# EXACTLY 57 registered ops have never had a driver row (56 with
-# oracles + sim_nprobe_sweep rows-only); one 50-slot window cannot
-# hold them all. ROUND9_FRONT should take the first 50 of this list
-# (capstones + storage round-trips + scale patterns + the late
-# analytics panels, oracle-bearing before rows-only); the last 7 ride
-# the round-10 rotation together with any round-9 additions:
-#   src_jsonl_roundtrip snk_csv_roundtrip dedup_audit_hub
-#   src_logs_parse snk_manifest_publish snk_manifest_timetravel
-#   prune_file_stats prune_zorder_2d evt_enrich_stream
-#   ep9_growth_e2e ep10_ops_e2e join_bloom_prefilter agg_heavy_hitters
-#   join_interval_overlap join_asof_tolerance join_star_flatten
-#   graph_pagerank graph_triangles graph_link_predict
-#   agg_backtest_snaive agg_rolling_slope agg_discount_elasticity
-#   agg_cycle_time emb_norm_profile txt_winnowing corpus_length_hist
-#   corpus_vocab_coverage agg_ohlc_daily evt_power_users_rolling
-#   evt_anomaly_mad evt_streaks evt_bot_detection evt_heatmap_profile
-#   evt_gap_hist evt_stickiness evt_conversion_lag evt_peak_concurrency
-#   evt_path_topk evt_ab_lift agg_percentiles agg_gini cust_rfm
-#   agg_basket_pairs agg_benford agg_pareto dq_freshness agg_cohort_ltv
-#   agg_abc_class agg_survival_km dq_column_profile
-#   -- round-10 tail: agg_new_vs_returning agg_return_rates
-#   agg_supply_risk agg_cumulative_distinct agg_seasonal_index
-#   agg_backlog_aging sim_nprobe_sweep corpus_bpe_encode
-#   evt_alert_throttle emb_pca_project cdc_extract_roundtrip
-#   corpus_chunk_overlap ep11_rag_e2e agg_hll_intersection
-#   src_partition_evolution sales_interpolate_linear (the last nine
-#   added after the list above was counted; the oracle-bearing ones
-#   among them — throttle, cdc, chunk, ep11, partition-evolution,
-#   interpolation — should displace tail aggregates in the round-9
-#   front)
 ROUND8_FRONT: tuple[str, ...] = (
     # re-certification of the r7 silent-data-loss FAIL
     "ep1_ingest_e2e",
@@ -226,4 +196,86 @@ ROUND8_FRONT: tuple[str, ...] = (
     "agg_decay_recency",
     "corpus_bpe_train",
     "sim_mips_topk",
+)
+
+# Exact driver-sampling order for round 9. After round 8 closed, EXACTLY
+# 66 registered ops had never had a driver row (62 with oracles + 4
+# rows-only: sim_nprobe_sweep, corpus_bpe_encode, emb_pca_project,
+# agg_hll_intersection). One 50-slot window cannot hold them all;
+# ROUND9_FRONT takes 50 — capstones, storage round-trips, the lakehouse
+# layer, scale-pattern joins, graph analytics, the late analytics
+# panels, and the six oracle-bearing round-8-session-3 ops
+# (evt_alert_throttle, cdc_extract_roundtrip, corpus_chunk_overlap,
+# ep11_rag_e2e, src_partition_evolution, sales_interpolate_linear),
+# which displace six tail aggregates per the round-8 plan. The 16-op
+# round-10 tail (the displaced aggregates + the rows-only quartet +
+# the remaining late aggregates) rides the round-10 rotation together
+# with any round-9 additions:
+#   agg_basket_pairs agg_benford agg_pareto agg_cohort_ltv
+#   agg_abc_class agg_survival_km agg_new_vs_returning agg_return_rates
+#   agg_supply_risk agg_cumulative_distinct agg_seasonal_index
+#   agg_backlog_aging sim_nprobe_sweep corpus_bpe_encode
+#   emb_pca_project agg_hll_intersection
+# Every op stays covered every suite run by the local DuckDB-oracle
+# replica (tests/test_oracle_parity.py) regardless of position.
+ROUND9_FRONT: tuple[str, ...] = (
+    # capstones (end-to-end lifecycles)
+    "ep9_growth_e2e",
+    "ep10_ops_e2e",
+    "ep11_rag_e2e",
+    # storage round-trips
+    "src_jsonl_roundtrip",
+    "snk_csv_roundtrip",
+    "src_logs_parse",
+    "dedup_audit_hub",
+    # lakehouse layer
+    "snk_manifest_publish",
+    "snk_manifest_timetravel",
+    "prune_file_stats",
+    "prune_zorder_2d",
+    "src_partition_evolution",
+    "cdc_extract_roundtrip",
+    # scale-pattern joins / aggregates
+    "join_bloom_prefilter",
+    "agg_heavy_hitters",
+    "join_interval_overlap",
+    "join_asof_tolerance",
+    "join_star_flatten",
+    # graph analytics
+    "graph_pagerank",
+    "graph_triangles",
+    "graph_link_predict",
+    # time-series / sales panels
+    "agg_backtest_snaive",
+    "agg_rolling_slope",
+    "agg_discount_elasticity",
+    "agg_cycle_time",
+    "sales_interpolate_linear",
+    "agg_ohlc_daily",
+    # corpus / embedding panels
+    "emb_norm_profile",
+    "txt_winnowing",
+    "corpus_length_hist",
+    "corpus_vocab_coverage",
+    "corpus_chunk_overlap",
+    # event analytics panels
+    "evt_power_users_rolling",
+    "evt_anomaly_mad",
+    "evt_streaks",
+    "evt_bot_detection",
+    "evt_heatmap_profile",
+    "evt_gap_hist",
+    "evt_stickiness",
+    "evt_conversion_lag",
+    "evt_peak_concurrency",
+    "evt_path_topk",
+    "evt_ab_lift",
+    "evt_alert_throttle",
+    "evt_enrich_stream",
+    # customer / dq panels
+    "agg_percentiles",
+    "agg_gini",
+    "cust_rfm",
+    "dq_freshness",
+    "dq_column_profile",
 )

@@ -1,8 +1,10 @@
 """corpus_bpe_train golden check: the distributed merge table must be
-IDENTICAL to an independent pure-Python classic-BPE implementation run
-on the same word frequencies (greedy single-merge rounds, count-desc
-then lexicographic tiebreak). Byte-determinism across two Spark runs
-follows from the same comparison."""
+IDENTICAL to an independent pure-Python BATCHED-BPE implementation run
+on the same word frequencies (per round: rank pairs count-desc then
+lexicographic, accept up to BPE_BATCH pairwise-non-interacting merges
+from the top-BPE_CAND_WINDOW candidates, apply them all, refresh).
+Byte-determinism across two Spark runs follows from the same
+comparison."""
 
 from __future__ import annotations
 
@@ -11,6 +13,8 @@ from collections import Counter
 import duckdb
 
 from claim_analysis_engine_spark.operators.pipeline_ops import (
+    BPE_BATCH,
+    BPE_CAND_WINDOW,
     BPE_MERGES,
     BPE_MIN_PAIR,
     corpus_bpe_train,
@@ -18,31 +22,49 @@ from claim_analysis_engine_spark.operators.pipeline_ops import (
 from tests.conftest import SF_SMALL
 
 
+def _apply_merge(sym: list[str], a: str, b: str) -> list[str]:
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
 def _python_bpe(word_freqs: dict[str, int], n_merges: int) -> list[tuple]:
+    """Batched BPE, the engine's exact algorithm: per round, accept up
+    to BPE_BATCH symbol-disjoint merges from the top-BPE_CAND_WINDOW
+    ranked pairs; disjointness (symbols AND merged tokens) keeps every
+    recorded count exact at application time."""
     segs = {w: list(w) for w in word_freqs}
-    merges = []
-    for rank in range(1, n_merges + 1):
+    merges: list[tuple] = []
+    while len(merges) < n_merges:
         counts: Counter = Counter()
         for w, sym in segs.items():
             f = word_freqs[w]
             for i in range(len(sym) - 1):
                 counts[(sym[i], sym[i + 1])] += f
-        if not counts:
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        ranked = ranked[:BPE_CAND_WINDOW]
+        accepted, used = [], set()
+        for (a, b), c in ranked:
+            if c < BPE_MIN_PAIR or len(merges) + len(accepted) >= n_merges:
+                break
+            if len(accepted) >= BPE_BATCH:
+                break
+            if a in used or b in used or (a + b) in used:
+                continue
+            accepted.append((a, b, c))
+            used.update((a, b, a + b))
+        if not accepted:
             break
-        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        if c < BPE_MIN_PAIR:
-            break
-        merges.append((rank, a, b, a + b, c))
-        for w, sym in segs.items():
-            out, i = [], 0
-            while i < len(sym):
-                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(sym[i])
-                    i += 1
-            segs[w] = out
+        for a, b, c in accepted:
+            merges.append((len(merges) + 1, a, b, a + b, c))
+            for w, sym in segs.items():
+                segs[w] = _apply_merge(sym, a, b)
     return merges
 
 

@@ -139,7 +139,27 @@ SINK_OPS = [
     "prune_zorder_2d",
     "src_partition_evolution",
     "evt_enrich_stream",
+    # pattern-rule completion (see test_sink_ops_list_cannot_lag):
+    # testdata readers + the partition-pruned scan + the CDC merge
+    "src_parquet_part",
+    "src_parquet_cols",
+    "prune_partition",
+    "merge_cdc_tombstone",
 ]
+
+
+def test_sink_ops_list_cannot_lag():
+    """Registry-driven completeness rule: any op whose id says it
+    writes or reads a sink/layout (snk_/src_/prune_/merge_) MUST be in
+    SINK_OPS — a new sink op added without default-session coverage is
+    exactly how the round-7 bug class would sneak back in. (Stream
+    gates and e2e capstones don't share a prefix; they're enumerated
+    above by hand.)"""
+    import re
+
+    pat = re.compile(r"^(snk_|src_|prune_|merge_)")
+    lagging = [o for o in registry() if pat.match(o) and o not in SINK_OPS]
+    assert not lagging, f"sink-pattern ops missing from SINK_OPS: {lagging}"
 
 
 @pytest.fixture(scope="module")

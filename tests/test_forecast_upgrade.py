@@ -260,3 +260,40 @@ def test_real_catboost_fits_and_forecasts():
 def test_real_lstm_fits_and_forecasts():
     fc = fm.LSTMSlot(lookback=6, hidden_size=16, epochs=10).fit(Y).predict(3)
     assert fc.shape == (3,) and np.all(np.isfinite(fc)) and np.all(fc >= 0)
+
+
+# The engagement + quality contract: with a real library present,
+# slot_factory must return the UPGRADED class (not the stand-in), and
+# the upgraded model's holdout RMSE must match-or-beat the numpy
+# stand-in within a 1.5× tolerance on the golden series — "the upgrade
+# engaged and is at least as good" becomes self-verifying the day the
+# environment allows the install, instead of an unverifiable claim.
+
+def _holdout_rmse(model) -> float:
+    y_train, y_test = Y[:-3], Y[-3:]
+    fc = model.fit(y_train).predict(3)
+    return fm.rmse(y_test, fc)
+
+
+@pytest.mark.skipif(not fm.HAVE_STATSMODELS, reason="statsmodels not installed")
+def test_upgraded_sarimax_engages_and_matches_numpy_golden():
+    assert fm.slot_factory("hw") is fm.SarimaxSlot
+    up = _holdout_rmse(fm.SarimaxSlot(order=(1, 1, 1), seasonal_order=(0, 1, 1, 12)))
+    base = _holdout_rmse(fm.NumpySarimax(order=(1, 1, 1), seasonal_order=(0, 1, 1, 12)))
+    assert up <= 1.5 * base + 1e-9, f"upgraded SARIMAX rmse {up} vs numpy {base}"
+
+
+@pytest.mark.skipif(not fm.HAVE_CATBOOST, reason="catboost not installed")
+def test_upgraded_catboost_engages_and_matches_numpy_golden():
+    assert fm.slot_factory("laglin") is fm.CatBoostSlot
+    up = _holdout_rmse(fm.CatBoostSlot(lag_features=3, iterations=100))
+    base = _holdout_rmse(fm.NumpyGBDT(lags=3, n_trees=100))
+    assert up <= 1.5 * base + 1e-9, f"upgraded CatBoost rmse {up} vs numpy {base}"
+
+
+@pytest.mark.skipif(not fm.HAVE_TORCH, reason="torch not installed")
+def test_upgraded_lstm_engages_and_matches_numpy_golden():
+    assert fm.slot_factory("snaive") is fm.LSTMSlot
+    up = _holdout_rmse(fm.LSTMSlot(lookback=6, hidden_size=16, epochs=60))
+    base = _holdout_rmse(fm.NumpyLSTM(lookback=6, hidden_size=12, epochs=60))
+    assert up <= 1.5 * base + 1e-9, f"upgraded LSTM rmse {up} vs numpy {base}"

@@ -142,3 +142,37 @@ def test_km_censoring_excludes_edge_customers_from_churn(spark):
     # at t=10 all three customers were still at risk
     assert out[0]["n_at_risk"] == 3
     assert abs(out[0]["survival"] - round(1 - 1 / 3, 4)) < 1e-9
+
+
+def test_peak_concurrency_carries_level_into_ending_only_day(spark):
+    """The carried-in case the shared sweep-line definition used to
+    miss: 5 sessions start on day 1 and all END early on day 2 — day
+    2's first boundary is a −1, so an at-boundaries-only daily max
+    reads 4 there; the true intra-day peak is the carried-in 5."""
+    from claim_analysis_engine_spark.operators.events import (
+        evt_peak_concurrency,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cae_planted_peak_")
+    base = datetime.datetime(2024, 3, 1, 23, 0)  # 23:00 day 1
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        for k in range(5):  # events 23:00→24:00+, 15-min cadence: one
+            eid += 1        # session per user spanning midnight
+            rows.append(
+                (eid, base + datetime.timedelta(minutes=15 * k), u,
+                 "click", 1.0, "{}")
+            )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _stage(events, tmp, "events")
+    out = {r["day"]: r["peak_concurrent"]
+           for r in evt_peak_concurrency(spark, tmp).collect()}
+    assert out["2024-03-01"] == 5
+    # all 5 sessions end at 00:00+1s on day 2 — the day's boundaries
+    # are all −1s, so only the carried-in seed can report 5
+    assert out["2024-03-02"] == 5, out
