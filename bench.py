@@ -113,14 +113,18 @@ EXTRA = [
     "evt_scd2_refresh_stream",
     "join_fuzzy_entity",
     "ep8_hybrid_retrieval",
-    # round-8 additions (corpus_bpe_train excluded: ~15 s of fixed
-    # per-round scheduling floor x3 runs would dominate the pass;
-    # txt_containment_prefix excluded after measurement: the synthetic
-    # corpus's 2,041-shingle vocabulary makes candidate pairs DENSE
-    # (~12M at sf0.1 — prefix filtering can't prune what the data
-    # doesn't make rare), so even after the broadcast-verify fix it
-    # runs ~33 s/pass: a corpus property, not a plan flaw; its
-    # correctness gate at sf0.01 stays fast)
+    # round-8 additions. corpus_bpe_train rejoined in round 9 (batched
+    # merge rounds: one job per ~8 merges instead of per merge).
+    # txt_containment_prefix stays excluded after measurement: the
+    # synthetic corpus's 2,041-shingle vocabulary makes candidate
+    # pairs DENSE (~12M at sf0.1 — prefix filtering can't prune what
+    # the data doesn't make rare), so even after the broadcast-verify
+    # fix it runs ~33 s/pass: a corpus property, not a plan flaw; its
+    # correctness gate at sf0.01 stays fast. The round-9 instrument
+    # txt_containment_sparse (below) runs the IDENTICAL pipeline on a
+    # Zipf-vocabulary fixture and is timed here — candidates 46 bp of
+    # n·(n−1), recall 250/250, ~1 s warm — separating the algorithm
+    # (works) from the degenerate corpus (dense by construction).
     "evt_attribution",
     "agg_decay_recency",
     "sim_mips_topk",
@@ -150,6 +154,9 @@ EXTRA = [
     "agg_rolling_slope",
     "ep9_growth_e2e",
     "ep10_ops_e2e",
+    # round-9 additions
+    "corpus_bpe_train",
+    "txt_containment_sparse",
 ]
 
 
@@ -271,6 +278,8 @@ def main() -> None:
         "prune_file_stats",
         "prune_zorder_2d",
         "src_partition_evolution",
+        "corpus_bpe_train",
+        "txt_containment_sparse",
     ]
     cold = {name: spread[name][0] for name in MEMOIZED if name in spread}
 

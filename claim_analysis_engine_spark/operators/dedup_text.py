@@ -1575,6 +1575,84 @@ CONTAIN_T_PCT = 90  # same threshold as an integer percentage: the probe
 CONTAIN_REPORT_T = 0.5  # emit best-container rows at or above this
 
 
+def _containment_candidates(sh: DataFrame) -> DataFrame:
+    """PPJoin prefix-filter candidate generation over a (doc_id, sh)
+    shingle frame: each doc probes the inverted index with only its
+    ⌊(1−t)·|A|⌋+1 globally RAREST shingles (DF-ascending,
+    shingle-string tiebreak); candidates are pairs sharing a rare
+    probe. Shared by txt_containment_prefix (the registered oracle op
+    over the corpus) and txt_containment_sparse (the Zipf-vocabulary
+    instrument that measures the filter's selectivity)."""
+    from pyspark.sql import Window as W
+
+    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    sized = sh.select("doc_id", F.size("sh").alias("a_n"))
+    wr = W.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (
+        tok.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(wr))
+        .join(sized, "doc_id")
+    )
+    probes = ranked.where(
+        F.col("rn")
+        <= F.expr(f"a_n * (100 - {CONTAIN_T_PCT}) div 100") + 1
+    ).select("doc_id", "s")
+    return (
+        probes.alias("p")
+        .join(tok.alias("t"), (F.col("t.s") == F.col("p.s"))
+              & (F.col("t.doc_id") != F.col("p.doc_id")))
+        .select(
+            F.col("p.doc_id").alias("doc_a"), F.col("t.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _containment_best(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact verify + best-container election over the candidate
+    pairs: containment = |A∩B|/|A| via array_intersect, keep each
+    doc's best container at or above CONTAIN_REPORT_T. See
+    txt_containment_prefix's docstring for the broadcast rationale."""
+    from pyspark.sql import Window as W
+
+    scored = (
+        cand.join(
+            F.broadcast(
+                sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sha", "shb")).cast("double")
+                / F.size("sha")
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAIN_REPORT_T)
+    )
+    wb = W.partitionBy("doc_a").orderBy(F.col("containment").desc(), "doc_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("container_id"),
+            F.round("containment", 4).alias("containment"),
+            (F.col("containment") >= CONTAIN_T).alias("is_contained"),
+        )
+    )
+
+
+
 @REG.op(
     "txt_containment_prefix",
     oracle=f"""
@@ -1634,75 +1712,156 @@ def txt_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     two shingle sets), then keeps each doc's best container
     (containment desc, id asc). Emits one row per doc with a
     candidate at containment ≥ 0.5; is_contained flags the ≥ 0.9
-    partial copies. All equi-joins — no cartesian anywhere."""
-    from pyspark.sql import Window as W
+    partial copies. All equi-joins — no cartesian anywhere.
 
+    Broadcast note for the verify stage: Catalyst over-estimates the
+    array frame past the auto-broadcast threshold and falls back to
+    sort-merge — which SHUFFLES every candidate pair with both full
+    string arrays attached. On a degenerate corpus (tiny shingle
+    vocabulary → prefix filter can't prune → candidates ≈ all pairs,
+    measured 12M pairs / 2041 distinct shingles at sf0.1) that was
+    ~100 GB of exchange, 150+ s and an OOM risk; broadcasting keeps
+    the pair frame 16 bytes wide and attaches arrays map-side
+    (measured 150 s → ~8 s). At 100 TB the doc-side array frame
+    outgrows a broadcast — then the sort-merge attach is the only
+    plan and the real lever is the corpus itself (a healthy
+    vocabulary makes candidates sparse again —
+    txt_containment_sparse MEASURES exactly that claim on a
+    Zipf-vocabulary fixture)."""
     sh = _shingles(spark, sf_dir).cache()
-    tok = sh.select("doc_id", F.explode("sh").alias("s"))
-    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    sized = sh.select("doc_id", F.size("sh").alias("a_n"))
-    wr = W.partitionBy("doc_id").orderBy("df", "s")
-    ranked = (
-        tok.join(dfreq, "s")
-        .withColumn("rn", F.row_number().over(wr))
-        .join(sized, "doc_id")
+    return _containment_best(sh, _containment_candidates(sh))
+
+
+# ---------------------------------------------- txt_containment_sparse
+
+ZIPF_N_DOCS = 5000      # fixture size ≈ the sf0.1 documents table
+ZIPF_VOCAB = 20000      # distinct words — the healthy-corpus premise
+ZIPF_A = 1.3            # Zipf exponent (web-text-ish head/tail shape)
+ZIPF_PLANT_EVERY = 20   # every 20th doc is a planted contained copy
+ZIPF_SLICE_WORDS = 30   # planted doc = this many contiguous words
+
+
+def _zipf_corpus() -> tuple[list[tuple[int, str]], list[tuple[int, int]]]:
+    """Deterministic Zipf-vocabulary corpus with planted containments —
+    the realistic-text-shaped fixture the degenerate synthetic corpus
+    (2,041 distinct shingles over 5,000 docs, candidates ≈ all pairs)
+    cannot provide. numpy RandomState(42) streams are frozen across
+    platforms, so both the op and its golden test see byte-identical
+    text. Every ZIPF_PLANT_EVERY-th doc's text is a contiguous
+    ZIPF_SLICE_WORDS-word slice of a non-planted partner doc — its
+    char shingle set is a strict subset of the partner's, so true
+    containment is exactly 1.0. Returns (docs, planted) where planted
+    is [(contained_doc_id, container_doc_id), ...]."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    vocab_rng = np.random.RandomState(7)
+    lengths = vocab_rng.randint(5, 11, size=ZIPF_VOCAB)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    vocab = [
+        "".join(letters[c] for c in vocab_rng.randint(0, 26, size=n))
+        for n in lengths
+    ]
+    words_of: list[list[str]] = []
+    for _ in range(ZIPF_N_DOCS):
+        n_words = int(rng.randint(60, 161))
+        ranks = (rng.zipf(ZIPF_A, size=n_words) - 1) % ZIPF_VOCAB
+        words_of.append([vocab[r] for r in ranks])
+    planted: list[tuple[int, int]] = []
+    for i in range(0, ZIPF_N_DOCS, ZIPF_PLANT_EVERY):
+        j = i + 1  # i % 20 == 0 → j is never itself planted
+        lo = int(rng.randint(0, len(words_of[j]) - ZIPF_SLICE_WORDS))
+        words_of[i] = words_of[j][lo : lo + ZIPF_SLICE_WORDS]
+        planted.append((i, j))
+    docs = [(i, " ".join(w)) for i, w in enumerate(words_of)]
+    return docs, planted
+
+
+# the fixture is static by construction, so its shingle frame is
+# computed once per session and reused (the layout-memo pattern:
+# fixture-once-measure-many); value = (cached sh frame, planted pairs)
+_ZIPFSH_MEMO: dict[tuple, tuple] = {}
+_ZIPFSH_MEMO_MAX = 2
+
+
+def _zipf_shingles(spark: SparkSession) -> tuple[DataFrame, list]:
+    from claim_analysis_engine_spark.tables import session_memo_key
+
+    key = session_memo_key(spark, "zipf-fixture")
+    if key not in _ZIPFSH_MEMO:
+        docs, planted = _zipf_corpus()
+        sh = (
+            spark.createDataFrame(docs, "doc_id long, text string")
+            .repartition(32)
+            .select("doc_id", _shingles_col().alias("sh"))
+            .cache()
+        )
+        sh.count()  # materialize while we hold the generation arrays
+        if len(_ZIPFSH_MEMO) >= _ZIPFSH_MEMO_MAX:
+            old_sh, _ = _ZIPFSH_MEMO.pop(next(iter(_ZIPFSH_MEMO)))
+            old_sh.unpersist()
+        _ZIPFSH_MEMO[key] = (sh, planted)
+    return _ZIPFSH_MEMO[key]
+
+
+@REG.op("txt_containment_sparse")  # rows-only BY DESIGN: the corpus is
+# a generated fixture, not an sf_dir table, so no DuckDB view exists
+# for a SQL twin; tests/test_dedup_recall.py pins the exact stats row
+# (recall 1.0 vs all-pairs truth on a smaller instance + candidate
+# sparsity) and determinism follows from the frozen RandomState
+def txt_containment_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sparse-corpus instrument for the prefix filter: runs the
+    EXACT txt_containment_prefix pipeline (_containment_candidates →
+    _containment_best, same thresholds) on a Zipf-vocabulary fixture
+    where rare shingles exist — the corpus shape real text has — and
+    emits the selectivity evidence as a single stats row:
+
+      n_docs, n_possible_pairs (n·(n−1)), n_candidate_pairs,
+      cand_share_bp (candidates per 10,000 possible ordered pairs),
+      n_planted, n_recalled (planted copies found with the RIGHT
+      container at containment 1.0), n_flagged (all is_contained).
+
+    Why it exists: on the degenerate synthetic documents table the
+    filter's candidate set is dense (~12M of 12.5M pairs at sf0.1 —
+    measured, a data property) and the 33 s/pass bench number cannot
+    distinguish 'PPJoin works' from 'PPJoin is dead weight'. On this
+    fixture the same code must show candidates ≪ n² with recall 1.0
+    — separating the algorithm from the corpus. sf_dir is ignored
+    (fixture is sf-independent by construction: what's measured is
+    the FILTER, not the table). Scale: generation is driver-side but
+    fixture-sized (≈4 MB); everything after createDataFrame is the
+    production pipeline — at 100 TB the corpus comes from the lake
+    and this op's job is already done."""
+    sh, planted = _zipf_shingles(spark)
+    cand = _containment_candidates(sh).cache()
+    best = _containment_best(sh, cand)
+    planted_df = F.broadcast(
+        spark.createDataFrame(planted, "p_doc long, p_container long")
     )
-    probes = ranked.where(
-        F.col("rn")
-        <= F.expr(f"a_n * (100 - {CONTAIN_T_PCT}) div 100") + 1
-    ).select("doc_id", "s")
-    cand = (
-        probes.alias("p")
-        .join(tok.alias("t"), (F.col("t.s") == F.col("p.s"))
-              & (F.col("t.doc_id") != F.col("p.doc_id")))
-        .select(
-            F.col("p.doc_id").alias("doc_a"), F.col("t.doc_id").alias("doc_b")
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    flagged = best.where("is_contained").cache()
+    n_flagged = flagged.agg(F.count(F.lit(1)).alias("n_flagged"))
+    n_recalled = (
+        flagged.join(
+            planted_df,
+            (F.col("doc_id") == F.col("p_doc"))
+            & (F.col("container_id") == F.col("p_container")),
+            "left_semi",
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_recalled"))
     )
-    # BROADCAST the per-doc shingle arrays into the verify: Catalyst
-    # over-estimates the array frame past the auto-broadcast threshold
-    # and falls back to sort-merge — which SHUFFLES every candidate
-    # pair with both full string arrays attached. On a degenerate
-    # corpus (tiny shingle vocabulary → prefix filter can't prune →
-    # candidates ≈ all pairs, measured 12M pairs / 2041 distinct
-    # shingles at sf0.1) that was ~100 GB of exchange, 150+ s and an
-    # OOM risk; broadcasting keeps the pair frame 16 bytes wide and
-    # attaches arrays map-side (measured 150 s → ~8 s). At 100 TB the
-    # doc-side array frame outgrows a broadcast — then the sort-merge
-    # attach is the only plan and the real lever is the corpus itself
-    # (a healthy vocabulary makes candidates sparse again).
-    scored = (
-        cand.join(
-            F.broadcast(
-                sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-            ),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(
-                sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.size(F.array_intersect("sha", "shb")).cast("double")
-                / F.size("sha")
-            ).alias("containment"),
-        )
-        .where(F.col("containment") >= CONTAIN_REPORT_T)
-    )
-    wb = W.partitionBy("doc_a").orderBy(F.col("containment").desc(), "doc_b")
+    n_pairs = ZIPF_N_DOCS * (ZIPF_N_DOCS - 1)
     return (
-        scored.withColumn("rn", F.row_number().over(wb))
-        .where(F.col("rn") == 1)
+        n_cand.crossJoin(n_flagged)
+        .crossJoin(n_recalled)
         .select(
-            F.col("doc_a").alias("doc_id"),
-            F.col("doc_b").alias("container_id"),
-            F.round("containment", 4).alias("containment"),
-            (F.col("containment") >= CONTAIN_T).alias("is_contained"),
+            F.lit(ZIPF_N_DOCS).alias("n_docs"),
+            F.lit(n_pairs).cast("bigint").alias("n_possible_pairs"),
+            "n_candidate_pairs",
+            F.expr(f"CAST(n_candidate_pairs * 10000 AS BIGINT) div {n_pairs}")
+            .alias("cand_share_bp"),
+            F.lit(len(planted)).alias("n_planted"),
+            "n_recalled",
+            "n_flagged",
         )
     )
