@@ -190,6 +190,139 @@ def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- agg_hll_error_contract
+
+HLL_RSD = 0.02          # approx_count_distinct relative standard dev
+HLL_ERR_CAP_BP = 800    # |est − exact|/exact must stay under 8% (4·rsd)
+# — HLL++ error is probabilistic (rsd is ONE σ), so the certified cap
+# is 4σ: astronomically safe for a deterministic-seed sketch while
+# still catching an implementation/merge regression outright
+
+
+@REG.op(
+    "agg_hll_error_contract",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           {HLL_ERR_CAP_BP} AS err_cap_bp,
+           TRUE AS err_ok
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_hll_error_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level partial oracle for the rows-only HLL family (the
+    ep3_forecast_contract pattern): the sketch ESTIMATE is
+    engine-specific, but its error contract is not. Per status, Spark
+    computes approx_count_distinct(rsd {HLL_RSD}) AND the exact
+    distinct, measures the relative error in basis points, and emits
+    whether it clears the {HLL_ERR_CAP_BP}-bp cap (4× the configured
+    rsd); the oracle recomputes the exact count and asserts TRUE. A
+    broken sketch merge or a silent rsd regression hash-mismatches at
+    the driver gate instead of hiding behind rows-only. Scale: the
+    exact count is the audit half (full key shuffle — the thing the
+    sketch exists to avoid); production keeps the sketch and runs
+    this contract on sampled partitions."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=HLL_RSD).alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+    err_bp = F.expr(
+        "CAST(abs(approx_custs - exact_custs) * 10000 AS BIGINT) div exact_custs"
+    )
+    return m.select(
+        "o_orderstatus",
+        "exact_custs",
+        F.lit(HLL_ERR_CAP_BP).alias("err_cap_bp"),
+        (err_bp <= HLL_ERR_CAP_BP).alias("err_ok"),
+    )
+
+
+# ------------------------------------------- agg_quantile_rank_contract
+
+QSK_ACC = 10000          # percentile_approx accuracy → ε = 1/QSK_ACC
+QSK_Q_BP = (5000, 9900)  # quantiles certified, in basis points
+
+
+@REG.op(
+    "agg_quantile_rank_contract",
+    oracle=f"""
+    WITH n AS (
+      SELECT o_orderstatus, count(*) AS n_rows FROM orders GROUP BY 1
+    )
+    SELECT o_orderstatus, q_bp, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST((q_bp - 1) * n_rows AS BIGINT) // 10000 - 1 AS rank_lo,
+           CAST((q_bp + 1) * n_rows AS BIGINT) // 10000 + 2 AS rank_hi,
+           TRUE AS rank_ok
+    FROM n, (VALUES ({QSK_Q_BP[0]}), ({QSK_Q_BP[1]})) AS t(q_bp)
+    """,
+)
+def agg_quantile_rank_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level partial oracle for the rows-only quantile sketch
+    (the ep3_forecast_contract pattern): the sketch ESTIMATE is
+    engine- and partitioning-specific, but its accuracy guarantee is
+    not — a Greenwald-Khanna/KLL φ-quantile at accuracy {QSK_ACC}
+    must return a value whose rank interval overlaps
+    [(φ−ε)·n, (φ+ε)·n]. Spark MEASURES it: per order status and
+    quantile, compute the approx estimate, then its exact rank
+    interval in the data (count(< est)+1 .. count(≤ est) — the
+    interval form makes duplicate values first-class), and emit the
+    boolean; the oracle recomputes n and the integer-exact bounds
+    (same div-10000 arithmetic both engines, ±1/+2 cushions for the
+    closed-interval ends) and asserts TRUE. A sketch whose error
+    exceeds its contract hash-mismatches at the driver gate instead
+    of hiding behind rows-only. Scale: one aggregate to the status
+    grain for estimates, one broadcast-join re-scan for ranks."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", F.col("o_totalprice").cast("double").alias("v")
+    )
+    est = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("v", QSK_Q_BP[0] / 10000.0, QSK_ACC).alias("e_a"),
+        F.percentile_approx("v", QSK_Q_BP[1] / 10000.0, QSK_ACC).alias("e_b"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ranks = (
+        o.join(F.broadcast(est), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.sum((F.col("v") < F.col("e_a")).cast("long")).alias("lt_a"),
+            F.sum((F.col("v") <= F.col("e_a")).cast("long")).alias("le_a"),
+            F.sum((F.col("v") < F.col("e_b")).cast("long")).alias("lt_b"),
+            F.sum((F.col("v") <= F.col("e_b")).cast("long")).alias("le_b"),
+        )
+    )
+    per_q = ranks.select(
+        "o_orderstatus",
+        "n_rows",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(QSK_Q_BP[0]).alias("q_bp"),
+                    F.col("lt_a").alias("r_lt"),
+                    F.col("le_a").alias("r_le"),
+                ),
+                F.struct(
+                    F.lit(QSK_Q_BP[1]).alias("q_bp"),
+                    F.col("lt_b").alias("r_lt"),
+                    F.col("le_b").alias("r_le"),
+                ),
+            )
+        ).alias("x"),
+    ).select("o_orderstatus", F.col("x.q_bp").alias("q_bp"), "n_rows", "x.r_lt", "x.r_le")
+    return per_q.select(
+        "o_orderstatus",
+        "q_bp",
+        "n_rows",
+        F.expr("CAST((q_bp - 1) * n_rows AS BIGINT) div 10000 - 1").alias("rank_lo"),
+        F.expr("CAST((q_bp + 1) * n_rows AS BIGINT) div 10000 + 2").alias("rank_hi"),
+        (
+            (F.col("r_le") >= F.expr("CAST((q_bp - 1) * n_rows AS BIGINT) div 10000 - 1"))
+            & (F.col("r_lt") + 1 <= F.expr("CAST((q_bp + 1) * n_rows AS BIGINT) div 10000 + 2"))
+        ).alias("rank_ok"),
+    )
+
+
 # ------------------------------------------------- sort_global_shards
 
 N_RANGE_SHARDS = 8

@@ -536,6 +536,83 @@ def sim_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(_emb(spark, sf_dir), cent)
 
 
+# ---------------------------------------------- sim_ivf_recall_contract
+
+IVF_RECALL_FLOOR_BP = 3000  # trained-IVF recall@k floor vs exact top-k
+# (nprobe=2 of 8 cells on near-random synthetic vectors caps recall
+# well below 1 — the floor pins non-degeneracy, the same bar
+# tests/test_similarity_recall.py holds locally)
+
+
+@REG.op(
+    "sim_ivf_recall_contract",
+    oracle=f"""
+    WITH q AS (
+      SELECT count(*) AS n_queries FROM embeddings
+      WHERE vec_id % {QUERY_MOD} = 0
+    )
+    SELECT CAST(n_queries AS BIGINT) AS n_queries,
+           CAST(n_queries * {ANN_K} AS BIGINT) AS n_truth_pairs,
+           {ANN_K} AS k,
+           {IVF_RECALL_FLOOR_BP} AS min_recall_bp,
+           TRUE AS recall_floor_met
+    FROM q
+    """,
+)
+def sim_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level partial oracle for the rows-only trained-IVF search
+    (the ep3_forecast_contract pattern): the LEARNED quantizer state
+    can't have a SQL twin, but the deterministic CONTRACT around it
+    can — the exact-top-k ground truth is SQL-expressible, and so is
+    the claim 'trained-IVF recall@k against that truth clears the
+    floor'. Spark MEASURES: exact top-{ANN_K} per query (the
+    sim_topk_brute plan restricted to rank ≤ k), trained-IVF results,
+    hit count, recall in basis points, and emits the boolean; the
+    oracle recomputes the deterministic fields (query count, truth
+    size, constants) and asserts the boolean TRUE — a recall
+    regression below the floor hash-mismatches at the driver gate
+    instead of hiding behind rows-only. Scale: truth is the broadcast
+    brute-force plan over the deterministic query sample (bounded),
+    everything else is two aggregates."""
+    q, c = _queries_and_corpus(spark, sf_dir)
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cos("eq", "ec").alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("neighbor_id")
+    )
+    truth = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id")
+    )
+    found = sim_ivf_search_trained(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    t_agg = truth.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_truth_pairs"),
+    )
+    hits = truth.join(found, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        t_agg.crossJoin(F.broadcast(hits))
+        .select(
+            "n_queries",
+            "n_truth_pairs",
+            F.lit(ANN_K).alias("k"),
+            F.lit(IVF_RECALL_FLOOR_BP).alias("min_recall_bp"),
+            (
+                F.expr("CAST(n_hits * 10000 AS BIGINT) div n_truth_pairs")
+                >= IVF_RECALL_FLOOR_BP
+            ).alias("recall_floor_met"),
+        )
+    )
+
+
 # ---------------------------------------------------- emb_quantize_int8
 
 INT8_QMAX = 127
@@ -1304,6 +1381,84 @@ def sim_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+# ------------------------------------------------------ sim_nprobe_contract
+
+@REG.op(
+    "sim_nprobe_contract",
+    oracle=f"""
+    WITH q AS (
+      SELECT count(*) AS n_queries FROM embeddings
+      WHERE vec_id % {QUERY_MOD} = 0
+    )
+    SELECT CAST(n_queries AS BIGINT) AS n_queries,
+           {len(NPROBE_SWEEP) + 1} AS n_points,
+           TRUE AS recall_monotone,
+           TRUE AS full_probe_recall_exact
+    FROM q
+    """,
+)
+def sim_nprobe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level partial oracle for the rows-only nprobe sweep (the
+    ep3_forecast_contract pattern): the tuning curve's VALUES depend
+    on the learned quantizer, but two properties of a correct IVF are
+    invariant and SQL-assertable — mean recall@k is NON-DECREASING in
+    nprobe (probing more cells can only add candidates), and probing
+    ALL {N_CELLS} cells makes the candidate set the whole corpus, so
+    the search must reproduce the exact brute-force top-k EXACTLY
+    (recall 1.0, same tiebreak: round-6 cosine desc, neighbor id).
+    Spark measures both over {len(NPROBE_SWEEP) + 1} sweep points and
+    emits the booleans; the oracle recomputes the deterministic
+    fields and asserts TRUE. A probe-routing or ranking bug
+    hash-mismatches at the driver gate instead of hiding behind
+    rows-only."""
+    cents = train_ivf_centroids(spark, sf_dir)
+    cent = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        "cell_id int, ecent array<double>",
+    )
+    emb = _emb(spark, sf_dir)
+    truth = (
+        sim_topk_brute(spark, sf_dir)
+        .where(F.col("rank") <= ANN_K)
+        .select(F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn"))
+    )
+    points = list(NPROBE_SWEEP) + [N_CELLS]
+    branches = []
+    for npb in points:
+        ivf = _ivf_search(emb, cent, n_probe=npb).select(
+            F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+        )
+        joined = truth.join(
+            ivf, (F.col("aq") == F.col("tq")) & (F.col("an") == F.col("tn")), "left"
+        )
+        branches.append(
+            joined.agg(
+                F.countDistinct("tq").alias("n_queries"),
+                F.count(F.lit(1)).alias("n_truth"),
+                F.count("an").alias("n_hits"),
+            ).select(F.lit(npb).alias("nprobe"), "n_queries", "n_truth", "n_hits")
+        )
+    curve = branches[0]
+    for b in branches[1:]:
+        curve = curve.unionByName(b)
+    wprev = W.orderBy("nprobe")
+    flags = curve.select(
+        "nprobe",
+        "n_queries",
+        (F.col("n_hits") >= F.coalesce(F.lag("n_hits").over(wprev), F.lit(0)))
+        .alias("mono"),
+        (F.col("n_hits") == F.col("n_truth")).alias("exact_here"),
+        (F.col("nprobe") == N_CELLS).alias("is_full"),
+    )
+    return flags.agg(
+        F.max("n_queries").alias("n_queries"),
+        F.count(F.lit(1)).cast("int").alias("n_points"),
+        F.min(F.col("mono")).alias("recall_monotone"),
+        F.min(F.when(F.col("is_full"), F.col("exact_here")).otherwise(F.lit(True)))
+        .alias("full_probe_recall_exact"),
+    )
 
 
 # ------------------------------------------------------- emb_pca_project

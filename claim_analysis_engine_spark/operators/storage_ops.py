@@ -1000,6 +1000,122 @@ def snk_manifest_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_as_of(1).unionByName(read_as_of(2))
 
 
+# ---------------------------------------------- snk_vacuum_retention
+
+VAC_SPLIT_DATE = "1998-01-01"  # v1 = orders before; v2 = compaction rewrite
+VAC_FILES_PER_COMMIT = 4       # repartition pins file counts → the
+# removed/live accounting below is exact and oracle-checkable
+
+
+@REG.op(
+    "snk_vacuum_retention",
+    oracle=f"""
+    SELECT 'post_vacuum_v2' AS stage,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM orders
+    UNION ALL
+    SELECT 'removed_files', {VAC_FILES_PER_COMMIT + 1}, CAST(NULL AS DOUBLE)
+    UNION ALL
+    SELECT 'live_files', {VAC_FILES_PER_COMMIT}, CAST(NULL AS DOUBLE)
+    """,
+)
+def snk_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM with retention — the third lakehouse primitive after
+    snk_manifest_publish (atomic commit) and snk_manifest_timetravel
+    (versioned snapshots): version 2 is a COMPACTION REWRITE (the
+    full table in fresh files, referencing none of v1's), so after
+    the retention policy expires manifest 1, v1's data files and a
+    planted torn-write orphan are unreferenced garbage. The vacuum
+    deletes exactly the parquet files no retained manifest lists and
+    expires the old manifest. Three hash-certified claims: the
+    post-vacuum v2 read still equals the full source table (vacuum
+    deleted NO live file), exactly {VAC_FILES_PER_COMMIT + 1} files
+    were removed (v1's {VAC_FILES_PER_COMMIT} + the orphan — a vacuum
+    that trusts directory listing over manifests would also eat live
+    files and break row 1), and {VAC_FILES_PER_COMMIT} files remain.
+    This is Delta VACUUM / Iceberg expire_snapshots with nothing but
+    parquet + JSON. Reference parity: the reference's util_clear
+    (core/storage.py) wipes the whole store; this is the incremental,
+    snapshot-safe form a 100 TB table needs.
+
+    Scale: the retained-file set is manifest-sized (file NAMES, KBs
+    per thousands of files) — the deletion list is a set difference
+    computed driver-side exactly as table formats do it; data files
+    are never read. Retention here is keep-latest-1 for a
+    deterministic fixture; time-based retention swaps the manifest
+    filter only."""
+    import json
+    import os
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="cae_spark_vacuum_")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    split = F.lit(VAC_SPLIT_DATE).cast("date")
+
+    def commit(version: int, batch_df) -> list[str]:
+        batch_dir = os.path.join(root, f"batch{version}")
+        batch_df.repartition(VAC_FILES_PER_COMMIT).write.mode(
+            "overwrite"
+        ).parquet(batch_dir)
+        files = sorted(
+            os.path.join(f"batch{version}", f)
+            for f in os.listdir(batch_dir)
+            if f.endswith(".parquet")
+        )
+        tmp = os.path.join(root, f"_manifest-{version}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": files}, fh)
+        os.rename(tmp, os.path.join(root, f"manifest-{version}.json"))
+        return files
+
+    commit(1, orders.where(F.col("o_orderdate") < split))
+    commit(2, orders)  # the compaction rewrite: full table, fresh files
+
+    # torn concurrent write after both commits — never referenced
+    first_v1 = next(
+        f for f in sorted(os.listdir(os.path.join(root, "batch1")))
+        if f.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(root, "batch1", first_v1),
+        os.path.join(root, "batch1", "part-orphan-torn.parquet"),
+    )
+
+    # vacuum: retain the latest manifest only, delete every parquet
+    # file no retained manifest references, expire old manifests
+    with open(os.path.join(root, "manifest-2.json")) as fh:
+        retained = set(json.load(fh)["files"])
+    removed = 0
+    for sub in sorted(os.listdir(root)):
+        subdir = os.path.join(root, sub)
+        if not os.path.isdir(subdir):
+            continue
+        for f in sorted(os.listdir(subdir)):
+            rel = os.path.join(sub, f)
+            if f.endswith(".parquet") and rel not in retained:
+                os.remove(os.path.join(subdir, f))
+                removed += 1
+    os.remove(os.path.join(root, "manifest-1.json"))
+
+    live = spark.read.parquet(*[os.path.join(root, f) for f in retained])
+    content = live.agg(
+        F.lit("post_vacuum_v2").alias("stage"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_price"),
+    )
+    accounting = spark.createDataFrame(
+        [("removed_files", removed, None), ("live_files", len(retained), None)],
+        "stage string, n long, total_price double",
+    )
+    return content.unionByName(accounting)
+
+
 # ---------------------------------------------- src_partition_evolution
 
 PE_SPLIT_YEAR = 1998  # generations: < split by year; >= split by (year, month)

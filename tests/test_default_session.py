@@ -145,6 +145,8 @@ SINK_OPS = [
     "src_parquet_cols",
     "prune_partition",
     "merge_cdc_tombstone",
+    # round-9 lakehouse surface
+    "snk_vacuum_retention",
 ]
 
 
