@@ -157,6 +157,10 @@ EXTRA = [
     # round-9 additions
     "corpus_bpe_train",
     "txt_containment_sparse",
+    "snk_vacuum_retention",
+    "evt_outer_join_stream",
+    "agg_quantile_rank_contract",
+    "agg_hll_error_contract",
 ]
 
 

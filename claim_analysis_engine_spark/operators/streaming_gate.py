@@ -234,6 +234,70 @@ def evt_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("user_id", "view_id", "purchase_id", "secs_to_purchase")
 
 
+# ---------------------------------------------- evt_outer_join_stream
+
+@REG.op(
+    "evt_outer_join_stream",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    v AS (SELECT user_id, event_id AS view_id, ts FROM events
+          WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    matched AS (
+      SELECT v.user_id, v.view_id, p.purchase_id,
+             CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT)
+               AS secs_to_purchase
+      FROM v JOIN p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts
+       AND p.ts <= v.ts + INTERVAL {streaming.ATTRIB_WINDOW_S} SECONDS
+    ),
+    unmatched AS (
+      SELECT v.user_id, v.view_id,
+             CAST(NULL AS BIGINT) AS purchase_id,
+             CAST(NULL AS BIGINT) AS secs_to_purchase
+      FROM v, mx
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.ts >= v.ts
+          AND p.ts <= v.ts + INTERVAL {streaming.ATTRIB_WINDOW_S} SECONDS)
+        AND v.ts + INTERVAL {streaming.ATTRIB_WINDOW_S} SECONDS
+            < m - INTERVAL 7200 SECONDS
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def evt_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join under the hash gate —
+    the eighth Structured Streaming capability certified by a batch
+    oracle, and the subtlest: inner matches emit as soon as both rows
+    arrive, but a view with NO purchase in its window can only
+    null-emit once the GLOBAL watermark passes v_ts + window (the
+    engine's proof that no future purchase can match), and views
+    whose window is still open when the stream ends are NEVER emitted
+    (state is discarded, not finalized). The oracle reproduces that
+    boundary relationally: unmatched views qualify iff
+    v_ts + window < max(ts) − watermark_delay — so the hash gate
+    certifies Spark's outer-join state-eviction semantics themselves,
+    not just the join predicate. A funnel built on this join is the
+    'abandoned view' feed — rows that arrive EXACTLY when abandonment
+    is provable, no batch re-scan.
+
+    Scale: same bounded state as evt_join_stream (one exchange
+    hash-partitioned on user_id; view state evictable at
+    v_ts + window, purchase state at its own ts) plus the outer
+    finalization buffer the watermark bounds on both sides."""
+    stage = _stage_events(sf_dir, copies=1)
+    stream = streaming.read_events_stream(spark, stage)
+    joined = streaming.attribution_join(stream, how="left_outer")
+    back = _drain_to_parquet(spark, joined)
+    return back.select(
+        "user_id", "view_id", "purchase_id", "secs_to_purchase"
+    )
+
+
 # ------------------------------------------------ evt_mart_refresh_stream
 
 MART_REFRESH_SPLITS = 3

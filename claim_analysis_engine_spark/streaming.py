@@ -317,6 +317,7 @@ def attribution_join(
     events: DataFrame,
     watermark: str = "2 hours",
     window_s: int = ATTRIB_WINDOW_S,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INTERVAL self-join: attribute every purchase to
     each view by the same user in the preceding ``window_s`` seconds.
@@ -355,7 +356,15 @@ def attribution_join(
         & (F.col("p_ts") >= F.col("v_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {window_s} SECONDS"))
     )
-    return views.join(purchases, cond, "inner").select(
+    # how="left_outer": a view with NO purchase in its window emits a
+    # null-purchase row — but in a STREAM only once the (global)
+    # watermark passes v_ts + window_s, the point where the engine can
+    # prove no future purchase can still match and evicts the view
+    # from join state. Views whose window is still open when the
+    # stream ends are never emitted (state discarded, not finalized) —
+    # the oracle twin reproduces that boundary from max(ts) and the
+    # watermark delay.
+    return views.join(purchases, cond, how).select(
         F.col("v_user").alias("user_id"),
         "view_id",
         "purchase_id",

@@ -493,3 +493,35 @@ def test_scd2_refresh_stream_maintains_consistent_versions(spark):
     got = {tuple(r) for r in final.collect()}
     want = {tuple(r) for r in dim_scd2(spark, SF_SMALL).collect()}
     assert got == want
+
+
+def test_outer_join_suppresses_views_still_open_at_stream_end(spark):
+    """The outer gate's boundary is NON-VACUOUS: some views are
+    unmatched in the batch sense but sit too close to the stream's end
+    for the final watermark to prove abandonment — those must NOT be
+    null-emitted. The oracle encodes the same boundary, so this pins
+    that the boundary actually bites on the test data (if every
+    unmatched view emitted, the gate would certify nothing)."""
+    import duckdb
+
+    from claim_analysis_engine_spark.operators.streaming_gate import (
+        evt_outer_join_stream,
+    )
+
+    out = evt_outer_join_stream(spark, SF_SMALL).toPandas()
+    emitted_nulls = int(out["purchase_id"].isna().sum())
+    total_unmatched = duckdb.query(
+        f"""
+        WITH e AS (SELECT * FROM '{SF_SMALL}/events.parquet'),
+        v AS (SELECT user_id, ts FROM e WHERE event_type = 'view'),
+        p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase')
+        SELECT count(*) FROM v
+        WHERE NOT EXISTS (
+          SELECT 1 FROM p WHERE p.user_id = v.user_id
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 3600 SECONDS)
+        """
+    ).fetchone()[0]
+    assert emitted_nulls < total_unmatched, (
+        "every unmatched view emitted — the watermark boundary is vacuous"
+    )
+    assert emitted_nulls > 0, "no null emissions — outer semantics inert"
