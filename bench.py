@@ -161,6 +161,8 @@ EXTRA = [
     "evt_outer_join_stream",
     "agg_quantile_rank_contract",
     "agg_hll_error_contract",
+    "evt_props_variant",
+    "src_pydatasource_corpus",
 ]
 
 

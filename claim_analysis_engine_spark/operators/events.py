@@ -331,6 +331,52 @@ def evt_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- evt_props_variant
+
+@REG.op(
+    "evt_props_variant",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           min(CAST(props->>'k' AS INT)) AS min_k,
+           max(CAST(props->>'k' AS INT)) AS max_k,
+           round(avg(CAST(props->>'k' AS INT)), 4) AS avg_k,
+           count(*) AS n_missing_path,
+           'OBJECT<k: BIGINT>' AS k_schema
+    FROM events GROUP BY 1
+    """,
+)
+def evt_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type — Spark 4's
+    native binary-encoded semi-structured value (the engine surface
+    behind shredded JSON storage), vs evt_json_props's string-path
+    twin: parse_json once, then typed path extraction
+    (variant_get '$.k' as int), NULL-safe access to an absent path
+    (try_variant_get '$.missing' — every row lacks it, so the count
+    equals n_events; a get_json_object twin can't distinguish
+    absent-path from null-value), and schema_of_variant_agg
+    certifying the inferred object schema across the whole group —
+    the oracle pins the aggregate schema literal, so a generation
+    drift in props' shape (new key, type widening) hash-mismatches.
+
+    Scale: VARIANT parses once per row into a binary value that all
+    downstream extractions share (string-path extraction re-parses
+    per call); whole-stage-codegen eligible, no UDF."""
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.sum(
+            F.try_variant_get(v, "$.missing", "string").isNull().cast("long")
+        ).alias("n_missing_path"),
+        F.schema_of_variant_agg(v).alias("k_schema"),
+    )
+
+
 # --------------------------------------------------- evt_error_burst
 
 BURST_TRAIL_H = 24  # trailing window (hours) for the error-rate baseline

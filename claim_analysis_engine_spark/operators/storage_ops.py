@@ -1244,3 +1244,50 @@ def src_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return answer(q1, "year-only", len(g1_dirs), len(g1_dirs)).unionByName(
         answer(q2, "year-month", len(g2_dirs), len(g2_read))
     )
+
+
+# ---------------------------------------------- src_pydatasource_corpus
+
+SYNTH_SRC_DOCS = 2000
+SYNTH_SRC_PARTS = 8
+
+
+@REG.op("src_pydatasource_corpus")  # rows-only BY DESIGN: the source
+# GENERATES data (no sf_dir table exists for a SQL twin); the stats row
+# is golden-pinned and partition-count-invariant in tests/test_storage.py
+def src_pydatasource_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource under the gate — Spark 4's newest
+    extension surface (pyspark.sql.datasource): a registered
+    'zipfcorpus' format whose reader GENERATES the synthetic training
+    corpus per partition on the executors (each partition owns a
+    doc-id range; every doc is seeded by its own id, so the data is
+    byte-identical under any partition count). The op reads
+    {SYNTH_SRC_DOCS} docs in {SYNTH_SRC_PARTS} partitions and reduces
+    them to one deterministic stats row: doc count, total characters,
+    distinct words used, and an order-free XOR of per-doc xxhash64
+    fingerprints — any generation drift, lost partition, or
+    double-read flips the row. sf_dir is ignored (the source IS the
+    data). See pydatasource.py for why generation-as-a-source matters
+    at 100 TB: the driver never materializes the corpus; executors
+    stream it partition-parallel, and the scan plans as a v2 data
+    source, not a Python map stage."""
+    from claim_analysis_engine_spark.pydatasource import register_zipfcorpus
+
+    register_zipfcorpus(spark)
+    docs = (
+        spark.read.format("zipfcorpus")
+        .option("n_docs", SYNTH_SRC_DOCS)
+        .option("n_parts", SYNTH_SRC_PARTS)
+        .load()
+    )
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    n_words = words.agg(F.countDistinct("w").alias("n_distinct_words"))
+    return (
+        docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.bit_xor(F.xxhash64("text")).alias("text_hash_xor"),
+        )
+        .crossJoin(F.broadcast(n_words))
+        .select("n_docs", "total_chars", "n_distinct_words", "text_hash_xor")
+    )

@@ -148,6 +148,9 @@ SINK_OPS = [
     "merge_cdc_tombstone",
     # round-9 lakehouse surface
     "snk_vacuum_retention",
+    # round-9 Python DataSource (generates its own data — the gate
+    # proves registration + scan work on a default-conf session)
+    "src_pydatasource_corpus",
 ]
 
 

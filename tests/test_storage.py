@@ -250,3 +250,44 @@ def test_mart_diff_exercises_all_change_classes(spark):
             assert r.n_before == r.n_after > 0
         else:
             assert 0 < r.n_after != r.n_before > 0
+
+
+def test_pydatasource_corpus_golden_and_partition_invariant(spark):
+    """The Python-DataSource generator's two contracts: the stats row
+    is frozen (any generation drift, lost partition, or double-read
+    flips a value — xxhash64-XOR is order-free, so only CONTENT
+    matters), and the data is byte-identical under any partition count
+    (per-doc seeding): reading at 3 partitions must reproduce the
+    8-partition row exactly."""
+    from claim_analysis_engine_spark.operators.storage_ops import (
+        src_pydatasource_corpus,
+    )
+    from claim_analysis_engine_spark.pydatasource import register_zipfcorpus
+    from tests.conftest import SF_SMALL
+
+    row = src_pydatasource_corpus(spark, SF_SMALL).collect()[0].asDict()
+    assert row == {
+        "n_docs": 2000,
+        "total_chars": 1906062,
+        "n_distinct_words": 12477,
+        "text_hash_xor": 1476364833668600688,
+    }, row
+
+    register_zipfcorpus(spark)
+    alt = (
+        spark.read.format("zipfcorpus")
+        .option("n_docs", 2000)
+        .option("n_parts", 3)
+        .load()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.bit_xor(F.xxhash64("text")).alias("text_hash_xor"),
+        )
+        .collect()[0]
+    )
+    assert (alt["n_docs"], alt["total_chars"], alt["text_hash_xor"]) == (
+        row["n_docs"],
+        row["total_chars"],
+        row["text_hash_xor"],
+    )
