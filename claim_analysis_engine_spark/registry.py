@@ -218,6 +218,23 @@ ROUND8_FRONT: tuple[str, ...] = (
 #   emb_pca_project agg_hll_intersection
 # Every op stays covered every suite run by the local DuckDB-oracle
 # replica (tests/test_oracle_parity.py) regardless of position.
+#
+# ROUND10_FRONT (build it first thing in round 10; verify the count
+# against CORRECTNESS_r01..r09 the way round 9 did): after this round
+# EXACTLY 25 registered ops have never had a driver row — the 16-op
+# tail pinned above plus the nine round-9 additions:
+#   sim_ivf_recall_contract agg_quantile_rank_contract
+#   agg_hll_error_contract sim_nprobe_contract snk_vacuum_retention
+#   evt_outer_join_stream evt_props_variant src_pydatasource_corpus
+#   txt_containment_sparse
+# All 25 fit one 50-slot window with ~25 slots to spare — fill the
+# remainder with round-10 additions first, then recycle the oldest
+# r1-r4 certifications (they've had no driver row since the r5
+# rotation; a re-certification guards against silent regressions the
+# local replica's session can't see). Oracle-bearing before rows-only,
+# as always. NOTE: every one of the 25 was already rehearsed green on
+# a stripped-conf driver-like session in round 9 (oracle compare at
+# sf0.01), so the rotation is de-risked.
 ROUND9_FRONT: tuple[str, ...] = (
     # capstones (end-to-end lifecycles)
     "ep9_growth_e2e",
