@@ -690,6 +690,70 @@ def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- agg_hll_merge_contract
+
+HLL_MERGE_ERR_CAP_BP = 800    # same 4σ cap as agg_hll_error_contract
+HLL_MERGE_AGREE_BP = 200      # |union − direct| / exact: the two paths
+# estimate the same set through different internal representations
+# (union promotes sparse→dense), so they agree closely but not
+# bit-exactly — measured ≤ 70 bp across sf0.001–0.1; 200 bp is margin
+
+
+@REG.op(
+    "agg_hll_merge_contract",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           {HLL_MERGE_ERR_CAP_BP} AS err_cap_bp,
+           TRUE AS union_err_ok,
+           TRUE AS merge_agreement_ok
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_hll_merge_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level partial oracle for agg_hll_union_rollup's
+    MERGEABILITY claim — the property that makes sketches matter at
+    100 TB. Spark sketches distinct customers per (status, year),
+    unions the fine-grain sketches up to status, and measures two
+    booleans the oracle asserts TRUE: the union estimate clears the
+    same 4σ error cap vs the exact distinct (merging loses no
+    accuracy budget), and the union estimate agrees with the direct
+    one-pass sketch estimate over the same rows to within
+    {HLL_MERGE_AGREE_BP} bp (NOT bit-equality — the union path
+    promotes the sketch representation, so the two estimates of the
+    same set differ by ulps of the estimator, measured ≤ 70 bp; a
+    broken merge drifts by orders of magnitude more). Exact counts
+    are recomputed by the oracle. A regression in sketch merge,
+    serialization, or precision defaults hash-mismatches at the
+    driver gate instead of hiding behind rows-only."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey", F.year("o_orderdate").alias("y")
+    )
+    fine = o.groupBy("o_orderstatus", "y").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    unioned = fine.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est")
+    )
+    direct = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("direct_est"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+    err_bp = F.expr(
+        "CAST(abs(union_est - exact_custs) * 10000 AS BIGINT) div exact_custs"
+    )
+    agree_bp = F.expr(
+        "CAST(abs(union_est - direct_est) * 10000 AS BIGINT) div exact_custs"
+    )
+    return unioned.join(direct, "o_orderstatus").select(
+        "o_orderstatus",
+        "exact_custs",
+        F.lit(HLL_MERGE_ERR_CAP_BP).alias("err_cap_bp"),
+        (err_bp <= HLL_MERGE_ERR_CAP_BP).alias("union_err_ok"),
+        (agree_bp <= HLL_MERGE_AGREE_BP).alias("merge_agreement_ok"),
+    )
+
+
 # ----------------------------------------------- join_bloom_prefilter
 
 BLOOM_BITS_PER_KEY = 10  # ~1% false-positive rate at 7 hashes

@@ -1599,3 +1599,103 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("score"), 6).alias("mean_score"),
         F.first("var_share_bp").alias("var_share_bp"),
     )
+
+
+# --------------------------------------------------------- emb_pca_contract
+
+PCA_CENTER_TOL = 1e-6   # |mean(score)| per component (centering)
+PCA_ORTHO_TOL = 1e-3    # |corr(score_i, score_j)| for i<j
+
+
+@REG.op(
+    "emb_pca_contract",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           {PCA_K} AS k,
+           TRUE AS centered_ok,
+           TRUE AS unit_norm_ok,
+           TRUE AS variance_ordered_ok,
+           TRUE AS orthogonal_ok
+    FROM embeddings
+    """,
+)
+def emb_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level partial oracle for the rows-only distributed PCA
+    (the ep3_forecast_contract pattern): the learned basis can't have
+    a SQL twin, but the four properties that make it A PCA are
+    measurable and engine-independent — projected scores are centered
+    (|mean| < {PCA_CENTER_TOL} per component), the basis vectors are
+    unit-norm, score variances are non-increasing in component order
+    (eigenvalue order), and the components are empirically
+    uncorrelated (|corr| < {PCA_ORTHO_TOL} for every pair — the
+    quantized-covariance fit leaves sub-1e-3 residue on the raw
+    data). Spark measures all four over the full projection; the
+    oracle recomputes the vector count and asserts TRUE. A broken
+    moment merge, a sign/ordering regression, or a drifting
+    quantization hash-mismatches at the driver gate."""
+    import numpy as np
+
+    mu, comps, _shares = _pca_fit(spark, sf_dir)
+    unit_norm_ok = bool(
+        np.allclose(np.linalg.norm(np.asarray(comps), axis=1), 1.0, atol=1e-9)
+    )
+    basis = spark.createDataFrame(
+        [(k, [float(x) for x in comps[k]]) for k in range(PCA_K)],
+        "component int, basis array<double>",
+    )
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), mu_lit, lambda a, b: a - b
+        ).alias("centered"),
+    )
+    scored = emb.crossJoin(F.broadcast(basis)).select(
+        "vec_id",
+        "component",
+        F.aggregate(
+            F.zip_with(F.col("centered"), F.col("basis"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("score"),
+    )
+    stats = scored.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("score").alias("m"),
+        F.var_samp("score").alias("v"),
+    )
+    wv = W.orderBy("component")
+    per_comp = stats.select(
+        "component",
+        "n",
+        (F.abs("m") < PCA_CENTER_TOL).alias("c_ok"),
+        (
+            F.col("v")
+            <= F.coalesce(F.lag("v").over(wv), F.lit(float("inf")))
+        ).alias("v_ok"),
+    ).agg(
+        F.max("n").alias("n_vectors"),
+        F.min("c_ok").alias("centered_ok"),
+        F.min("v_ok").alias("variance_ordered_ok"),
+    )
+    a = scored.select(
+        "vec_id", F.col("component").alias("ci"), F.col("score").alias("si")
+    )
+    b = scored.select(
+        "vec_id", F.col("component").alias("cj"), F.col("score").alias("sj")
+    )
+    ortho = (
+        a.join(b, "vec_id")
+        .where(F.col("ci") < F.col("cj"))
+        .groupBy("ci", "cj")
+        .agg(F.corr("si", "sj").alias("r"))
+        .agg(F.min(F.abs("r") < PCA_ORTHO_TOL).alias("orthogonal_ok"))
+    )
+    return per_comp.crossJoin(F.broadcast(ortho)).select(
+        "n_vectors",
+        F.lit(PCA_K).alias("k"),
+        "centered_ok",
+        F.lit(unit_norm_ok).alias("unit_norm_ok"),
+        "variance_ordered_ok",
+        "orthogonal_ok",
+    )
