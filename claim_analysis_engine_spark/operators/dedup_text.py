@@ -1732,6 +1732,86 @@ def txt_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _containment_best(sh, _containment_candidates(sh))
 
 
+# ---------------------------------------------- dedup_lsh_fast_contract
+
+LSH_HIGH_T = 0.9          # "must-catch" Jaccard band for the recall claim
+LSH_RECALL_FLOOR_BP = 9000
+
+
+@REG.op(
+    "dedup_lsh_fast_contract",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= {LSH_HIGH_T}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true_high_pairs,
+           {LSH_RECALL_FLOOR_BP} AS recall_floor_bp,
+           TRUE AS recall_ok,
+           TRUE AS precision_ok
+    FROM pairs
+    """,
+)
+def dedup_lsh_fast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level partial oracle for the rows-only xxhash64 LSH
+    production path (the ep3_forecast_contract pattern): the JVM-only
+    hash has no SQL twin, but the claims that make the op USABLE do —
+    Spark measures recall of dedup_minhash_lsh_fast against the exact
+    all-pairs J ≥ {LSH_HIGH_T} truth (must clear
+    {LSH_RECALL_FLOOR_BP} bp — the banding math's guarantee band) and
+    precision via an independent string-shingle recompute of every
+    emitted pair's Jaccard (each must clear the {JACCARD_T} emission
+    threshold and match the op's hashed-shingle value — a hash
+    collision or broken band would flip it); the oracle recomputes
+    the truth-pair count and asserts the booleans. The all-pairs
+    truth is a broadcast NLJ over the 500-doc correctness corpus —
+    gate-scale instrumentation, not a production path (the op under
+    test exists precisely so production never does this)."""
+    found = dedup_minhash_lsh_fast(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("j_emitted")
+    )
+    sh = _shingles(spark, sf_dir).cache()
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    jac = _jaccard("sa", "sb")
+    truth = (
+        F.broadcast(a)
+        .join(b, F.col("doc_a") < F.col("doc_b"))
+        .where(jac >= LSH_HIGH_T)
+        .select("doc_a", "doc_b")
+    )
+    t_agg = truth.agg(F.count(F.lit(1)).alias("n_true_high_pairs"))
+    hits = truth.join(found, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    prec = (
+        found.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.min(
+                (jac >= JACCARD_T) & (F.abs(jac - F.col("j_emitted")) < 1e-3)
+            ).alias("precision_ok")
+        )
+    )
+    return (
+        t_agg.crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(prec))
+        .select(
+            "n_true_high_pairs",
+            F.lit(LSH_RECALL_FLOOR_BP).alias("recall_floor_bp"),
+            (
+                F.expr("CAST(n_hits * 10000 AS BIGINT) div n_true_high_pairs")
+                >= LSH_RECALL_FLOOR_BP
+            ).alias("recall_ok"),
+            "precision_ok",
+        )
+    )
+
+
 # ---------------------------------------------- txt_containment_sparse
 
 ZIPF_N_DOCS = 5000      # fixture size ≈ the sf0.1 documents table
