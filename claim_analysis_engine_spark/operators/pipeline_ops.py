@@ -890,6 +890,56 @@ def corpus_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------- corpus_quality_lr_contract
+
+LR_ACC_FLOOR_BP = 9000  # held-out accuracy floor (measured 0.96-0.98
+# across sf0.001-0.1; the length-class target is ~95% separable on the
+# features, so a sub-floor reading means the trainer broke, not the data)
+
+
+@REG.op(
+    "corpus_quality_lr_contract",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - {LR_TRAIN_CAP} AS BIGINT) AS n_heldout,
+           {LR_ACC_FLOOR_BP} AS acc_floor_bp,
+           TRUE AS acc_ok,
+           TRUE AS both_classes_ok
+    FROM documents
+    """,
+)
+def corpus_quality_lr_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level partial oracle for the rows-only learned quality
+    gate (the ep3_forecast_contract pattern): the LR weights can't
+    have a SQL twin, but the classifier's CONTRACT can — Spark scores
+    the corpus with corpus_quality_lr, measures held-out accuracy
+    (must clear {LR_ACC_FLOOR_BP} bp) and that BOTH classes appear in
+    the held-out evaluation (an all-one-class accuracy is vacuous);
+    the oracle recomputes the doc and held-out counts (corpus minus
+    the constant {LR_TRAIN_CAP}-row training sample) and asserts the
+    booleans. A broken feature pipeline, training loop, or sample
+    membership join hash-mismatches at the driver gate instead of
+    hiding behind rows-only."""
+    scored = corpus_quality_lr(spark, sf_dir)
+    ho = scored.where(~F.col("in_train"))
+    agg = ho.agg(
+        F.count(F.lit(1)).alias("n_heldout"),
+        F.sum((F.col("pred") == F.col("label")).cast("long")).alias("n_right"),
+        F.countDistinct("label").alias("n_classes"),
+    )
+    n_docs = scored.agg(F.count(F.lit(1)).alias("n_docs"))
+    return n_docs.crossJoin(F.broadcast(agg)).select(
+        "n_docs",
+        "n_heldout",
+        F.lit(LR_ACC_FLOOR_BP).alias("acc_floor_bp"),
+        (
+            F.expr("CAST(n_right * 10000 AS BIGINT) div n_heldout")
+            >= LR_ACC_FLOOR_BP
+        ).alias("acc_ok"),
+        (F.col("n_classes") == 2).alias("both_classes_ok"),
+    )
+
+
 # ---------------------------------------------- corpus_pack_sequences
 
 PACK_SEP = "\x1e"  # ASCII record separator between packed documents

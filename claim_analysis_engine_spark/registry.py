@@ -221,19 +221,19 @@ ROUND8_FRONT: tuple[str, ...] = (
 #
 # ROUND10_FRONT (build it first thing in round 10; verify the count
 # against CORRECTNESS_r01..r09 the way round 9 did): after this round
-# EXACTLY 28 registered ops have never had a driver row — the 16-op
-# tail pinned above plus the twelve round-9 additions:
+# EXACTLY 29 registered ops have never had a driver row — the 16-op
+# tail pinned above plus the thirteen round-9 additions:
 #   sim_ivf_recall_contract agg_quantile_rank_contract
 #   agg_hll_error_contract sim_nprobe_contract snk_vacuum_retention
 #   evt_outer_join_stream evt_props_variant src_pydatasource_corpus
 #   txt_containment_sparse agg_hll_merge_contract emb_pca_contract
-#   dedup_lsh_fast_contract
-# All 28 fit one 50-slot window with ~22 slots to spare — fill the
+#   dedup_lsh_fast_contract corpus_quality_lr_contract
+# All 29 fit one 50-slot window with ~21 slots to spare — fill the
 # remainder with round-10 additions first, then recycle the oldest
 # r1-r4 certifications (they've had no driver row since the r5
 # rotation; a re-certification guards against silent regressions the
 # local replica's session can't see). Oracle-bearing before rows-only,
-# as always. NOTE: every one of the 28 was already rehearsed green on
+# as always. NOTE: every one of the 29 was already rehearsed green on
 # a stripped-conf driver-like session in round 9 (oracle compare at
 # sf0.01), so the rotation is de-risked.
 ROUND9_FRONT: tuple[str, ...] = (
