@@ -117,10 +117,10 @@ def registry() -> dict[str, Op]:
                 raise ValueError(f"duplicate op id across modules: {op_id!r}")
             merged[op_id] = op
 
-    missing = [op_id for op_id in ROUND9_FRONT if op_id not in merged]
+    missing = [op_id for op_id in ROUND10_FRONT if op_id not in merged]
     if missing:  # a typo here would silently shrink the sampling window
-        raise ValueError(f"ROUND9_FRONT ids not in registry: {missing}")
-    front = {op_id: merged[op_id] for op_id in ROUND9_FRONT}
+        raise ValueError(f"ROUND10_FRONT ids not in registry: {missing}")
+    front = {op_id: merged[op_id] for op_id in ROUND10_FRONT}
     front.update((op_id, op) for op_id, op in merged.items() if op_id not in front)
     return front
 
@@ -296,4 +296,76 @@ ROUND9_FRONT: tuple[str, ...] = (
     "cust_rfm",
     "dq_freshness",
     "dq_column_profile",
+)
+
+# Exact driver-sampling order for round 10. Verified against
+# CORRECTNESS_r01..r09 at rotation time (scripted union): EXACTLY 29
+# registered ops had never had a driver row — 23 oracle-bearing + 6
+# rows-only — matching the pinned list in the round-9 comment above.
+# They lead the window (oracle-bearing first). Round-10 additions are
+# inserted at the "round-10 additions" marker as they land, each
+# displacing the LAST recycled id so the tuple stays exactly 50 valid
+# registry ids at every commit. The remaining slots recycle the oldest
+# r1-r4 certifications (60 ops have had no driver row since r4; the 21
+# chosen are the headline bench queries, the flagship entry() spine,
+# and the §2 core most exposed to session-conf drift — a re-cert
+# guards against regressions the local replica's session can't see).
+ROUND10_FRONT: tuple[str, ...] = (
+    # --- pinned: never-driver-sampled, oracle-bearing (23) ---
+    # sketch/ANN/PCA/LSH/LR contract oracles (round-9 pattern)
+    "sim_ivf_recall_contract",
+    "sim_nprobe_contract",
+    "emb_pca_contract",
+    "dedup_lsh_fast_contract",
+    "corpus_quality_lr_contract",
+    "agg_hll_error_contract",
+    "agg_quantile_rank_contract",
+    "agg_hll_merge_contract",
+    # round-9 lakehouse / streaming / variant additions
+    "snk_vacuum_retention",
+    "evt_outer_join_stream",
+    "evt_props_variant",
+    # displaced + late aggregates (the round-8/9 tail)
+    "agg_basket_pairs",
+    "agg_benford",
+    "agg_pareto",
+    "agg_cohort_ltv",
+    "agg_abc_class",
+    "agg_survival_km",
+    "agg_new_vs_returning",
+    "agg_return_rates",
+    "agg_supply_risk",
+    "agg_cumulative_distinct",
+    "agg_seasonal_index",
+    "agg_backlog_aging",
+    # --- round-10 additions (inserted as they land) ---
+    # --- pinned: never-driver-sampled, rows-only (6) ---
+    "src_pydatasource_corpus",
+    "txt_containment_sparse",
+    "sim_nprobe_sweep",
+    "emb_pca_project",
+    "corpus_bpe_encode",
+    "agg_hll_intersection",
+    # --- recycled oldest certifications (latest driver row r1-r4) ---
+    "agg_monthly_count",
+    "proj_canon54",
+    "dedup_keylast",
+    "dedup_merge",
+    "agg_lag_stats",
+    "agg_lot_alert",
+    "pvt_months",
+    "pvt_subtotals",
+    "spine_zero",
+    "topk_per_group",
+    "src_parquet_part",
+    "flt_rolling_30d",
+    "join_claims_sales",
+    "union_schema_align",
+    "agg_kpi_mom",
+    "dedup_fullrow",
+    "agg_multi",
+    "flt_range_date",
+    "sort_multi",
+    "src_csv",
+    "meta_rowcount",
 )
