@@ -1931,7 +1931,7 @@ def txt_containment_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_recalled"))
     )
     n_pairs = ZIPF_N_DOCS * (ZIPF_N_DOCS - 1)
-    return (
+    stats = (
         n_cand.crossJoin(n_flagged)
         .crossJoin(n_recalled)
         .select(
@@ -1945,3 +1945,11 @@ def txt_containment_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_flagged",
         )
     )
+    # Compute the stats row eagerly so cand/flagged can be unpersisted
+    # HERE — only `sh` is session-memoized; leaving these two cached on
+    # every invocation (bench median-of-3 + correctness runs)
+    # accumulates unreclaimed frames in the session.
+    row = stats.first()
+    cand.unpersist()
+    flagged.unpersist()
+    return spark.createDataFrame([row], stats.schema)

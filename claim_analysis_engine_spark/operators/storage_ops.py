@@ -1102,18 +1102,25 @@ def snk_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.remove(os.path.join(root, "manifest-1.json"))
 
     live = spark.read.parquet(*[os.path.join(root, f) for f in retained])
-    content = live.agg(
-        F.lit("post_vacuum_v2").alias("stage"),
-        F.count(F.lit(1)).alias("n"),
+    # Materialize the post-vacuum read BEFORE removing the fixture root:
+    # the returned frame must not depend on the temp files, and leaving
+    # the root behind orphans two parquet copies of orders per
+    # invocation (bench median-of-3 + correctness runs add up).
+    n_live, total_price = live.agg(
+        F.count(F.lit(1)),
         F.round(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
-        ).alias("total_price"),
-    )
-    accounting = spark.createDataFrame(
-        [("removed_files", removed, None), ("live_files", len(retained), None)],
+        ),
+    ).first()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            ("post_vacuum_v2", n_live, float(total_price)),
+            ("removed_files", removed, None),
+            ("live_files", len(retained), None),
+        ],
         "stage string, n long, total_price double",
     )
-    return content.unionByName(accounting)
 
 
 # ---------------------------------------------- src_partition_evolution

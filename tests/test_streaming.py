@@ -525,3 +525,63 @@ def test_outer_join_suppresses_views_still_open_at_stream_end(spark):
         "every unmatched view emitted — the watermark boundary is vacuous"
     )
     assert emitted_nulls > 0, "no null emissions — outer semantics inert"
+
+
+def test_outer_join_null_emission_boundary_is_exact(spark, tmp_path):
+    """The outer gate's oracle hard-codes the eviction inequality as
+    STRICT: a view null-emits iff v_ts + window < max(ts) − delay.
+    This plants one view EXACTLY on the boundary (must be suppressed)
+    and one 1 s inside it (must emit) and drives them through the real
+    streaming path — so a Spark-version change in the eviction
+    inequality, or a view landing exactly on the boundary, fails HERE
+    before the driver's hash gate does (ADVICE r9)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from claim_analysis_engine_spark.operators.streaming_gate import (
+        _drain_to_parquet,
+    )
+
+    window_s = streaming.ATTRIB_WINDOW_S  # 3600
+    delay_s = 7200  # attribution_join's "2 hours" watermark
+    t_max = 1_700_000_000  # epoch seconds; any fixed instant works
+    at_boundary = t_max - delay_s - window_s        # v_ts + w == max − d
+    inside = at_boundary - 1                        # v_ts + w  < max − d
+    rows = [
+        # (event_id, ts_s, user_id, event_type) — no purchases for
+        # users 1/2, so both views are unmatched in the batch sense
+        (1, inside, 1, "view"),
+        (2, at_boundary, 2, "view"),
+        # a third user's purchase at t_max pins the global watermark
+        (3, t_max, 3, "purchase"),
+        (4, t_max - window_s, 3, "view"),  # matched pair (sanity row)
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    stage = tmp_path / "boundary_events"
+    stage.mkdir()
+    pq.write_table(table, stage / "part-000.parquet")
+
+    stream = streaming.read_events_stream(spark, str(stage))
+    out = _drain_to_parquet(
+        spark, streaming.attribution_join(stream, how="left_outer")
+    ).collect()
+    null_users = {r.user_id for r in out if r.purchase_id is None}
+    assert 1 in null_users, "view 1 s inside the boundary must null-emit"
+    assert 2 not in null_users, (
+        "view EXACTLY at the boundary emitted — Spark's eviction "
+        "inequality is no longer strict; update the oracle in "
+        "streaming_gate.evt_outer_join_stream to match"
+    )
+    matched = {r.user_id for r in out if r.purchase_id is not None}
+    assert matched == {3}, "the sanity inner match must emit"
