@@ -266,6 +266,43 @@ def main() -> None:
     # (the driver never sets this; the official artifact always carries
     # the full extra set)
     extras_to_run = [] if os.environ.get("SPARK_GRAFT_BENCH_SKIP_EXTRA") else EXTRA
+
+    # Steady-state warm-up for the HEAVIEST extras (round 10): the
+    # round-9 headline fix left the 80+ extras median-of-3 with
+    # first-run JIT inside the spread (isolated probe:
+    # dedup_simhash_fast [9.58, 4.44, 3.58], still declining at run 3),
+    # so their medians drifted ±2× across rounds on unchanged code.
+    # One TIMED but unrecorded-in-the-median pass for the ops whose
+    # first run dominates — the stateful stream gates (state-store +
+    # checkpoint floor), the iterative CC fixpoints, the forecast
+    # contract, and the sketch-audit contract — costs ~30-60 s and
+    # makes those medians comparable round-over-round. The warm-up
+    # timing is kept: for memoized families it IS the cold number
+    # (cleaner than charging run 1 of the median spread with it).
+    WARMUP_EXTRA = [
+        "rs_wrapper",
+        "p6_rule_engine",
+        "dedup_cluster_cc",
+        "dedup_cluster_cc_star",
+        "dedup_simhash_fast",
+        "dedup_minhash_lsh_fast",
+        "evt_dedup_stream",
+        "evt_sessionize_stream",
+        "evt_tumbling_stream",
+        "evt_join_stream",
+        "evt_outer_join_stream",
+        "evt_scd2_refresh_stream",
+        "evt_mart_refresh_stream",
+        "evt_enrich_stream",
+        "ep3_forecast_contract",
+        "agg_hll_error_contract",
+    ]
+    warm_first: dict[str, float] = {}
+    for name in (n for n in WARMUP_EXTRA if n in extras_to_run):
+        t0 = time.perf_counter()
+        reg[name].query(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        warm_first[name] = round(time.perf_counter() - t0, 3)
+
     extra = {name: run(name) for name in extras_to_run}
 
     # Memoized families (layouts, CC labels, trained models, the risk
@@ -287,36 +324,69 @@ def main() -> None:
         "corpus_bpe_train",
         "txt_containment_sparse",
     ]
-    cold = {name: spread[name][0] for name in MEMOIZED if name in spread}
+    cold = {
+        name: warm_first.get(name, spread[name][0])
+        for name in MEMOIZED
+        if name in spread
+    }
 
-    # Key order matters: the driver's artifact capture keeps the TAIL
-    # of this (long) line, so the bulky per-run spread goes FIRST and
-    # the headline metric/value/methodology go LAST — BENCH_r07 lost
-    # its headline number to head-truncation.
+    methodology = (
+        "one unrecorded warm-up pass of the full headline set precedes "
+        "timing (since round 9 — steady-state reading; removes the "
+        "JIT-warm-up sensitivity behind the r7-r9 drift adjudications); "
+        "since round 10 the heaviest extras (stream gates, CC "
+        "fixpoints, forecast/sketch contracts) get one timed warm-up "
+        "pass too, recorded in warmup_first_run — their medians are "
+        "steady-state, and for memoized families the warm-up IS the "
+        "cold number; median-of-5 per headline query, median-of-3 per "
+        "extra (since round 6; round 4-5 were median-of-3 everywhere; "
+        "rounds 1-3 one-shot incl. first-run warm-up)"
+    )
+
+    # Two-artifact split (round 10): the driver keeps only the last
+    # ~2,000 chars of stdout, and the full spread/extras map outgrew
+    # that three rounds ago (BENCH_r08/r09 record `parsed: null` with
+    # only the tail extras visible). The FINAL stdout line is now a
+    # compact summary guaranteed to fit the driver's tail window; the
+    # full per-op detail (spreads, extras, cold map, warm-up timings)
+    # goes to a committed BENCH_DETAIL.json so extras stay diffable
+    # across rounds from the repo itself.
+    detail = {
+        "spread": spread,
+        "extra_queries": extra,
+        "warmup_first_run": warm_first,
+        "queries": queries,
+        "runs_per_query": {"headline": N_RUNS_HEADLINE, "extra": N_RUNS_EXTRA},
+        "cold": cold,
+        "methodology": methodology,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "metric": "headline_total_runtime",
+        "unit": "sec",
+        "value": round(total, 3),
+    }
+    if extras_to_run:  # headline-only escape-hatch runs don't clobber it
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+
     line = json.dumps(
         {
-            "spread": spread,
-            "extra_queries": extra,
-            "queries": queries,
-            "runs_per_query": {
-                "headline": N_RUNS_HEADLINE,
-                "extra": N_RUNS_EXTRA,
-            },
-            # near the tail so it survives the driver's head-truncation
-            "cold": cold,
-            "methodology": "one unrecorded warm-up pass of the full "
-            "headline set precedes timing (since round 9 — steady-state "
-            "reading; removes the JIT-warm-up sensitivity behind the "
-            "r7-r9 drift adjudications); median-of-5 per headline "
-            "query, median-of-3 per extra (since round 6; round 4-5 "
-            "were median-of-3 everywhere; rounds 1-3 one-shot incl. "
-            "first-run warm-up)",
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "metric": "headline_total_runtime",
             "unit": "sec",
+            "sf": detail["sf"],
+            "queries": queries,
+            "n_extra_queries": len(extra),
+            "extras_total_sec": round(sum(extra.values()), 3),
+            "detail": "BENCH_DETAIL.json (committed: per-run spreads, "
+            "extras, cold map, warm-up timings, methodology)",
+            "methodology": "steady-state medians after warm-up passes "
+            "(headline set + heaviest extras); see BENCH_DETAIL.json",
             "value": round(total, 3),
         }
     )
+    assert len(line) < 1900, f"summary line too long for driver tail: {len(line)}"
     # Stop the JVM BEFORE printing: the embedded JVM writes its own
     # stdout (observed: a [warning][gc,alloc] line landing AFTER the
     # JSON), and the driver keeps the tail of the captured output —
