@@ -1,0 +1,301 @@
+"""MLlib forecasting twin (pyspark.ml) — the GBDT half of §2.10 run
+as ONE distributed model instead of per-series Python fits.
+
+The reference's CatBoost slot (core/engine/models.py:206-303) fits a
+boosted-tree regressor per series on lag features and predicts
+recursively, feeding its own outputs forward. operators/tsforecast.py
+re-expresses that shape faithfully (per-series numpy GBDT via
+fanout_apply). This module adds the architecture Spark uniquely
+enables and the baseline brief names (BASELINE.json: "DataFrame API +
+MLlib for forecasting"): a SINGLE pyspark.ml GBTRegressor trained
+JVM-side across ALL series' lag-feature rows at once — a global model
+that pools cross-series structure (the "one model over all SKUs"
+pattern of M5-winning forecasters) and trains distributed with no
+Python in the loop.
+
+Pipeline, all DataFrame-native until the `.fit`:
+  zero-filled monthly series (risk._series, the substrate every §2.9
+  and §2.10 op shares) → lag features (window lag 1,2,3,12 + month-of-
+  year) → temporal split (last HORIZON months held out, exactly
+  tsforecast.ml_split's rule) → VectorAssembler → GBTRegressor.fit →
+  RECURSIVE multi-step transform: horizon step h's lag-1..3 features
+  come from the model's own h-1 predictions (union-appended to the
+  history frame), lag-12 from actuals — byte-for-byte the reference's
+  recursive predict discipline, expressed as h tiny broadcast joins +
+  one JVM transform per step instead of a Python loop.
+
+Backtest: the SAME recursion replayed from the train boundary against
+the held-out months gives an honest per-series RMSE (recursive, not
+teacher-forced), which prices the ±1.96·RMSE bands — reference
+pages/4:321-324 CI arithmetic, same as every other forecast op here.
+
+Scale: the fact table collapses to (keys × months) before any ML; the
+lag frame is series-count × months rows. Training is MLlib's
+distributed histogram GBT — at 1M series the fit is a real cluster
+job; the recursion is HORIZON broadcast joins over a keys-sized frame.
+All model state lives JVM-side; zero Python workers anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from claim_analysis_engine_spark.operators.risk import _SERIES_CTE, _series
+from claim_analysis_engine_spark.registry import OpRegistry
+
+REG = OpRegistry()
+
+HORIZON = 3
+LAGS = (1, 2, 3, 12)
+# training needs at least one row with a non-null lag-12 STRICTLY
+# inside the train span (m - HORIZON months): m >= max(LAGS) + HORIZON + 1
+MIN_MONTHS = max(LAGS) + HORIZON + 1
+_FEATURES = [f"lag{L}" for L in LAGS] + ["moy"]
+
+
+def _lag_features(s: DataFrame) -> DataFrame:
+    """Series frame → supervised lag-feature frame. idx is the global
+    month ordinal (every series shares the zero-filled spine, so idx
+    and month are in global 1:1 correspondence)."""
+    key = W.partitionBy("status", "priority").orderBy("month")
+    out = s.withColumn("idx", F.row_number().over(key))
+    for lag in LAGS:
+        out = out.withColumn(f"lag{lag}", F.lag("n", lag).over(key).cast("double"))
+    return out.withColumn("moy", F.month("month").cast("double")).withColumn(
+        "n", F.col("n").cast("double")
+    )
+
+
+def _fit_gbt(train: DataFrame):
+    """Assemble + fit the global GBT. Import inside: pyspark.ml is in
+    the sandbox (Spark 4.1.2) but keeping the import local means a
+    stripped pyspark build degrades exactly one op family."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    assembler = VectorAssembler(inputCols=_FEATURES, outputCol="features")
+    gbt = GBTRegressor(
+        featuresCol="features",
+        labelCol="n",
+        predictionCol="prediction",
+        maxDepth=3,
+        maxIter=20,
+        stepSize=0.1,
+        seed=42,
+    )
+    return assembler, gbt.fit(assembler.transform(train.dropna(subset=_FEATURES)))
+
+
+def _recursive_forecast(
+    assembler,
+    model,
+    hist: DataFrame,
+    start_idx: int,
+    first_month,
+    steps: int = HORIZON,
+) -> DataFrame:
+    """The reference's recursive multi-step predict, distributed:
+    step h's feature row per series takes lag-L from the history frame
+    at idx (start_idx + h − L) — which for L < h is the model's OWN
+    prior prediction, union-appended below. Returns (status, priority,
+    h, yhat). `first_month` anchors month-of-year for future ordinals.
+
+    Per step: ONE keys-grain aggregation pivots the lag window into
+    feature columns (cheaper in Catalyst than a join per lag), one JVM
+    transform scores it, and the keys-sized prediction frame is
+    localCheckpoint'ed EAGERLY — each step executes once on the cached
+    history instead of re-deriving the whole transform chain every
+    time a downstream action touches it (the recursion is consumed
+    twice: RMSE join + final band join)."""
+    preds: DataFrame | None = None
+    cur = hist
+    for h in range(1, steps + 1):
+        step_idx = start_idx + h
+        feats = (
+            cur.where(
+                (F.col("idx") >= step_idx - max(LAGS)) & (F.col("idx") < step_idx)
+            )
+            .groupBy("status", "priority")
+            .agg(
+                *[
+                    F.max(
+                        F.when(F.col("idx") == step_idx - lag, F.col("n"))
+                    ).alias(f"lag{lag}")
+                    for lag in LAGS
+                ]
+            )
+            .withColumn(
+                "moy",
+                F.month(F.add_months(F.lit(first_month), step_idx - 1)).cast(
+                    "double"
+                ),
+            )
+        )
+        p = (
+            model.transform(assembler.transform(feats))
+            .select(
+                "status",
+                "priority",
+                F.greatest(F.lit(0.0), F.col("prediction")).alias("yhat"),
+            )
+            .localCheckpoint()  # eager: keys-sized, executes the step once
+        )
+        row = p.select("status", "priority", F.lit(h).alias("h"), "yhat")
+        preds = row if preds is None else preds.unionByName(row)
+        cur = cur.unionByName(
+            p.select(
+                "status",
+                "priority",
+                F.lit(step_idx).alias("idx"),
+                F.col("yhat").alias("n"),
+            )
+        )
+    assert preds is not None
+    return preds
+
+
+def _gbt_forecast_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared engine for both ops: train, backtest recursively over the
+    held-out months, forecast HORIZON months ahead, band with
+    ±1.96·backtest-RMSE clipped at 0."""
+    # the lag frame is bounded (series-keys × months) and consumed by
+    # the fit, both recursions, and the RMSE join — cache once, release
+    # after the series-grain result is materialized below
+    s = _lag_features(_series(spark, sf_dir)).cache()
+    out_schema = (
+        "status string, priority string, h int, yhat double, "
+        "ci_lo double, ci_hi double, model string"
+    )
+    try:
+        bounds = s.agg(
+            F.max("idx").alias("m"), F.min("month").alias("first_month")
+        ).first()
+        m, first_month = bounds["m"], bounds["first_month"]
+        if m is None or m < MIN_MONTHS:  # the oracle's eligibility mirror
+            return spark.createDataFrame([], out_schema)
+
+        train = s.where(F.col("idx") <= m - HORIZON)
+        assembler, model = _fit_gbt(train)
+
+        hist = s.select("status", "priority", "idx", "n")
+        # honest backtest: recursion replayed from the train boundary,
+        # so held-out months are predicted exactly the way the future is
+        bt = _recursive_forecast(
+            assembler,
+            model,
+            hist.where(F.col("idx") <= m - HORIZON),
+            m - HORIZON,
+            first_month,
+        )
+        actual = hist.where(F.col("idx") > m - HORIZON).select(
+            "status",
+            "priority",
+            (F.col("idx") - (m - HORIZON)).alias("h"),
+            F.col("n").alias("y"),
+        )
+        rmse = (
+            bt.join(actual, ["status", "priority", "h"])
+            .groupBy("status", "priority")
+            .agg(
+                F.sqrt(F.avg((F.col("y") - F.col("yhat")) ** 2)).alias("bt_rmse")
+            )
+        )
+
+        fc = _recursive_forecast(assembler, model, hist, m, first_month)
+        result = fc.join(F.broadcast(rmse), ["status", "priority"]).select(
+            "status",
+            "priority",
+            "h",
+            F.round("yhat", 4).alias("yhat"),
+            F.round(
+                F.greatest(F.lit(0.0), F.col("yhat") - 1.96 * F.col("bt_rmse")),
+                4,
+            ).alias("ci_lo"),
+            F.round(F.col("yhat") + 1.96 * F.col("bt_rmse"), 4).alias("ci_hi"),
+            F.lit("gbt_mllib").alias("model"),
+        )
+        # materialize the series-grain result (keys × HORIZON rows — the
+        # same size class every forecast op returns and the driver
+        # collects) so the cache can be released here; a production run
+        # forecasting millions of series would write `result` to a sink
+        # instead and unpersist after the write
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        s.unpersist()
+
+
+@REG.op("ml_gbt_mllib")  # rows-only: yhat comes from fitted JVM tree
+# state no static SQL can reproduce (same standing as ml_sarimax /
+# ml_catboost); the deterministic half is hash-certified by
+# ml_gbt_contract below, shape/recursion by tests/test_mllib_forecast.py
+def ml_gbt_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global MLlib GBT forecaster (see module docstring): the
+    reference CatBoost slot's lag-features + recursive-predict shape
+    (core/engine/models.py:206-303) trained as ONE distributed
+    pyspark.ml GBTRegressor over every series' rows, the MLlib surface
+    BASELINE.json names. Output schema matches the per-series forecast
+    family (tsforecast._forecast_op)."""
+    return _gbt_forecast_frame(spark, sf_dir)
+
+
+@REG.op(
+    "ml_gbt_contract",
+    oracle=_SERIES_CTE
+    + f"""
+    , months AS (SELECT count(*) AS m FROM spine)
+    SELECT k.status, k.priority,
+           CAST({HORIZON} AS BIGINT) AS n_horizons,
+           true AS h_complete,
+           true AS yhat_nonneg,
+           true AS band_const,
+           true AS lo_clipped_sym,
+           true AS band_ordered
+    FROM keys k, months WHERE m >= {MIN_MONTHS}
+    """,
+)
+def ml_gbt_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level gate for the DETERMINISTIC half of the MLlib
+    forecaster (the ep3_forecast_contract pattern — model state stays
+    rows-only, its contract becomes hash-certified booleans):
+
+    * eligibility — exactly the (status, priority) keys of the
+      zero-filled series grid produce output, iff the spine has
+      >= {MIN_MONTHS} months (lag-12 must exist strictly inside the
+      train span);
+    * shape — exactly {HORIZON} horizon rows (h = 1..{HORIZON}) per
+      series (the recursion emitted every step exactly once);
+    * clip — yhat >= 0 everywhere (counts can't go negative);
+    * CI arithmetic (reference pages/4:321-324) — the upper margin
+      ci_hi − yhat = 1.96·rmse is CONSTANT across a series' horizons,
+      ci_lo = max(0, 2·yhat − ci_hi), and ci_lo <= ci_hi everywhere.
+
+    Tolerances are 1e-3 against 4-dp rounding. The oracle recomputes
+    the eligible-key set from the same series CTE with every invariant
+    folded to `true` — a wrong key set, missing horizon, negative
+    prediction, or asymmetric band hash-mismatches at the driver."""
+    out = ml_gbt_mllib(spark, sf_dir)
+    hi_margin = F.col("ci_hi") - F.col("yhat")
+    lo_expect = F.greatest(F.lit(0.0), F.lit(2.0) * F.col("yhat") - F.col("ci_hi"))
+    per = out.groupBy("status", "priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_horizons"),
+        F.array_sort(F.collect_list("h")).alias("hs"),
+        F.min("yhat").alias("yhat_min"),
+        (F.max(hi_margin) - F.min(hi_margin)).alias("margin_spread"),
+        F.max(F.abs(F.col("ci_lo") - lo_expect)).alias("lo_err"),
+        F.min((F.col("ci_lo") <= F.col("ci_hi")).cast("int")).alias("ord_min"),
+    )
+    return per.select(
+        "status",
+        "priority",
+        "n_horizons",
+        (F.col("hs") == F.array(*[F.lit(i) for i in range(1, HORIZON + 1)])).alias(
+            "h_complete"
+        ),
+        (F.col("yhat_min") >= 0.0).alias("yhat_nonneg"),
+        (F.col("margin_spread") < 1e-3).alias("band_const"),
+        (F.col("lo_err") < 1e-3).alias("lo_clipped_sym"),
+        (F.col("ord_min") == 1).alias("band_ordered"),
+    )

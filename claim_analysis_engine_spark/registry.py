@@ -55,6 +55,7 @@ def registry() -> dict[str, Op]:
         events,
         graph_ops,
         joins_temporal,
+        mllib_forecast,
         multimodal,
         pivots,
         relational,
@@ -94,6 +95,7 @@ def registry() -> dict[str, Op]:
         risk_tree,
         rule_engine,
         tsforecast,
+        mllib_forecast,
         storage_ops,
         sales,
         dedup_text,
@@ -339,6 +341,8 @@ ROUND10_FRONT: tuple[str, ...] = (
     "agg_seasonal_index",
     "agg_backlog_aging",
     # --- round-10 additions (inserted as they land) ---
+    "ml_gbt_contract",
+    "ml_gbt_mllib",
     # --- pinned: never-driver-sampled, rows-only (6) ---
     "src_pydatasource_corpus",
     "txt_containment_sparse",
@@ -366,6 +370,4 @@ ROUND10_FRONT: tuple[str, ...] = (
     "agg_multi",
     "flt_range_date",
     "sort_multi",
-    "src_csv",
-    "meta_rowcount",
 )
