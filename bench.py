@@ -163,6 +163,11 @@ EXTRA = [
     "agg_hll_error_contract",
     "evt_props_variant",
     "src_pydatasource_corpus",
+    # round-10 additions: the MLlib GBT forecaster (fit + recursive
+    # predict per pass) and the tokenizer round-trip contract (reuses
+    # the session-memoized merge table after corpus_bpe_train runs)
+    "ml_gbt_mllib",
+    "corpus_bpe_roundtrip_contract",
 ]
 
 

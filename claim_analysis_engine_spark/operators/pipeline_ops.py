@@ -1305,6 +1305,24 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[dict]:
     return sorted(_BPE_MERGE_MEMO[key], key=lambda m: m["rank"])
 
 
+def _bpe_segment(vocab: DataFrame, merges: list[dict]) -> DataFrame:
+    """Segment each distinct word into its BPE symbol array by applying
+    the learned merges in rank order — the same array fold the trainer
+    used, so greedy left-to-right semantics hold by construction.
+    Shared by the encoder and the round-trip contract; caller sets the
+    tiny-frame shuffle-partition conf."""
+    seg = vocab.select(
+        "w", F.expr("filter(split(w, ''), x -> x <> '')").alias("sym")
+    ).localCheckpoint()
+    for i, m in enumerate(merges, start=1):
+        seg = seg.select(
+            "w", _bpe_apply_merge(F.col("sym"), m["left"], m["right"]).alias("sym")
+        )
+        if i % 5 == 0:  # the trainer's checkpoint cadence
+            seg = seg.localCheckpoint()
+    return seg
+
+
 @REG.op("corpus_bpe_encode")  # rows-only: encoding applies the LEARNED
 # merge table (no SQL twin); tests/test_bpe.py pins per-doc token
 # counts against an independent pure-Python encoder over the same
@@ -1339,15 +1357,7 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        seg = vocab.select(
-            "w", F.expr("filter(split(w, ''), x -> x <> '')").alias("sym")
-        ).localCheckpoint()
-        for i, m in enumerate(merges, start=1):
-            seg = seg.select(
-                "w", _bpe_apply_merge(F.col("sym"), m["left"], m["right"]).alias("sym")
-            )
-            if i % 5 == 0:  # the trainer's checkpoint cadence
-                seg = seg.localCheckpoint()
+        seg = _bpe_segment(vocab, merges)
         word_tokens = seg.select(
             "w",
             F.size("sym").alias("n_tok"),
@@ -1373,6 +1383,116 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div n_chars"
             ).alias("saving_bp"),
         )
+    )
+
+
+# -------------------------------------- corpus_bpe_roundtrip_contract
+
+@REG.op(
+    "corpus_bpe_roundtrip_contract",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    )
+    SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_vocab,
+           true AS all_words_reconstruct,
+           true AS all_docs_reconstruct,
+           true AS words_nonempty
+    FROM words
+    """,
+)
+def corpus_bpe_roundtrip_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified round-trip contract for the LEARNED tokenizer
+    (corpus_bpe_encode itself stays rows-only: token counts come from
+    the trained merge table no static SQL can reproduce). What IS
+    SQL-checkable is the tokenizer's defining identity —
+    decode(encode(doc)) == doc — proven by reassembly witness (the
+    corpus_dedup_chunks pattern):
+
+    * word level — concat(sym) must equal the word for EVERY distinct
+      vocabulary word after the full merge cascade (BPE merges only
+      ever concatenate adjacent symbols, so a mismatch means a merge
+      corrupted content), and every word segments to >= 1 token;
+    * doc level — each document's token stream is re-expanded from the
+      per-word BPE symbols in position order and md5-compared against
+      the stream built from the raw words; every document must match.
+
+    The oracle recomputes n_docs (documents with >= 1 token — an
+    empty doc has no stream to reconstruct) and n_vocab from the same
+    whitespace tokenization, with the three invariants folded to
+    `true`: a merge-table corruption, a fold bug that reorders or
+    drops symbols, or a lost document hash-mismatches at the driver.
+    tests/test_bpe.py proves sensitivity by planting a corrupted merge
+    table and watching the booleans flip.
+
+    Scale: identical to the encoder — segmentation once per distinct
+    word (vocab-sized), one broadcast join onto the position-keyed
+    token stream, one doc aggregate, one global fold row."""
+    merges = _bpe_merges(spark, sf_dir)
+    toks = F.array_remove(F.split("text", " "), "")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(toks).alias("pos", "w")
+    )
+    vocab = docs.select("w").distinct()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        seg = _bpe_segment(vocab, merges)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    decoded = seg.select(
+        "w",
+        F.concat_ws("", F.col("sym")).alias("decoded"),
+        F.size("sym").alias("n_tok"),
+    )
+    vocab_stats = decoded.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.min((F.col("decoded") == F.col("w")).cast("int")).alias("w_ok_min"),
+        F.min((F.col("n_tok") >= 1).cast("int")).alias("nonempty_min"),
+    )
+    per_doc = (
+        docs.join(F.broadcast(decoded.select("w", "decoded")), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "w"))
+                        ),
+                        lambda s: s["w"],
+                    ),
+                )
+            ).alias("orig_md5"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("pos", F.col("decoded").alias("d"))
+                            )
+                        ),
+                        lambda s: s["d"],
+                    ),
+                )
+            ).alias("rt_md5"),
+        )
+    )
+    doc_stats = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min((F.col("rt_md5") == F.col("orig_md5")).cast("int")).alias("d_ok_min"),
+    )
+    return doc_stats.crossJoin(vocab_stats).select(
+        "n_docs",
+        "n_vocab",
+        (F.col("w_ok_min") == 1).alias("all_words_reconstruct"),
+        (F.col("d_ok_min") == 1).alias("all_docs_reconstruct"),
+        (F.col("nonempty_min") == 1).alias("words_nonempty"),
     )
 
 

@@ -343,6 +343,7 @@ ROUND10_FRONT: tuple[str, ...] = (
     # --- round-10 additions (inserted as they land) ---
     "ml_gbt_contract",
     "ml_gbt_mllib",
+    "corpus_bpe_roundtrip_contract",
     # --- pinned: never-driver-sampled, rows-only (6) ---
     "src_pydatasource_corpus",
     "txt_containment_sparse",
@@ -369,5 +370,4 @@ ROUND10_FRONT: tuple[str, ...] = (
     "dedup_fullrow",
     "agg_multi",
     "flt_range_date",
-    "sort_multi",
 )

@@ -142,3 +142,36 @@ def test_bpe_encode_counts_match_pure_python_reference(spark):
     # encoding must actually compress: most docs save vs char-level
     rows = corpus_bpe_encode(spark, SF_SMALL).collect()
     assert sum(1 for r in rows if r["saving_bp"] > 0) > len(rows) * 0.9
+
+
+def test_roundtrip_contract_flips_on_a_corrupted_fold(spark, monkeypatch):
+    """The round-trip contract's failure mode is not a bad merge PAIR
+    (the fold constructs a+b by design) but a broken FOLD — one that
+    drops or reorders symbols. Plant exactly that: wrap _bpe_segment to
+    truncate the symbol array of multi-symbol words, and both the
+    word-level and doc-level reconstruction booleans must flip."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators import pipeline_ops as po
+
+    real_segment = po._bpe_segment
+
+    def broken_segment(vocab, merges):
+        seg = real_segment(vocab, merges)
+        return seg.select(
+            "w",
+            F.when(
+                F.size("sym") >= 2, F.slice("sym", 1, F.size("sym") - 1)
+            )
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+
+    healthy = po.corpus_bpe_roundtrip_contract(spark, SF_SMALL).first()
+    assert healthy["all_words_reconstruct"] and healthy["all_docs_reconstruct"]
+    assert healthy["words_nonempty"] and healthy["n_docs"] > 0
+
+    monkeypatch.setattr(po, "_bpe_segment", broken_segment)
+    bad = po.corpus_bpe_roundtrip_contract(spark, SF_SMALL).first()
+    assert not bad["all_words_reconstruct"], "dropped symbol went unnoticed"
+    assert not bad["all_docs_reconstruct"], "doc reassembly missed the drop"
