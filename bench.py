@@ -168,6 +168,7 @@ EXTRA = [
     # the session-memoized merge table after corpus_bpe_train runs)
     "ml_gbt_mllib",
     "corpus_bpe_roundtrip_contract",
+    "evt_pydatasource_stream",
 ]
 
 
@@ -301,6 +302,8 @@ def main() -> None:
         "evt_enrich_stream",
         "ep3_forecast_contract",
         "agg_hll_error_contract",
+        "evt_pydatasource_stream",
+        "ml_gbt_mllib",
     ]
     warm_first: dict[str, float] = {}
     for name in (n for n in WARMUP_EXTRA if n in extras_to_run):

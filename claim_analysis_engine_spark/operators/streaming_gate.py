@@ -200,6 +200,118 @@ def evt_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_parquet(spark, result)
 
 
+# ---------------------------------------- evt_pydatasource_stream
+
+PYDS_STREAM_BATCHES = 3  # real data micro-batches (plus the EOF flush
+# batch) — enough to prove the watermark advances across batches while
+# keeping the per-batch state-store floor (~2 s each at gate scale)
+# from dominating the correctness-gate budget
+
+
+@REG.op(
+    "evt_pydatasource_stream",
+    oracle="""
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL 1 HOUR AS horizon FROM events
+    )
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events, wm
+    GROUP BY 1, 2, horizon
+    HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= horizon
+    """,
+)
+def evt_pydatasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NINTH streaming gate, closing the loop the round-9 batch
+    source opened: a custom Spark 4 Python DataSource STREAMING source
+    (pyspark.sql.datasource simpleStreamReader — see
+    pydatasource.EventsReplayStreamReader) replays the events table in
+    ts order as {PYDS_STREAM_BATCHES} real micro-batches, feeding the
+    already-certified watermarked tumbling-counts sink. The oracle is
+    evt_tumbling_stream's finalization boundary, so the hash gate
+    certifies the SOURCE semantics end-to-end: a duplicated or skipped
+    offset range, a type corruption through the Arrow boundary, or a
+    batch served out of ts order (making real rows late and dropped)
+    all flip counts, values, or the emitted window set.
+
+    Unlike the file gates (where one staged file is one batch unless
+    maxFilesPerTrigger splits it), the offset granularity here is the
+    ROW RANGE — the shape of a queue/bus source, implemented in ~40
+    lines of Python against the engine's newest extension API.
+    tests/test_streaming.py pins that the run really executed multiple
+    micro-batches and that recovery re-reads (readBetweenOffsets)
+    reproduce read() byte-for-byte."""
+    import pyarrow.parquet as pq
+
+    from claim_analysis_engine_spark.pydatasource import register_eventsreplay
+
+    register_eventsreplay(spark)
+    stage = _stage_events(sf_dir, copies=1)
+    f = str(Path(stage) / "part-000.parquet")
+    n_rows = pq.ParquetFile(f).metadata.num_rows
+    batch_rows = -(-n_rows // PYDS_STREAM_BATCHES)
+    stream = (
+        spark.readStream.format("eventsreplay")
+        .option("path", f)
+        .option("batch_rows", batch_rows)
+        .load()
+    )
+    result = streaming.tumbling_counts(stream, watermark=TUMBLING_WM)
+    return _drain_until_eof(spark, result)
+
+
+def _drain_until_eof(spark: SparkSession, result: DataFrame) -> DataFrame:
+    """Drain a PYTHON-DATASOURCE stream to parquet and read it back.
+    availableNow can't drive the simple stream reader (the prefetch
+    wrapper snapshots ONE read() as the 'available' end offset —
+    measured: a 4-batch replay terminated after batch 0 with an empty
+    sink), so this runs a processingTime trigger and polls until the
+    committed end offset carries the reader's EOF sentinel — the empty
+    batch that flushes the last watermark-finalized windows."""
+    import time
+
+    out = tempfile.mkdtemp(prefix="cae_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="cae_stream_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            q.processAllAvailable()
+            lp = q.lastProgress
+            if lp and lp["sources"]:
+                # offset rendering isn't stable JSON across versions
+                # (observed single-quoted dict repr) — substring-match
+                # the sentinel key instead of parsing
+                if "eof" in (lp["sources"][0]["endOffset"] or ""):
+                    break
+            time.sleep(0.2)
+        else:
+            q.stop()
+            raise RuntimeError("python-datasource stream never reached EOF")
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    back = spark.read.parquet(out)
+    if back.isEmpty():
+        raise RuntimeError(
+            "streaming sink came back empty — append-mode finalization "
+            f"never fired (sink={out})"
+        )
+    return back
+
+
 # --------------------------------------------------- evt_join_stream
 
 @REG.op(

@@ -19,7 +19,12 @@ a golden-pinned stats row (tests/test_storage.py)."""
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SYNTH_VOCAB = 20000     # distinct words (shared with the Zipf fixture)
 SYNTH_ZIPF_A = 1.3      # Zipf exponent
@@ -99,3 +104,100 @@ def register_zipfcorpus(spark) -> None:
     """Idempotent per-session registration (re-registering the same
     class under the same name is a harmless overwrite)."""
     spark.dataSource.register(ZipfCorpusDataSource)
+
+
+# ------------------------------------------- streaming source (events)
+
+EVENTS_REPLAY_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double"
+)
+
+
+class EventsReplayStreamReader(SimpleDataSourceStreamReader):
+    """Replay an events parquet file as a micro-batch STREAM in
+    timestamp order — the Spark 4 Python DataSource streaming API
+    (pyspark.sql.datasource.simpleStreamReader), the engine's 9th
+    streaming surface. Offsets are row indexes into the ts-sorted
+    table: read(start) hands the next `batch_rows` rows to the engine
+    and advances the offset, so one staged file becomes a SEQUENCE of
+    real micro-batches with the watermark advancing between them.
+    Timestamp order makes the replay late-data-free by construction
+    (each new batch's min ts exceeds every prior watermark), which is
+    what lets a batch oracle reproduce the finalized-sink contents
+    exactly.
+
+    The simple reader runs on the DRIVER (the documented low-
+    throughput half of the API — the partition-planning
+    DataSourceStreamReader is the executor-parallel form); right-sized
+    here, where the stream's job is to certify source semantics:
+    exactly-once offset progression, type fidelity through the Arrow
+    boundary, and replayability (readBetweenOffsets serves recovery
+    re-reads from the checkpoint)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.batch_rows = int(options.get("batch_rows", 2500))
+        self._table = None
+
+    def _sorted_table(self):
+        if self._table is None:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                self.path,
+                columns=["event_id", "ts", "user_id", "event_type", "value"],
+            )
+            self._table = t.sort_by("ts")
+        return self._table
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _rows(self, lo: int, hi: int):
+        t = self._sorted_table().slice(lo, hi - lo)
+        cols = [t.column(name).to_pylist() for name in t.column_names]
+        return iter(list(zip(*cols)))
+
+    def read(self, start: dict):
+        n = self._sorted_table().num_rows
+        i = start["i"]
+        if i >= n:
+            if start.get("eof"):
+                return iter([]), start  # fully drained: no progress
+            # serve ONE empty sentinel batch past the data: the last
+            # data batch's watermark update finalizes its windows, but
+            # append mode EMITS them in the NEXT batch — which the
+            # engine only runs when the offset progresses. Without
+            # this, a queue-shaped source leaves the tail windows
+            # stranded in state forever (the file sources get the same
+            # service from availableNow's final commit).
+            return iter([]), {"i": n, "eof": 1}
+        j = min(n, i + self.batch_rows)
+        return self._rows(i, j), {"i": j}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["i"], min(end["i"], self._sorted_table().num_rows))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: the staged file is the retention
+
+
+class EventsReplayDataSource(DataSource):
+    """spark.readStream.format("eventsreplay").option("path", f)
+    .option("batch_rows", N).load() → the events schema, replayed in
+    ts order, N rows per micro-batch."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "eventsreplay"
+
+    def schema(self) -> str:
+        return EVENTS_REPLAY_SCHEMA
+
+    def simpleStreamReader(self, schema) -> EventsReplayStreamReader:
+        return EventsReplayStreamReader(self.options)
+
+
+def register_eventsreplay(spark) -> None:
+    spark.dataSource.register(EventsReplayDataSource)

@@ -344,6 +344,7 @@ ROUND10_FRONT: tuple[str, ...] = (
     "ml_gbt_contract",
     "ml_gbt_mllib",
     "corpus_bpe_roundtrip_contract",
+    "evt_pydatasource_stream",
     # --- pinned: never-driver-sampled, rows-only (6) ---
     "src_pydatasource_corpus",
     "txt_containment_sparse",
@@ -369,5 +370,4 @@ ROUND10_FRONT: tuple[str, ...] = (
     "agg_kpi_mom",
     "dedup_fullrow",
     "agg_multi",
-    "flt_range_date",
 )

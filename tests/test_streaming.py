@@ -585,3 +585,92 @@ def test_outer_join_null_emission_boundary_is_exact(spark, tmp_path):
     )
     matched = {r.user_id for r in out if r.purchase_id is not None}
     assert matched == {3}, "the sanity inner match must emit"
+
+
+def test_pydatasource_reader_offsets_and_replay():
+    """The simple stream reader's offset contract, driven directly (no
+    Spark): read() walks row ranges exactly once, recovery re-reads
+    (readBetweenOffsets) reproduce read() byte-for-byte, and at
+    exhaustion the reader serves ONE empty sentinel batch (the
+    watermark-flush trigger) then holds its offset."""
+    from claim_analysis_engine_spark.pydatasource import (
+        EventsReplayStreamReader,
+    )
+
+    rdr = EventsReplayStreamReader(
+        {"path": f"{SF_SMALL}/events.parquet", "batch_rows": "400"}
+    )
+    n = rdr._sorted_table().num_rows
+    off = rdr.initialOffset()
+    seen = []
+    hops = []
+    while True:
+        rows, nxt = rdr.read(off)
+        rows = list(rows)
+        if nxt == off:
+            assert rows == []  # fully drained: no progress, no data
+            break
+        hops.append((off, nxt))
+        replay = list(rdr.readBetweenOffsets(off, nxt))
+        assert replay == rows  # recovery must reproduce the batch
+        seen.extend(rows)
+        off = nxt
+    assert len(seen) == n
+    assert len({r[0] for r in seen}) == n  # event_ids unique: no dup range
+    # ts-ordered replay: non-decreasing across the whole stream
+    ts = [r[1] for r in seen]
+    assert all(a <= b for a, b in zip(ts, ts[1:]))
+    # the last hop is the EOF sentinel: empty, offset progressed
+    (lo, hi) = hops[-1]
+    assert hi.get("eof") and lo.get("i") == n == hi.get("i")
+    assert list(rdr.readBetweenOffsets(lo, hi)) == []
+    # data batches before the sentinel
+    assert len(hops) - 1 == -(-n // 400)
+
+
+def test_pydatasource_stream_runs_real_micro_batches(spark):
+    """The gate's claim is that ONE staged table streams as a SEQUENCE
+    of micro-batches with the watermark advancing between them — pin
+    it from the query progress (>= 3 data batches, watermark strictly
+    advancing), not from the op's final result."""
+    import tempfile as _tf
+    import time
+
+    from claim_analysis_engine_spark import streaming
+    from claim_analysis_engine_spark.pydatasource import register_eventsreplay
+
+    register_eventsreplay(spark)
+    stream = (
+        spark.readStream.format("eventsreplay")
+        .option("path", f"{SF_SMALL}/events.parquet")
+        .option("batch_rows", 300)
+        .load()
+    )
+    agg = streaming.tumbling_counts(stream, watermark="1 hour")
+    out, ckpt = _tf.mkdtemp(), _tf.mkdtemp()
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        q.processAllAvailable()
+        lp = q.lastProgress
+        if lp and lp["sources"] and "eof" in (lp["sources"][0]["endOffset"] or ""):
+            break
+        time.sleep(0.2)
+    progress = list(q.recentProgress)
+    q.stop()
+    q.awaitTermination()
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 3, "replay collapsed into fewer batches"
+    wms = [p["eventTime"].get("watermark") for p in progress]
+    wms = [w for w in wms if w and not w.startswith("1970")]
+    assert wms == sorted(wms) and len(set(wms)) >= 2, (
+        "watermark did not advance across micro-batches"
+    )
+    assert spark.read.parquet(out).count() > 0
