@@ -169,6 +169,12 @@ EXTRA = [
     "ml_gbt_mllib",
     "corpus_bpe_roundtrip_contract",
     "evt_pydatasource_stream",
+    # sim_ivf_train_contract is NOT timed: it re-runs the full Lloyd
+    # training per invocation by design (the history is the product),
+    # so median-of-3 would charge 3 trainings (~30+ s at sf0.1) to a
+    # correctness instrument; its cost is the trainer's, already
+    # decided at the correctness gate.
+    "txt_compress_ratio_contract",
 ]
 
 

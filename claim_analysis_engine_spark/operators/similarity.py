@@ -350,7 +350,7 @@ def train_ivf_centroids(
     memo_key = session_memo_key(spark, sf_dir)
     if memo_key in _IVF_CENT_MEMO:
         return _IVF_CENT_MEMO[memo_key]
-    cents, _report = _train_ivf(spark, sf_dir)
+    cents, _report, _hist = _train_ivf(spark, sf_dir)
     if len(_IVF_CENT_MEMO) >= _IVF_CENT_MEMO_MAX:
         _IVF_CENT_MEMO.pop(next(iter(_IVF_CENT_MEMO)))
     _IVF_CENT_MEMO[memo_key] = cents
@@ -382,7 +382,7 @@ def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns the trained centroids with member counts and mean
     within-cell cosine — the quantizer-quality report."""
-    cents, report = _train_ivf(spark, sf_dir)
+    cents, report, _hist = _train_ivf(spark, sf_dir)
     # side-populate the centroid memo so a later trained search in the
     # same session skips retraining
     memo_key = session_memo_key(spark, sf_dir)
@@ -392,11 +392,65 @@ def sim_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report
 
 
+@REG.op(
+    "sim_ivf_train_contract",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST({N_CELLS} AS BIGINT) AS n_cells_nonempty,
+           true AS objective_nondecreasing,
+           true AS improved_or_equal
+    FROM embeddings
+    """,
+)
+def sim_ivf_train_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified contract for the Lloyd k-means trainer
+    (sim_ivf_train itself stays rows-only: the centroids are learned
+    state). Four claims, all reducible to SQL-checkable values:
+
+    * completeness — the final assignment covers EXACTLY the corpus
+      (emitted n_vectors is the measured member sum; the oracle
+      recomputes count(*) from embeddings, so a vector lost to a null
+      embedding or a dropped join row hash-mismatches the VALUE);
+    * balance — every one of the {N_CELLS} cells is non-empty after
+      training (the quantizer didn't collapse; a collapsed cell makes
+      IVF probing structurally unable to reach its vectors);
+    * convergence — the Lloyd objective (mean winner cosine) is
+      NON-DECREASING across training rounds. This is exact, not
+      statistical: the assignment step maximizes each vector's cosine
+      given centroids, and the mean-update step maximizes the summed
+      cosine given assignments (the arithmetic mean has the same
+      DIRECTION as the spherical-k-means normalized mean, and cosine
+      is scale-invariant) — so any decrease beyond the documented 9dp
+      centroid-rounding noise is an implementation bug, which is why
+      the tolerance is 1e-6;
+    * improvement — the final objective is >= the seed-init objective.
+
+    The per-round history is measured inside the SAME means pass that
+    drives the update (zero extra corpus scans — see _train_ivf)."""
+    _cents, report, hist = _train_ivf(spark, sf_dir)
+    per = report.agg(
+        F.sum("n_members").cast("bigint").alias("assigned"),
+        F.count(F.lit(1)).cast("bigint").alias("nonempty"),
+    ).first()
+    mono = all(b >= a - 1e-6 for a, b in zip(hist, hist[1:]))
+    improved = hist[-1] >= hist[0] - 1e-9
+    return spark.createDataFrame(
+        [(per["assigned"], per["nonempty"], bool(mono), bool(improved))],
+        "n_vectors bigint, n_cells_nonempty bigint, "
+        "objective_nondecreasing boolean, improved_or_equal boolean",
+    )
+
+
 def _train_ivf(
     spark: SparkSession, sf_dir: str
-) -> tuple[list[tuple[int, list[float]]], DataFrame]:
-    """Lloyd training core → (final centroids, quality-report frame).
-    See sim_ivf_train's docstring for the design rationale."""
+) -> tuple[list[tuple[int, list[float]]], DataFrame, list[float]]:
+    """Lloyd training core → (final centroids, quality-report frame,
+    per-round objective history). The history records the mean winner
+    cosine under the centroids of each round, measured inside the SAME
+    means pass that drives the update (no extra scan); the final
+    objective comes from the report aggregate. See sim_ivf_train's
+    docstring for the design rationale and sim_ivf_train_contract for
+    why the history is monotone by construction."""
     import math
 
     emb = _emb(spark, sf_dir)
@@ -469,16 +523,28 @@ def _train_ivf(
             )
         )
 
+    objective: list[float] = []
     for _ in range(KMEANS_ITERS):
         means = (
             assign(cents)
             .select(
                 "cell_id",
+                "cos",
                 *[F.col("embedding")[d].cast("double").alias(f"d{d}") for d in range(EMB_DIM)],
             )
             .groupBy("cell_id")
-            .agg(*[F.avg(f"d{d}").alias(f"d{d}") for d in range(EMB_DIM)])
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum("cos").alias("_cos_sum"),
+                *[F.avg(f"d{d}").alias(f"d{d}") for d in range(EMB_DIM)],
+            )
             .collect()
+        )
+        # this round's objective (mean winner cosine under the CURRENT
+        # centroids) falls out of the same pass that computes the means
+        objective.append(
+            sum(float(r["_cos_sum"]) for r in means)
+            / sum(int(r["_n"]) for r in means)
         )
         # Round centroid components to 9dp before they re-enter the
         # assignment expression: distributed avg() sums in partition
@@ -510,7 +576,7 @@ def _train_ivf(
     # recomputes the projection from parquet when the caller evaluates:
     # one scan, no leaked cache entry in the caller's session)
     emb_n.unpersist()
-    return cents, report
+    return cents, report, objective
 
 
 # --------------------------------------------- sim_ivf_search_trained

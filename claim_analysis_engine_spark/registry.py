@@ -345,6 +345,8 @@ ROUND10_FRONT: tuple[str, ...] = (
     "ml_gbt_mllib",
     "corpus_bpe_roundtrip_contract",
     "evt_pydatasource_stream",
+    "sim_ivf_train_contract",
+    "txt_compress_ratio_contract",
     # --- pinned: never-driver-sampled, rows-only (6) ---
     "src_pydatasource_corpus",
     "txt_containment_sparse",
@@ -368,6 +370,4 @@ ROUND10_FRONT: tuple[str, ...] = (
     "join_claims_sales",
     "union_schema_align",
     "agg_kpi_mom",
-    "dedup_fullrow",
-    "agg_multi",
 )

@@ -164,3 +164,28 @@ def test_weighted_sample_is_length_biased_and_complete(spark):
     assert biased > len(per_lang) / 2, (biased, len(per_lang))
     again = sorted((r.lang, r.doc_id, r.rank) for r in corpus_sample_weighted(spark, SF_SMALL).collect())
     assert again == sorted((r.lang, r.doc_id, r.rank) for r in rows)
+
+
+def test_compress_contract_flips_on_a_flat_scorer(spark, monkeypatch):
+    """The monotonicity contract must read the SCORER, not the
+    planting: stub the zlib UDF with a constant and the monotone and
+    deepest-level booleans must flip (a constant is neither decreasing
+    nor below the repetitive threshold)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from claim_analysis_engine_spark.operators import textops as tx
+    from tests.conftest import SF_SMALL
+
+    def flat_udf():
+        @pandas_udf("double")
+        def flat(texts):
+            return texts.map(lambda _t: 0.5, na_action="ignore")
+
+        return flat
+
+    monkeypatch.setattr(tx, "_compress_ratio_udf", flat_udf)
+    rows = tx.txt_compress_ratio_contract(spark, SF_SMALL).collect()
+    assert {r["level"] for r in rows} == set(range(tx.COMPRESS_LEVELS))
+    assert all(not r["mean_monotone_decreasing"] for r in rows)
+    assert all(not r["deepest_level_repetitive"] for r in rows)
+    assert all(r["natural_above_threshold"] for r in rows)  # 0.5 > 0.30
