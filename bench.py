@@ -175,6 +175,7 @@ EXTRA = [
     # correctness instrument; its cost is the trainer's, already
     # decided at the correctness gate.
     "txt_compress_ratio_contract",
+    "corpus_quality_lr_mllib",
 ]
 
 
@@ -337,6 +338,7 @@ def main() -> None:
         "src_partition_evolution",
         "corpus_bpe_train",
         "txt_containment_sparse",
+        "ml_gbt_mllib",
     ]
     cold = {
         name: warm_first.get(name, spread[name][0])

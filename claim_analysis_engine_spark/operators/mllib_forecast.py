@@ -156,10 +156,35 @@ def _recursive_forecast(
     return preds
 
 
+# materialized forecasts per (session, sf_dir): the frame is keys ×
+# HORIZON rows, and BOTH ops (forecast + contract) need it — one
+# training pays for the lifecycle, the memoized-family pattern
+# (rs_wrapper, p6, CC labels); bench surfaces the cold cost via the
+# warm-up pass
+_GBT_MEMO: dict[tuple, tuple] = {}
+_GBT_MEMO_MAX = 2
+
+
 def _gbt_forecast_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared engine for both ops: train, backtest recursively over the
     held-out months, forecast HORIZON months ahead, band with
-    ±1.96·backtest-RMSE clipped at 0."""
+    ±1.96·backtest-RMSE clipped at 0. Result memoized per (session,
+    sf_dir) — see _GBT_MEMO."""
+    from claim_analysis_engine_spark.tables import session_memo_key
+
+    memo_key = session_memo_key(spark, sf_dir)
+    if memo_key in _GBT_MEMO:
+        rows, schema = _GBT_MEMO[memo_key]
+        return spark.createDataFrame(rows, schema)
+    rows, schema = _train_and_forecast(spark, sf_dir)
+    if len(_GBT_MEMO) >= _GBT_MEMO_MAX:
+        _GBT_MEMO.pop(next(iter(_GBT_MEMO)))
+    _GBT_MEMO[memo_key] = (rows, schema)
+    return spark.createDataFrame(rows, schema)
+
+
+def _train_and_forecast(spark: SparkSession, sf_dir: str):
+    """Training core → (collected forecast rows, schema)."""
     # the lag frame is bounded (series-keys × months) and consumed by
     # the fit, both recursions, and the RMSE join — cache once, release
     # after the series-grain result is materialized below
@@ -174,7 +199,7 @@ def _gbt_forecast_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()
         m, first_month = bounds["m"], bounds["first_month"]
         if m is None or m < MIN_MONTHS:  # the oracle's eligibility mirror
-            return spark.createDataFrame([], out_schema)
+            return [], out_schema
 
         train = s.where(F.col("idx") <= m - HORIZON)
         assembler, model = _fit_gbt(train)
@@ -221,8 +246,7 @@ def _gbt_forecast_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         # collects) so the cache can be released here; a production run
         # forecasting millions of series would write `result` to a sink
         # instead and unpersist after the write
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        return result.collect(), result.schema
     finally:
         s.unpersist()
 

@@ -129,6 +129,57 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(decode, _DECODE_SCHEMA)
 
 
+# ----------------------------------------------------- mm_decode_contract
+
+@REG.op(
+    "mm_decode_contract",
+    oracle="""
+    WITH hx AS (
+      SELECT doc_id, md5(text) AS hh FROM documents
+    ), b AS (
+      SELECT doc_id,
+             list_transform(range(0, 11), k ->
+               (strpos('0123456789abcdef', substr(hh, 2 * k + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hh, 2 * k + 2, 1)) - 1)
+             ) AS h
+      FROM hx
+    )
+    SELECT doc_id,
+           CAST(16 + h[1] % 240 AS INT) AS width,
+           CAST(16 + h[2] % 240 AS INT) AS height,
+           CAST(1 + h[3] % 16 AS INT) AS n_frames,
+           round((h[4] + h[5] + h[6] + h[7] + h[8] + h[9] + h[10] + h[11])
+                 / (8 * 255.0), 6) AS mean_intensity
+    FROM b
+    """,
+)
+def mm_decode_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL value twin for the decode stage (the strongest form the
+    contract campaign produces): because the stand-in decoder derives
+    every output field from md5(payload bytes) (_fake_decode), and
+    DuckDB can compute md5 over the same UTF-8 bytes and re-derive the
+    digest bytes by hex-digit arithmetic, the ENTIRE mm_decode_stub
+    output is SQL-reproducible per document. The hash gate therefore
+    certifies the mapInPandas plumbing end-to-end: byte fidelity of
+    the binary column through the Arrow boundary (one flipped or
+    truncated payload byte flips that doc's md5 and all four fields),
+    exactly one output row per document (row-count compare), batch
+    iteration that neither drops nor duplicates tail batches, and the
+    exact width/height/frames/intensity arithmetic.
+
+    When a real codec replaces _fake_decode, this op's oracle is
+    DELIBERATELY retired to shape-bound booleans (dimensions within
+    container limits, intensity in [0,1], frame count >= 1) — the
+    md5 twin is the maximal check available exactly while the decode
+    is the documented deterministic stand-in.
+
+    Python/DuckDB rounding parity note: mean_intensity = s/2040 with
+    integer s, and 20·s ≡ 51 (mod 102) has no solution, so the value
+    never lands on an exact 6-dp tie — banker's (Python) and
+    half-away (DuckDB) rounding agree on every reachable input."""
+    return mm_decode_stub(spark, sf_dir)
+
+
 # ------------------------------------------------------ mm_frame_sample
 
 @REG.op(

@@ -940,6 +940,113 @@ def corpus_quality_lr_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- corpus_quality_lr_mllib
+
+MLLIB_LR_ACC_FLOOR_BP = 9000  # same floor as the numpy gate (the
+# length-class target is ~95% separable on these features; sub-floor
+# means the trainer broke, not the data)
+
+
+@REG.op("corpus_quality_lr_mllib")  # rows-only: learned weights (same
+# standing as corpus_quality_lr); the held-out accuracy and split
+# accounting are hash-certified by corpus_quality_mllib_contract
+def corpus_quality_lr_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality gate trained DISTRIBUTED — pyspark.ml
+    LogisticRegression over the md5-split train bucket (~80% of the
+    corpus), the second half of the engine's MLlib surface beside the
+    GBT forecaster. The numpy twin (corpus_quality_lr) deliberately
+    trains on a CONSTANT 128-row driver sample (bounded-collect
+    discipline); this op is the architecture a 100 TB corpus actually
+    wants for the same gate — JVM-side distributed LBFGS over every
+    training row, zero driver-side data, zero Python workers, scoring
+    via model.transform in the same plan. Same features
+    (_lr_feature_cols), same label, so the two gates are directly
+    comparable; membership comes from the corpus_split_hash md5
+    bucket, which is engine-reproducible (no RNG, no sample collect).
+
+    Output schema matches corpus_quality_lr (doc_id, label, in_train,
+    score, pred)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    toks = F.array_remove(F.split("text", " "), "")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.size(toks) >= LR_TOKEN_TARGET).alias("label"),
+        (_split_col("doc_id") == "train").alias("in_train"),
+        *_lr_feature_cols(),
+    )
+    assembler = VectorAssembler(
+        inputCols=["f_len", "f_distinct", "f_stop"], outputCol="features"
+    )
+    feats = assembler.transform(d).withColumn(
+        "y", F.col("label").cast("double")
+    )
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="y", maxIter=25, regParam=1e-4
+    )
+    model = lr.fit(feats.where("in_train"))
+    scored = model.transform(feats)
+    return scored.select(
+        "doc_id",
+        "label",
+        "in_train",
+        F.round(vector_to_array("probability")[1], 6).alias("score"),
+        (F.col("prediction") > 0.5).alias("pred"),
+    )
+
+
+@REG.op(
+    "corpus_quality_mllib_contract",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, ({_SPLIT_SQL}) = 'train' AS in_train FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (in_train) AS BIGINT) AS n_train,
+           CAST(count(*) FILTER (NOT in_train) AS BIGINT) AS n_heldout,
+           {MLLIB_LR_ACC_FLOOR_BP} AS acc_floor_bp,
+           TRUE AS acc_ok,
+           TRUE AS both_classes_ok
+    FROM t
+    """,
+)
+def corpus_quality_mllib_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level partial oracle for the DISTRIBUTED quality gate
+    (corpus_quality_lr_contract's pattern applied to the MLlib twin):
+    Spark measures held-out accuracy of the distributed LR (must clear
+    {MLLIB_LR_ACC_FLOOR_BP} bp, with both classes present in the
+    held-out set) and emits the split accounting; the oracle
+    recomputes n_docs / n_train / n_heldout EXACTLY from the md5
+    bucket expression (engine-reproducible, unlike a sampled or
+    seeded split) and asserts the booleans. A broken feature column,
+    a degenerate fit, or a membership drift between the two engines'
+    split arithmetic hash-mismatches at the driver."""
+    scored = corpus_quality_lr_mllib(spark, sf_dir)
+    ho = scored.where(~F.col("in_train"))
+    agg = ho.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_heldout"),
+        F.sum((F.col("pred") == F.col("label")).cast("long")).alias("n_right"),
+        F.countDistinct("label").alias("n_classes"),
+    )
+    totals = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("in_train").cast("long")).cast("bigint").alias("n_train"),
+    )
+    return totals.crossJoin(F.broadcast(agg)).select(
+        "n_docs",
+        "n_train",
+        "n_heldout",
+        F.lit(MLLIB_LR_ACC_FLOOR_BP).alias("acc_floor_bp"),
+        (
+            F.expr("CAST(n_right * 10000 AS BIGINT) div n_heldout")
+            >= MLLIB_LR_ACC_FLOOR_BP
+        ).alias("acc_ok"),
+        (F.col("n_classes") == 2).alias("both_classes_ok"),
+    )
+
+
 # ---------------------------------------------- corpus_pack_sequences
 
 PACK_SEP = "\x1e"  # ASCII record separator between packed documents

@@ -347,6 +347,9 @@ ROUND10_FRONT: tuple[str, ...] = (
     "evt_pydatasource_stream",
     "sim_ivf_train_contract",
     "txt_compress_ratio_contract",
+    "mm_decode_contract",
+    "corpus_quality_mllib_contract",
+    "corpus_quality_lr_mllib",
     # --- pinned: never-driver-sampled, rows-only (6) ---
     "src_pydatasource_corpus",
     "txt_containment_sparse",
@@ -367,7 +370,4 @@ ROUND10_FRONT: tuple[str, ...] = (
     "topk_per_group",
     "src_parquet_part",
     "flt_rolling_30d",
-    "join_claims_sales",
-    "union_schema_align",
-    "agg_kpi_mom",
 )

@@ -189,3 +189,50 @@ def test_compress_contract_flips_on_a_flat_scorer(spark, monkeypatch):
     assert all(not r["mean_monotone_decreasing"] for r in rows)
     assert all(not r["deepest_level_repetitive"] for r in rows)
     assert all(r["natural_above_threshold"] for r in rows)  # 0.5 > 0.30
+
+
+def test_mllib_quality_gate_accuracy_and_classes(spark):
+    """The distributed LR twin must clear its contract floor with both
+    classes present in the held-out bucket, and the md5-bucket split
+    must be the ~80/20 the contract's oracle recomputes."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators.pipeline_ops import (
+        MLLIB_LR_ACC_FLOOR_BP,
+        corpus_quality_lr_mllib,
+    )
+    from tests.conftest import SF_SMALL
+
+    scored = corpus_quality_lr_mllib(spark, SF_SMALL).cache()
+    ho = scored.where("NOT in_train")
+    row = ho.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg((F.col("pred") == F.col("label")).cast("double")).alias("acc"),
+        F.countDistinct("label").alias("k"),
+    ).first()
+    assert row["k"] == 2
+    assert row["acc"] * 10000 >= MLLIB_LR_ACC_FLOOR_BP
+    n_total = scored.count()
+    assert 0.7 < (n_total - row["n"]) / n_total < 0.9  # ~80% train bucket
+    scored.unpersist()
+
+
+def test_mllib_quality_contract_flips_on_an_inverted_gate(spark, monkeypatch):
+    """Sensitivity: invert the gate's predictions and acc_ok must flip
+    while the split accounting stays intact (the oracle would then
+    hash-mismatch on the boolean, not the counts)."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators import pipeline_ops as po
+    from tests.conftest import SF_SMALL
+
+    real = po.corpus_quality_lr_mllib
+
+    def inverted(spark_, sf_dir_):
+        return real(spark_, sf_dir_).withColumn("pred", ~F.col("label"))
+
+    monkeypatch.setattr(po, "corpus_quality_lr_mllib", inverted)
+    row = po.corpus_quality_mllib_contract(spark, SF_SMALL).first()
+    assert not row["acc_ok"]
+    assert row["both_classes_ok"]
+    assert row["n_docs"] == row["n_train"] + row["n_heldout"]
