@@ -176,6 +176,7 @@ EXTRA = [
     # decided at the correctness gate.
     "txt_compress_ratio_contract",
     "corpus_quality_lr_mllib",
+    "ml_gbt_persist",
 ]
 
 

@@ -164,6 +164,12 @@ def _recursive_forecast(
 _GBT_MEMO: dict[tuple, tuple] = {}
 _GBT_MEMO_MAX = 2
 
+# the fitted (assembler, model) pair per (session, sf_dir): JVM model
+# objects are session-bound, which is exactly what session_memo_key
+# keys on; the persistence op reads the SAME model the forecast ops
+# trained instead of paying a second fit
+_GBT_MODEL_MEMO: dict[tuple, tuple] = {}
+
 
 def _gbt_forecast_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared engine for both ops: train, backtest recursively over the
@@ -203,6 +209,11 @@ def _train_and_forecast(spark: SparkSession, sf_dir: str):
 
         train = s.where(F.col("idx") <= m - HORIZON)
         assembler, model = _fit_gbt(train)
+        from claim_analysis_engine_spark.tables import session_memo_key
+
+        if len(_GBT_MODEL_MEMO) >= _GBT_MEMO_MAX:
+            _GBT_MODEL_MEMO.pop(next(iter(_GBT_MODEL_MEMO)))
+        _GBT_MODEL_MEMO[session_memo_key(spark, sf_dir)] = (assembler, model)
 
         hist = s.select("status", "priority", "idx", "n")
         # honest backtest: recursion replayed from the train boundary,
@@ -322,4 +333,104 @@ def ml_gbt_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("margin_spread") < 1e-3).alias("band_const"),
         (F.col("lo_err") < 1e-3).alias("lo_clipped_sym"),
         (F.col("ord_min") == 1).alias("band_ordered"),
+    )
+
+
+# ----------------------------------------------------- ml_gbt_persist
+
+@REG.op(
+    "ml_gbt_persist",
+    oracle=_SERIES_CTE
+    + f"""
+    , months AS (SELECT count(*) AS m FROM spine),
+    nk AS (SELECT count(*) AS k FROM keys)
+    SELECT CAST(20 AS INT) AS n_trees,
+           CAST(nk.k * (months.m - {max(LAGS)}) AS BIGINT) AS n_rows_scored,
+           true AS roundtrip_identical,
+           true AS featimp_normalized
+    FROM nk, months WHERE months.m >= {MIN_MONTHS}
+    """,
+)
+def ml_gbt_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib-native model persistence under the hash gate — the
+    reference persists its fitted models to disk and reloads them for
+    later prediction (ml_persist covers the numpy family); this is the
+    same lifecycle step for the distributed GBT, using pyspark.ml's
+    own writer/loader (Parquet tree data + JSON metadata — the format
+    a model registry stores). The op takes the SESSION'S fitted model
+    (trained once by the forecast ops via _GBT_MODEL_MEMO — no second
+    fit), writes it, loads it back, and hash-certifies:
+
+    * n_trees — the loaded ensemble has exactly the configured 20
+      stages (a truncated write loses trees silently);
+    * n_rows_scored — both models score every complete-lag row
+      (keys × (months − {max(LAGS)}), which the oracle recomputes from
+      the shared series CTE);
+    * roundtrip_identical — loaded-model predictions equal the
+      original's EXACTLY on every scored row (tree traversal is
+      discrete: any serialization drift in a threshold or leaf value
+      shows up as a changed prediction, so exact equality is the
+      right bar, not a tolerance);
+    * featimp_normalized — feature importances still sum to 1 (the
+      metadata half of the round trip).
+
+    Scale: save/load is model-sized (KBs); the verification join is
+    one keys×months-grain frame against itself."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.ml.regression import GBTRegressionModel
+
+    from claim_analysis_engine_spark.tables import session_memo_key
+
+    s = _lag_features(_series(spark, sf_dir))
+    m = s.agg(F.max("idx")).first()[0]
+    if m is None or m < MIN_MONTHS:
+        return spark.createDataFrame(
+            [],
+            "n_trees int, n_rows_scored bigint, roundtrip_identical boolean, "
+            "featimp_normalized boolean",
+        )
+    memo_key = session_memo_key(spark, sf_dir)
+    if memo_key not in _GBT_MODEL_MEMO:
+        _gbt_forecast_frame(spark, sf_dir)  # trains once, fills the memo
+    assembler, model = _GBT_MODEL_MEMO[memo_key]
+
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="cae_gbt_persist_"), "model"
+    )
+    model.write().overwrite().save(path)
+    loaded = GBTRegressionModel.load(path)
+
+    feats = assembler.transform(s.dropna(subset=_FEATURES)).select(
+        "status", "priority", "idx", "features"
+    )
+    a = model.transform(feats).select(
+        "status", "priority", "idx", F.col("prediction").alias("p_orig")
+    )
+    b = loaded.transform(feats).select(
+        "status", "priority", "idx", F.col("prediction").alias("p_load")
+    )
+    agree = (
+        a.join(b, ["status", "priority", "idx"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows_scored"),
+            F.max(F.abs(F.col("p_orig") - F.col("p_load"))).alias("max_diff"),
+        )
+        .first()
+    )
+    imp_sum = float(sum(loaded.featureImportances.toArray()))
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(loaded.getNumTrees),
+                agree["n_rows_scored"],
+                float(agree["max_diff"]) == 0.0,
+                abs(imp_sum - 1.0) < 1e-9,
+            )
+        ],
+        "n_trees int, n_rows_scored bigint, roundtrip_identical boolean, "
+        "featimp_normalized boolean",
     )

@@ -362,6 +362,7 @@ ROUND10_FRONT: tuple[str, ...] = (
     "mm_decode_contract",
     "corpus_quality_mllib_contract",
     "corpus_quality_lr_mllib",
+    "ml_gbt_persist",
     # --- pinned: never-driver-sampled, rows-only (6) ---
     "src_pydatasource_corpus",
     "txt_containment_sparse",
@@ -381,5 +382,4 @@ ROUND10_FRONT: tuple[str, ...] = (
     "spine_zero",
     "topk_per_group",
     "src_parquet_part",
-    "flt_rolling_30d",
 )

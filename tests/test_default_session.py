@@ -141,6 +141,7 @@ SINK_OPS = [
     "evt_enrich_stream",
     "evt_outer_join_stream",
     "evt_pydatasource_stream",
+    "ml_gbt_persist",
     # pattern-rule completion (see test_sink_ops_list_cannot_lag):
     # testdata readers + the partition-pruned scan + the CDC merge
     "src_parquet_part",
