@@ -434,3 +434,80 @@ def ml_gbt_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trees int, n_rows_scored bigint, roundtrip_identical boolean, "
         "featimp_normalized boolean",
     )
+
+
+# -------------------------------------------------- ml_gbt_leaderboard
+
+@REG.op(
+    "ml_gbt_leaderboard",
+    oracle=_SERIES_CTE
+    + f"""
+    , months AS (SELECT count(*) AS m FROM spine),
+    idxed AS (
+      SELECT status, priority, n,
+             row_number() OVER (PARTITION BY status, priority
+                                ORDER BY month) AS idx,
+             lag(n, 12) OVER (PARTITION BY status, priority
+                              ORDER BY month) AS l12
+      FROM series
+    ),
+    test AS (
+      SELECT i.* FROM idxed i, months WHERE i.idx > m - {HORIZON}
+    ),
+    per AS (
+      SELECT status, priority,
+             sqrt(avg((n - l12) * (n - l12))) AS rmse
+      FROM test GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_series,
+           round(CAST(sum(rmse) AS DOUBLE), 4) AS snaive_rmse_sum,
+           true AS gbt_beats_snaive
+    FROM per, months WHERE m >= {MIN_MONTHS}
+    """,
+)
+def ml_gbt_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accuracy-floor claim itself, driver-hash-certified: the
+    pooled MLlib GBT's recursive backtest RMSE (summed over series;
+    recovered from the band — (ci_hi − yhat)/1.96 is constant per
+    series by the CI contract) must BEAT seasonal naive
+    (ŷ(m) = y(m−12)) scored on the IDENTICAL held-out months. The
+    seasonal-naive side is fully SQL-expressible, so the oracle
+    recomputes snaive_rmse_sum as an independent VALUE (both engines
+    derive it from the shared series CTE — a drifted split, lag
+    misalignment, or changed spine flips the number, not just a
+    boolean) and asserts the comparison boolean. Measured margin:
+    GBT 19.10 vs snaive 22.71 at sf0.001, 119.33 vs 133.97 at sf0.01
+    (~13-16%) — a model regression that costs the pooled GBT its edge
+    over the floor every claims dashboard could build for free
+    hash-mismatches at the driver.
+
+    Scale: both sides are keys-grain aggregates over the shared
+    (keys × months) frame; the GBT side reuses the session-memoized
+    forecast (no second training)."""
+    s = _lag_features(_series(spark, sf_dir))
+    m = s.agg(F.max("idx")).first()[0]
+    if m is None or m < MIN_MONTHS:
+        return spark.createDataFrame(
+            [], "n_series bigint, snaive_rmse_sum double, gbt_beats_snaive boolean"
+        )
+    snaive = (
+        s.where(F.col("idx") > m - HORIZON)
+        .groupBy("status", "priority")
+        .agg(F.sqrt(F.avg((F.col("n") - F.col("lag12")) ** 2)).alias("rmse"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_series"),
+            F.round(F.sum("rmse").cast("double"), 4).alias("snaive_rmse_sum"),
+            F.sum("rmse").alias("_sn_raw"),
+        )
+    )
+    gbt = (
+        ml_gbt_mllib(spark, sf_dir)
+        .where(F.col("h") == 1)
+        .select(((F.col("ci_hi") - F.col("yhat")) / 1.96).alias("r"))
+        .agg(F.sum("r").alias("_gbt_raw"))
+    )
+    return snaive.crossJoin(F.broadcast(gbt)).select(
+        "n_series",
+        "snaive_rmse_sum",
+        (F.col("_gbt_raw") < F.col("_sn_raw")).alias("gbt_beats_snaive"),
+    )

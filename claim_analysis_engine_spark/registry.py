@@ -363,6 +363,7 @@ ROUND10_FRONT: tuple[str, ...] = (
     "corpus_quality_mllib_contract",
     "corpus_quality_lr_mllib",
     "ml_gbt_persist",
+    "ml_gbt_leaderboard",
     # --- pinned: never-driver-sampled, rows-only (6) ---
     "src_pydatasource_corpus",
     "txt_containment_sparse",
@@ -381,5 +382,4 @@ ROUND10_FRONT: tuple[str, ...] = (
     "pvt_subtotals",
     "spine_zero",
     "topk_per_group",
-    "src_parquet_part",
 )
