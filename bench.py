@@ -177,6 +177,7 @@ EXTRA = [
     "txt_compress_ratio_contract",
     "corpus_quality_lr_mllib",
     "ml_gbt_persist",
+    "dedup_minhash_mllib",
 ]
 
 

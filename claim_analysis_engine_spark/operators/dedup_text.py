@@ -1812,6 +1812,142 @@ def dedup_lsh_fast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- dedup_minhash_mllib
+
+MLLIB_LSH_TABLES = 6  # per-pair candidate probability 1-(1-J)^6:
+# ≥ 0.999999 at the J ≥ 0.9 recall band — the same guarantee class
+# the banded xxhash64 path engineers by (bands × rows)
+MLLIB_TF_FEATURES = 1 << 18  # hashing-trick width; the corpus has
+# ~2k distinct shingles, so expected cross-shingle collisions ≈
+# (2041 choose 2)/2^18 ≈ 8 globally (measured effect on any pair's
+# Jaccard: ≤ 3e-5)
+
+
+@REG.op("dedup_minhash_mllib")  # rows-only: seeded MinHash
+# coefficients are learned-state-shaped (no SQL twin for the hash
+# family); recall/precision are hash-certified by the contract below
+def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair mining via MLlib's OWN LSH stack — HashingTF
+    (binary, the hashing-trick set encoding) into
+    pyspark.ml.feature.MinHashLSH, approxSimilarityJoin at the shared
+    {JACCARD_T} Jaccard threshold. The engine already ships two
+    from-scratch MinHash paths (md5 oracle-replicable; banded xxhash64
+    production); this is the third — the one a team inheriting a
+    pyspark.ml codebase already runs — wired to the SAME shingle
+    substrate and certified against the SAME exact truth, so the three
+    implementations are directly comparable under one gate. All
+    JVM-side: the LSH join explodes hash buckets, self-joins on
+    (table, band value), and distance-filters candidates — Spark's own
+    implementation of the salt-first banding this repo builds manually.
+
+    Emitted jaccard is computed on the HASHED feature sets; measured
+    divergence from string-shingle truth ≤ 3e-5 at this feature width
+    (the contract re-verifies every pair against the string truth).
+
+    Scale: identical shape to dedup_minhash_lsh_fast — bucket-grain
+    self-join, no all-pairs anywhere; numHashTables trades recall for
+    candidate volume exactly like the manual path's band count."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = _shingles(spark, sf_dir).where(F.size("sh") > 0)
+    feats = HashingTF(
+        inputCol="sh", outputCol="features",
+        numFeatures=MLLIB_TF_FEATURES, binary=True,
+    ).transform(sh)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=MLLIB_LSH_TABLES, seed=9999,
+    ).fit(feats)
+    return (
+        model.approxSimilarityJoin(feats, feats, 1.0 - JACCARD_T, distCol="jd")
+        .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1.0 - F.col("jd"), 6).alias("jaccard"),
+        )
+    )
+
+
+@REG.op(
+    "dedup_minhash_mllib_contract",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= {LSH_HIGH_T}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true_high_pairs,
+           {LSH_RECALL_FLOOR_BP} AS recall_floor_bp,
+           TRUE AS recall_ok,
+           TRUE AS precision_ok
+    FROM pairs
+    """,
+)
+def dedup_minhash_mllib_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_lsh_fast_contract's exact claims, applied to the MLlib
+    path — so the driver gate certifies all three MinHash
+    implementations against one truth: recall of
+    dedup_minhash_mllib vs the exact all-pairs string-shingle
+    J ≥ {LSH_HIGH_T} truth must clear {LSH_RECALL_FLOOR_BP} bp
+    (measured 25/25 at sf0.01 — 1-(1-J)^{MLLIB_LSH_TABLES} ≥ 0.999999
+    in the band), and every emitted pair's TRUE Jaccard must clear the
+    {JACCARD_T} emission threshold and agree with the hashed-set value
+    within 1e-3 (measured divergence ≤ 3e-5; a feature-width change
+    that starts colliding shingles materially flips this first). The
+    oracle recomputes the truth-pair count and asserts the booleans.
+    The all-pairs truth is gate-scale instrumentation over the 500-doc
+    correctness corpus, not a production path."""
+    found = dedup_minhash_mllib(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("j_emitted")
+    )
+    sh = _shingles(spark, sf_dir).cache()
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    jac = _jaccard("sa", "sb")
+    truth = (
+        F.broadcast(a)
+        .join(b, F.col("doc_a") < F.col("doc_b"))
+        .where(jac >= LSH_HIGH_T)
+        .select("doc_a", "doc_b")
+    )
+    t_agg = truth.agg(F.count(F.lit(1)).alias("n_true_high_pairs"))
+    hits = truth.join(found, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    prec = (
+        found.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.min(
+                (jac >= JACCARD_T) & (F.abs(jac - F.col("j_emitted")) < 1e-3)
+            ).alias("precision_ok")
+        )
+    )
+    out = (
+        t_agg.crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(prec))
+        .select(
+            "n_true_high_pairs",
+            F.lit(LSH_RECALL_FLOOR_BP).alias("recall_floor_bp"),
+            (
+                F.expr("CAST(n_hits * 10000 AS BIGINT) div n_true_high_pairs")
+                >= LSH_RECALL_FLOOR_BP
+            ).alias("recall_ok"),
+            "precision_ok",
+        )
+    )
+    # eager: release the shingle cache before returning (the r9 ADVICE
+    # lesson from txt_containment_sparse — instrument ops must not
+    # accumulate cached frames across bench/correctness invocations)
+    row = out.first()
+    sh.unpersist()
+    return spark.createDataFrame([row], out.schema)
+
+
 # ---------------------------------------------- txt_containment_sparse
 
 ZIPF_N_DOCS = 5000      # fixture size ≈ the sf0.1 documents table

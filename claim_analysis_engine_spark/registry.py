@@ -364,6 +364,8 @@ ROUND10_FRONT: tuple[str, ...] = (
     "corpus_quality_lr_mllib",
     "ml_gbt_persist",
     "ml_gbt_leaderboard",
+    "dedup_minhash_mllib_contract",
+    "dedup_minhash_mllib",
     # --- pinned: never-driver-sampled, rows-only (6) ---
     "src_pydatasource_corpus",
     "txt_containment_sparse",
@@ -379,7 +381,5 @@ ROUND10_FRONT: tuple[str, ...] = (
     "agg_lag_stats",
     "agg_lot_alert",
     "pvt_months",
-    "pvt_subtotals",
     "spine_zero",
-    "topk_per_group",
 )
