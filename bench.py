@@ -178,6 +178,7 @@ EXTRA = [
     "corpus_quality_lr_mllib",
     "ml_gbt_persist",
     "dedup_minhash_mllib",
+    "emb_word2vec_train",
 ]
 
 
@@ -341,6 +342,7 @@ def main() -> None:
         "corpus_bpe_train",
         "txt_containment_sparse",
         "ml_gbt_mllib",
+        "emb_word2vec_train",
     ]
     cold = {
         name: warm_first.get(name, spread[name][0])

@@ -1765,3 +1765,145 @@ def emb_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variance_ordered_ok",
         "orthogonal_ok",
     )
+
+
+# --------------------------------------------------- emb_word2vec_train
+
+W2V_DIM = 32       # trained embedding width
+W2V_MIN_COUNT = 5  # vocabulary floor: words below this corpus count
+# get no vector — EXACTLY count(*) >= W2V_MIN_COUNT per word, which is
+# what lets the contract's oracle recompute the vocabulary size
+W2V_ITERS = 2
+
+
+_W2V_MEMO: dict[tuple, tuple] = {}
+_W2V_MEMO_MAX = 2
+
+
+def _w2v_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train MLlib Word2Vec over the documents corpus → (word, vector).
+    numPartitions=1 + seed makes the skip-gram training deterministic
+    (MLlib's async-SGD nondeterminism is per-partition); the corpus is
+    vocab-dominated so one training partition is the correct shape at
+    gate scale, and at 100 TB numPartitions trades determinism for
+    throughput exactly as documented upstream. The (vocab-sized)
+    vector table is memoized per (session, corpus) — the trainer and
+    its contract share one training."""
+    from pyspark.ml.feature import Word2Vec
+
+    from claim_analysis_engine_spark.tables import session_memo_key
+
+    memo_key = session_memo_key(spark, sf_dir)
+    if memo_key in _W2V_MEMO:
+        rows, schema = _W2V_MEMO[memo_key]
+        return spark.createDataFrame(rows, schema)
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_remove(F.split("text", " "), "").alias("words")
+    )
+    model = Word2Vec(
+        vectorSize=W2V_DIM,
+        minCount=W2V_MIN_COUNT,
+        numPartitions=1,
+        seed=7,
+        maxIter=W2V_ITERS,
+        inputCol="words",
+        outputCol="docvec",
+    ).fit(docs)
+    vecs = model.getVectors()  # (word string, vector VectorUDT)
+    rows, schema = vecs.collect(), vecs.schema  # vocab-sized
+    if len(_W2V_MEMO) >= _W2V_MEMO_MAX:
+        _W2V_MEMO.pop(next(iter(_W2V_MEMO)))
+    _W2V_MEMO[memo_key] = (rows, schema)
+    return spark.createDataFrame(rows, schema)
+
+
+@REG.op("emb_word2vec_train")  # rows-only: trained skip-gram weights
+# (no SQL twin); vocabulary accounting + vector well-formedness are
+# hash-certified by emb_word2vec_contract below
+def emb_word2vec_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING TRAINING as a pipeline op — the step that produces
+    the embedding column every ANN/dedup op downstream consumes
+    (the synthetic embeddings table stands in for exactly this
+    output): MLlib Word2Vec skip-gram over the corpus, JVM-side,
+    fourth MLlib family in the engine (GBT regression, logistic
+    regression, MinHashLSH, Word2Vec). Emits one row per vocabulary
+    word with its L2 norm — the shape an embedding registry stores.
+
+    Scale: training cost ∝ corpus tokens × iters; the model state
+    (|vocab| × dim floats) stays JVM-side and getVectors() is the
+    only materialization. At real scale numPartitions partitions the
+    skip-gram updates (documented determinism trade)."""
+    from pyspark.ml.functions import vector_to_array
+
+    return _w2v_vectors(spark, sf_dir).select(
+        "word",
+        F.lit(W2V_DIM).alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    vector_to_array("vector"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+            4,
+        ).alias("l2_norm"),
+    )
+
+
+@REG.op(
+    "emb_word2vec_contract",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w FROM w GROUP BY w HAVING count(*) >= {W2V_MIN_COUNT}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+           CAST({W2V_DIM} AS INT) AS dim,
+           true AS all_finite,
+           true AS norms_positive
+    FROM vocab
+    """,
+)
+def emb_word2vec_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified contract for the embedding trainer (weights stay
+    rows-only): the VOCABULARY ACCOUNTING is exact SQL — Word2Vec
+    trains a vector for precisely the words with corpus count >=
+    {W2V_MIN_COUNT}, so the oracle recomputes n_vocab from the same
+    whitespace tokenization (a changed tokenizer, a lost partition of
+    the corpus, or a minCount drift flips the VALUE); the trained
+    vectors must all be finite with strictly positive norms (a
+    zero/NaN vector means the trainer diverged or a word never
+    trained) and carry the configured width."""
+    from pyspark.ml.functions import vector_to_array
+
+    vecs = _w2v_vectors(spark, sf_dir).select(
+        vector_to_array("vector").alias("v")
+    )
+    agg = vecs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.min(F.size("v")).alias("dim_min"),
+        F.max(F.size("v")).alias("dim_max"),
+        F.min(
+            F.aggregate(
+                "v",
+                F.lit(True),
+                lambda acc, x: acc & ~F.isnan(x) & (F.abs(x) < F.lit(float("inf"))),
+            ).cast("int")
+        ).alias("finite_min"),
+        F.min(
+            F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("min_sq_norm"),
+    )
+    return agg.select(
+        "n_vocab",
+        F.when(
+            (F.col("dim_min") == W2V_DIM) & (F.col("dim_max") == W2V_DIM),
+            F.lit(W2V_DIM),
+        ).otherwise(-1).cast("int").alias("dim"),
+        (F.col("finite_min") == 1).alias("all_finite"),
+        (F.col("min_sq_norm") > 0.0).alias("norms_positive"),
+    )

@@ -366,6 +366,8 @@ ROUND10_FRONT: tuple[str, ...] = (
     "ml_gbt_leaderboard",
     "dedup_minhash_mllib_contract",
     "dedup_minhash_mllib",
+    "emb_word2vec_contract",
+    "emb_word2vec_train",
     # --- pinned: never-driver-sampled, rows-only (6) ---
     "src_pydatasource_corpus",
     "txt_containment_sparse",
@@ -379,7 +381,5 @@ ROUND10_FRONT: tuple[str, ...] = (
     "dedup_keylast",
     "dedup_merge",
     "agg_lag_stats",
-    "agg_lot_alert",
-    "pvt_months",
     "spine_zero",
 )
