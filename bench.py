@@ -177,7 +177,17 @@ EXTRA = [
     "txt_compress_ratio_contract",
     "corpus_quality_lr_mllib",
     "ml_gbt_persist",
-    "dedup_minhash_mllib",
+    # dedup_minhash_mllib is NOT timed (the txt_containment_prefix
+    # precedent — a corpus property, measured): MLlib's MinHashLSH
+    # only OR-combines SINGLE-hash tables (r=1 banding), so candidate
+    # probability is 1-(1-J)^L — on the dense synthetic corpus
+    # (baseline Jaccard ~0.3-0.5 between random docs) that admits
+    # nearly all pairs and the exact-distance filter pays for it:
+    # 27.5 s/pass at sf0.1 vs ~1.3 s for the banded xxhash64 path,
+    # whose per-band probability J^r suppresses low-J candidates.
+    # Correctness (recall 25/25, precision exact) is certified at
+    # sf0.01 where the same run costs ~4 s; on a real Zipf-vocabulary
+    # corpus the candidate set is sparse for both implementations.
     "emb_word2vec_train",
 ]
 

@@ -304,26 +304,29 @@ ROUND9_FRONT: tuple[str, ...] = (
 # CORRECTNESS_r01..r09 at rotation time (scripted union): EXACTLY 29
 # registered ops had never had a driver row — 23 oracle-bearing + 6
 # rows-only — matching the pinned list in the round-9 comment above.
-# They lead the window (oracle-bearing first). Final composition:
-# 29 pinned + 9 round-10 additions (the MLlib GBT forecaster pair,
-# the BPE round-trip / IVF-train / compress-ratio / mm-decode /
-# MLlib-LR contracts, the MLlib LR gate, and the 9th streaming gate)
-# + 12 recycled oldest r1-r4 certifications (headline bench queries,
-# the flagship entry() spine, and the §2 core most exposed to
-# session-conf drift — a re-cert guards against regressions the local
-# replica's session can't see). ALL 50 were rehearsed on a
-# stripped-conf driver-like session at sf0.01 this round (oracle
-# compare / rows-only run): hash-green across the board, 148 s total.
+# They lead the window (oracle-bearing first). FINAL composition:
+# 29 pinned + 15 round-10 additions (the MLlib surface: GBT forecaster
+# + contract + persist + leaderboard, distributed-LR gate + contract,
+# MinHashLSH twin + contract, Word2Vec trainer + contract; the BPE
+# round-trip / IVF-train / compress-ratio contracts; the mm-decode
+# FULL value twin; and the 9th streaming gate) + 6 recycled oldest
+# r1-r4 certifications (the flagship entry() spine + the headline
+# core — a re-cert guards against regressions the local replica's
+# session can't see). ALL 50 of the FINAL window were rehearsed on a
+# stripped-conf driver-like session at sf0.01: hash-green across the
+# board, 208 s total (earlier compositions also rehearsed green as
+# additions landed).
 #
 # ROUND11_FRONT (build it first thing in round 11; verify the count
 # against CORRECTNESS_r01..r10 the way rounds 9-10 did): if
 # CORRECTNESS_r10 certifies this window, NO registered op will lack a
-# driver row. Keep recycling the next-oldest r1-r4 certifications
-# (48 remain after this window's 12 — meta_rowcount, src_csv,
-# sort_multi, flt_range_date, agg_multi, dedup_fullrow, agg_kpi_mom,
-# union_schema_align, join_claims_sales were dropped from this window
-# as additions landed: recycle them FIRST) plus any round-11
-# additions, oracle-bearing before rows-only, as always.
+# driver row. Recycle the displaced candidates FIRST (meta_rowcount,
+# src_csv, sort_multi, flt_range_date, agg_multi, dedup_fullrow,
+# agg_kpi_mom, union_schema_align, join_claims_sales, flt_rolling_30d,
+# src_parquet_part, pvt_subtotals, topk_per_group, pvt_months,
+# agg_lot_alert — dropped from this window as additions landed), then
+# the next-oldest r1-r4 certifications, plus any round-11 additions,
+# oracle-bearing before rows-only, as always.
 ROUND10_FRONT: tuple[str, ...] = (
     # --- pinned: never-driver-sampled, oracle-bearing (23) ---
     # sketch/ANN/PCA/LSH/LR contract oracles (round-9 pattern)
