@@ -1797,7 +1797,7 @@ def dedup_lsh_fast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_ok")
         )
     )
-    return (
+    out = (
         t_agg.crossJoin(F.broadcast(hits))
         .crossJoin(F.broadcast(prec))
         .select(
@@ -1810,6 +1810,14 @@ def dedup_lsh_fast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision_ok",
         )
     )
+    # eager: release the shingle cache before returning (the r9/r10
+    # advisory lesson — instrument ops must not accumulate cached
+    # frames across a 50-op gate session; on a default-memory 1g
+    # driver that cache pressure surfaces as broadcast OOMs for
+    # whichever op runs later)
+    row = out.first()
+    sh.unpersist()
+    return spark.createDataFrame([row], out.schema)
 
 
 # --------------------------------------------- dedup_minhash_mllib
