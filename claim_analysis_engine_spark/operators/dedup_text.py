@@ -1609,26 +1609,32 @@ def _containment_candidates(sh: DataFrame) -> DataFrame:
     )
 
 
-def _containment_best(sh: DataFrame, cand: DataFrame) -> DataFrame:
+def _containment_best(
+    sh: DataFrame, cand: DataFrame, broadcast_attach: bool = True
+) -> DataFrame:
     """Exact verify + best-container election over the candidate
     pairs: containment = |A∩B|/|A| via array_intersect, keep each
     doc's best container at or above CONTAIN_REPORT_T. See
-    txt_containment_prefix's docstring for the broadcast rationale."""
+    txt_containment_prefix's docstring for the broadcast rationale.
+
+    ``broadcast_attach`` picks the PHYSICAL strategy for the two
+    shingle-attach joins (semantics identical): the dense-corpus op
+    MUST broadcast (12M candidate rows × full shingle arrays would
+    shuffle ~100 GB — the measured r8 lesson), but building the
+    ~100 MB in-heap hash relation twice OOM-kills a DEFAULT-memory
+    (1g driver) gate session — observed intermittently in full-front
+    rehearsals. The sparse instrument has candidate counts in the
+    tens of thousands, where a shuffle join costs about the same and
+    stays inside any session's memory envelope, so it passes False."""
     from pyspark.sql import Window as W
 
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    if broadcast_attach:
+        sha, shb = F.broadcast(sha), F.broadcast(shb)
     scored = (
-        cand.join(
-            F.broadcast(
-                sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-            ),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(
-                sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
-            ),
-            "doc_b",
-        )
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -1774,7 +1780,14 @@ def dedup_lsh_fast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = dedup_minhash_lsh_fast(spark, sf_dir).select(
         "doc_a", "doc_b", F.col("jaccard").alias("j_emitted")
     )
-    sh = _shingles(spark, sf_dir).cache()
+    # CACHE-FREE by design (round-10 lesson): instrument ops ran
+    # .cache()/.unpersist() for intra-op reuse, and on a
+    # default-memory gate session the cache build + the CacheManager's
+    # rebuild sweep proved fragile (a failed build escalated through a
+    # stale-entry NPE to a dead JVM, intermittently, mid-50-op-window).
+    # Recomputing the shingle projection per consumer costs ~1-2 s at
+    # gate scale and touches no shared mutable state.
+    sh = _shingles(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     jac = _jaccard("sa", "sb")
@@ -1810,14 +1823,7 @@ def dedup_lsh_fast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision_ok",
         )
     )
-    # eager: release the shingle cache before returning (the r9/r10
-    # advisory lesson — instrument ops must not accumulate cached
-    # frames across a 50-op gate session; on a default-memory 1g
-    # driver that cache pressure surfaces as broadcast OOMs for
-    # whichever op runs later)
-    row = out.first()
-    sh.unpersist()
-    return spark.createDataFrame([row], out.schema)
+    return out
 
 
 # --------------------------------------------- dedup_minhash_mllib
@@ -1912,7 +1918,7 @@ def dedup_minhash_mllib_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = dedup_minhash_mllib(spark, sf_dir).select(
         "doc_a", "doc_b", F.col("jaccard").alias("j_emitted")
     )
-    sh = _shingles(spark, sf_dir).cache()
+    sh = _shingles(spark, sf_dir)  # cache-free: see dedup_lsh_fast_contract
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     jac = _jaccard("sa", "sb")
@@ -1948,12 +1954,7 @@ def dedup_minhash_mllib_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision_ok",
         )
     )
-    # eager: release the shingle cache before returning (the r9 ADVICE
-    # lesson from txt_containment_sparse — instrument ops must not
-    # accumulate cached frames across bench/correctness invocations)
-    row = out.first()
-    sh.unpersist()
-    return spark.createDataFrame([row], out.schema)
+    return out
 
 
 # ---------------------------------------------- txt_containment_sparse
@@ -2009,23 +2010,30 @@ _ZIPFSH_MEMO_MAX = 2
 
 
 def _zipf_shingles(spark: SparkSession) -> tuple[DataFrame, list]:
+    """Round-10 change: the memo stores the GENERATED ROWS (plain
+    Python — the expensive part is the numpy corpus generation), not a
+    cached DataFrame. The previous .cache() kept an ~85 MB columnar
+    shingle relation resident for the rest of the session — on a
+    default-memory (1g-driver) gate session running 50 ops, that
+    resident block plus this op's own working set intermittently
+    OOM-killed the JVM mid-window (Spark's uncaught-OOM handler calls
+    System.exit in local mode). A fresh LocalRelation per call costs a
+    ~4 MB plan and a transient per-task shingle projection instead of
+    any pinned storage."""
     from claim_analysis_engine_spark.tables import session_memo_key
 
     key = session_memo_key(spark, "zipf-fixture")
     if key not in _ZIPFSH_MEMO:
-        docs, planted = _zipf_corpus()
-        sh = (
-            spark.createDataFrame(docs, "doc_id long, text string")
-            .repartition(32)
-            .select("doc_id", _shingles_col().alias("sh"))
-            .cache()
-        )
-        sh.count()  # materialize while we hold the generation arrays
         if len(_ZIPFSH_MEMO) >= _ZIPFSH_MEMO_MAX:
-            old_sh, _ = _ZIPFSH_MEMO.pop(next(iter(_ZIPFSH_MEMO)))
-            old_sh.unpersist()
-        _ZIPFSH_MEMO[key] = (sh, planted)
-    return _ZIPFSH_MEMO[key]
+            _ZIPFSH_MEMO.pop(next(iter(_ZIPFSH_MEMO)))
+        _ZIPFSH_MEMO[key] = _zipf_corpus()
+    docs, planted = _ZIPFSH_MEMO[key]
+    sh = (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .repartition(8)  # low-concurrency: see txt_containment_sparse
+        .select("doc_id", _shingles_col().alias("sh"))
+    )
+    return sh, planted
 
 
 @REG.op("txt_containment_sparse")  # rows-only BY DESIGN: the corpus is
@@ -2055,45 +2063,68 @@ def txt_containment_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FILTER, not the table). Scale: generation is driver-side but
     fixture-sized (≈4 MB); everything after createDataFrame is the
     production pipeline — at 100 TB the corpus comes from the lake
-    and this op's job is already done."""
+    and this op's job is already done.
+
+    Memory discipline (round 10, measured): a DEFAULT-memory gate
+    session (1g driver heap shared by all 32 local executor threads)
+    intermittently OOM-died inside this op — first via a pinned 85 MB
+    shingle cache, then via Catalyst auto-broadcast builds racing 32
+    concurrent tasks' buffers for the last of the heap ("Not enough
+    memory to build and broadcast"); disabling auto-broadcast only
+    traded that for raw task OOMs (full sorts × 32 threads). The
+    working lever is CONCURRENCY: the op runs its whole computation
+    EAGERLY at 8 shuffle partitions (conf save-set-restore, the gate
+    streams' pattern), quadrupling per-task headroom; the single
+    reused intermediate (the ~2 MB candidate pair list) is an
+    RDD-level localCheckpoint that never touches the SQL
+    CacheManager, and no SQL .cache() exists anywhere in the op."""
     sh, planted = _zipf_shingles(spark)
-    cand = _containment_candidates(sh).cache()
-    best = _containment_best(sh, cand)
-    planted_df = F.broadcast(
-        spark.createDataFrame(planted, "p_doc long, p_container long")
-    )
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
-    flagged = best.where("is_contained").cache()
-    n_flagged = flagged.agg(F.count(F.lit(1)).alias("n_flagged"))
-    n_recalled = (
-        flagged.join(
-            planted_df,
-            (F.col("doc_id") == F.col("p_doc"))
-            & (F.col("container_id") == F.col("p_container")),
-            "left_semi",
+    # LOW-CONCURRENCY execution (the STREAM_STATE_PARTITIONS pattern):
+    # the stability lever on a small-heap session is how many tasks
+    # allocate sort/hash buffers AT ONCE — 8-way instead of 32-way
+    # quadruples per-task headroom and bounds the aggregate footprint,
+    # while the tiny dimension tables keep their cheap auto-broadcasts
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        cand = _containment_candidates(sh).localCheckpoint()
+        best = _containment_best(sh, cand, broadcast_attach=False)
+        planted_df = F.broadcast(
+            spark.createDataFrame(planted, "p_doc long, p_container long")
         )
-        .agg(F.count(F.lit(1)).alias("n_recalled"))
-    )
-    n_pairs = ZIPF_N_DOCS * (ZIPF_N_DOCS - 1)
-    stats = (
-        n_cand.crossJoin(n_flagged)
-        .crossJoin(n_recalled)
-        .select(
-            F.lit(ZIPF_N_DOCS).alias("n_docs"),
-            F.lit(n_pairs).cast("bigint").alias("n_possible_pairs"),
-            "n_candidate_pairs",
-            F.expr(f"CAST(n_candidate_pairs * 10000 AS BIGINT) div {n_pairs}")
-            .alias("cand_share_bp"),
-            F.lit(len(planted)).alias("n_planted"),
-            "n_recalled",
-            "n_flagged",
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+        per = (
+            best.where("is_contained")
+            .join(
+                planted_df,
+                (F.col("doc_id") == F.col("p_doc"))
+                & (F.col("container_id") == F.col("p_container")),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_flagged"),
+                F.count(F.col("p_doc")).alias("n_recalled"),
+            )
         )
-    )
-    # Compute the stats row eagerly so cand/flagged can be unpersisted
-    # HERE — only `sh` is session-memoized; leaving these two cached on
-    # every invocation (bench median-of-3 + correctness runs)
-    # accumulates unreclaimed frames in the session.
-    row = stats.first()
-    cand.unpersist()
-    flagged.unpersist()
+        n_pairs = ZIPF_N_DOCS * (ZIPF_N_DOCS - 1)
+        stats = (
+            n_cand.crossJoin(per)
+            .select(
+                F.lit(ZIPF_N_DOCS).alias("n_docs"),
+                F.lit(n_pairs).cast("bigint").alias("n_possible_pairs"),
+                "n_candidate_pairs",
+                F.expr(
+                    f"CAST(n_candidate_pairs * 10000 AS BIGINT) div {n_pairs}"
+                ).alias("cand_share_bp"),
+                F.lit(len(planted)).alias("n_planted"),
+                "n_recalled",
+                "n_flagged",
+            )
+        )
+        # eager: the low-concurrency guarantee must hold at
+        # EXECUTION time, which for a lazily returned frame would be
+        # after the conf is restored
+        row = stats.first()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.createDataFrame([row], stats.schema)
