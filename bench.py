@@ -123,8 +123,13 @@ EXTRA = [
     # correctness gate at sf0.01 stays fast. The round-9 instrument
     # txt_containment_sparse (below) runs the IDENTICAL pipeline on a
     # Zipf-vocabulary fixture and is timed here — candidates 46 bp of
-    # n·(n−1), recall 250/250, ~1 s warm — separating the algorithm
-    # (works) from the degenerate corpus (dense by construction).
+    # n·(n−1), recall 250/250 — separating the algorithm (works) from
+    # the degenerate corpus (dense by construction). Since the
+    # round-10 gate-stability hardening it holds NO pinned state
+    # (cache-free, low-concurrency, eager), so every pass pays the
+    # full pipeline: ~13 s/run at any sf (fixture-sized) — the
+    # documented price of an instrument that can never destabilize a
+    # small-heap gate session.
     "evt_attribution",
     "agg_decay_recency",
     "sim_mips_topk",
