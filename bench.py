@@ -400,8 +400,19 @@ def main() -> None:
         "value": round(total, 3),
     }
     if extras_to_run:  # headline-only escape-hatch runs don't clobber it
+        # The COMMITTED BENCH_DETAIL.json holds the official cooled-down
+        # reading; a driver/CI bench runs right after the full suite and
+        # its contention-inflated numbers kept overwriting it (r10
+        # verdict). Only an explicit SPARK_GRAFT_BENCH_OFFICIAL=1 run
+        # may touch the committed path — everything else writes an
+        # untracked sibling so `git status` stays clean.
+        name = (
+            "BENCH_DETAIL.json"
+            if os.environ.get("SPARK_GRAFT_BENCH_OFFICIAL") == "1"
+            else "BENCH_DETAIL.local.json"
+        )
         detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            os.path.dirname(os.path.abspath(__file__)), name
         )
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
@@ -421,7 +432,25 @@ def main() -> None:
             "value": round(total, 3),
         }
     )
-    assert len(line) < 1900, f"summary line too long for driver tail: {len(line)}"
+    if len(line) >= 1900:
+        # graceful degrade (never assert: -O strips it, and failing HERE
+        # would discard the whole timing run after the work is done) —
+        # shed the prose fields first; the driver contract only needs
+        # metric/value/unit/queries/sf
+        slim = {
+            "metric": "headline_total_runtime",
+            "unit": "sec",
+            "sf": detail["sf"],
+            "queries": queries,
+            "n_extra_queries": len(extra),
+            "detail": "BENCH_DETAIL.json",
+            "value": round(total, 3),
+        }
+        line = json.dumps(slim)
+        if len(line) >= 1900:  # pathological: shed everything optional
+            slim.pop("n_extra_queries", None)
+            slim.pop("detail", None)
+            line = json.dumps(slim)
     # Stop the JVM BEFORE printing: the embedded JVM writes its own
     # stdout (observed: a [warning][gc,alloc] line landing AFTER the
     # JSON), and the driver keeps the tail of the captured output —

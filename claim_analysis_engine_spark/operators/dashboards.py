@@ -319,7 +319,7 @@ def ep1_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: merge_upsert scans only the partitions batch 2 touches
     (left-semi on a broadcast key set) and rewrites only those
     directories — the reference's full-hub rewrite cliff never occurs."""
-    import tempfile as _tf
+    from claim_analysis_engine_spark.tmputil import fresh_dir as _fresh_dir
 
     from claim_analysis_engine_spark import storage
     from claim_analysis_engine_spark.operators.storage_ops import (
@@ -335,7 +335,7 @@ def ep1_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("middle_category", F.concat(F.lit("RE-"), "middle_category"))
         .withColumn("load_seq", F.lit(2))
     )
-    hub = _tf.mkdtemp(prefix="cae_spark_ep1_hub_") + "/hub"
+    hub = _fresh_dir("cae_spark_ep1_hub_") + "/hub"
     storage.merge_upsert(spark, hub, b1)
     storage.merge_upsert(spark, hub, b2)
     back = spark.read.parquet(hub)

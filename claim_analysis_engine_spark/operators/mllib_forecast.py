@@ -378,9 +378,10 @@ def ml_gbt_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     one keys×months-grain frame against itself."""
     import os
     import shutil
-    import tempfile
 
     from pyspark.ml.regression import GBTRegressionModel
+
+    from claim_analysis_engine_spark.tmputil import fresh_dir
 
     from claim_analysis_engine_spark.tables import session_memo_key
 
@@ -398,30 +399,36 @@ def ml_gbt_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembler, model = _GBT_MODEL_MEMO[memo_key]
 
     path = os.path.join(
-        tempfile.mkdtemp(prefix="cae_gbt_persist_"), "model"
+        fresh_dir("cae_gbt_persist_"), "model"
     )
-    model.write().overwrite().save(path)
-    loaded = GBTRegressionModel.load(path)
+    try:
+        model.write().overwrite().save(path)
+        loaded = GBTRegressionModel.load(path)
 
-    feats = assembler.transform(s.dropna(subset=_FEATURES)).select(
-        "status", "priority", "idx", "features"
-    )
-    a = model.transform(feats).select(
-        "status", "priority", "idx", F.col("prediction").alias("p_orig")
-    )
-    b = loaded.transform(feats).select(
-        "status", "priority", "idx", F.col("prediction").alias("p_load")
-    )
-    agree = (
-        a.join(b, ["status", "priority", "idx"])
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows_scored"),
-            F.max(F.abs(F.col("p_orig") - F.col("p_load"))).alias("max_diff"),
+        feats = assembler.transform(s.dropna(subset=_FEATURES)).select(
+            "status", "priority", "idx", "features"
         )
-        .first()
-    )
-    imp_sum = float(sum(loaded.featureImportances.toArray()))
-    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+        a = model.transform(feats).select(
+            "status", "priority", "idx", F.col("prediction").alias("p_orig")
+        )
+        b = loaded.transform(feats).select(
+            "status", "priority", "idx", F.col("prediction").alias("p_load")
+        )
+        agree = (
+            a.join(b, ["status", "priority", "idx"])
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows_scored"),
+                F.max(F.abs(F.col("p_orig") - F.col("p_load"))).alias(
+                    "max_diff"
+                ),
+            )
+            .first()
+        )
+        imp_sum = float(sum(loaded.featureImportances.toArray()))
+    finally:
+        # remove on every path — a failed save/load/transform must not
+        # orphan the temp model dir across repeated bench/gate runs
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     return spark.createDataFrame(
         [
             (

@@ -1560,21 +1560,27 @@ def corpus_bpe_roundtrip_contract(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min((F.col("decoded") == F.col("w")).cast("int")).alias("w_ok_min"),
         F.min((F.col("n_tok") >= 1).cast("int")).alias("nonempty_min"),
     )
-    per_doc = (
+    # orig_md5 comes from the PRE-join token stream and rt_md5 from the
+    # post-join decoded stream: a word row the vocab join drops or
+    # duplicates mutates ONLY rt_md5, so the doc-level boolean
+    # independently witnesses drop/duplication (built from the same
+    # post-join rows, both hashes would mutate identically and the
+    # comparison could never flip for that class)
+    orig_doc = docs.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            )
+        ).alias("orig_md5")
+    )
+    rt_doc = (
         docs.join(F.broadcast(decoded.select("w", "decoded")), "w")
         .groupBy("doc_id")
         .agg(
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "w"))
-                        ),
-                        lambda s: s["w"],
-                    ),
-                )
-            ).alias("orig_md5"),
             F.md5(
                 F.concat_ws(
                     " ",
@@ -1590,9 +1596,16 @@ def corpus_bpe_roundtrip_contract(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("rt_md5"),
         )
     )
+    per_doc = orig_doc.join(rt_doc, "doc_id", "left")
     doc_stats = per_doc.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.min((F.col("rt_md5") == F.col("orig_md5")).cast("int")).alias("d_ok_min"),
+        # a doc whose every word the join dropped has rt_md5 NULL —
+        # coalesce so it reads as a reconstruction failure, not a skip
+        F.min(
+            F.coalesce(
+                (F.col("rt_md5") == F.col("orig_md5")).cast("int"), F.lit(0)
+            )
+        ).alias("d_ok_min"),
     )
     return doc_stats.crossJoin(vocab_stats).select(
         "n_docs",

@@ -73,10 +73,10 @@ def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     layer always declares types. The temp dir is unique per invocation
     so concurrent sessions (driver + pytest) can't race on a shared
     path, and only the 3 read-back columns are written."""
-    import tempfile
+    from claim_analysis_engine_spark.tmputil import fresh_dir
 
     src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    tmp = tempfile.mkdtemp(prefix="cae_spark_nation_csv_")
+    tmp = fresh_dir("cae_spark_nation_csv_")
     src.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
     return spark.read.csv(
         tmp, header=True, schema="n_nationkey int, n_name string, n_regionkey int"

@@ -25,7 +25,7 @@ no per-series Python loop.
 
 from __future__ import annotations
 
-import tempfile
+from claim_analysis_engine_spark.tmputil import fresh_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -201,7 +201,7 @@ def _staged_settings(spark: SparkSession) -> DataFrame:
     """Write the P6_SETTINGS presets as real settings-JSON docs and
     read them back normalized — every scan consumes the document form,
     never the in-memory fixture directly."""
-    settings_dir = tempfile.mkdtemp(prefix="cae_spark_p6_settings_")
+    settings_dir = fresh_dir("cae_spark_p6_settings_")
     spark.createDataFrame(P6_SETTINGS).write.mode("overwrite").json(settings_dir)
     return load_settings(spark, settings_dir)
 
@@ -245,7 +245,7 @@ def p6_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     trail = _trailing_counts(_with_target(spark, sf_dir))
 
     docs = compose_alerts(tree, trail, settings, AS_OF)
-    out = tempfile.mkdtemp(prefix="cae_spark_p6_alerts_")
+    out = fresh_dir("cae_spark_p6_alerts_")
     docs.write.mode("overwrite").json(out)
 
     back = spark.read.schema(_DOC_SCHEMA).json(out)

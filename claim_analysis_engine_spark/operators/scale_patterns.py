@@ -13,7 +13,7 @@ deployment makes up front.
 from __future__ import annotations
 
 import shutil
-import tempfile
+from claim_analysis_engine_spark.tmputil import fresh_dir
 import uuid
 
 import numpy as np
@@ -141,7 +141,7 @@ def prune_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides on (reference filtered dataset scans,
     core/storage.py:171-193). Plan-asserted in tests: the scan's
     partition filters carry the year/month predicates."""
-    hub = tempfile.mkdtemp(prefix="cae_spark_prune_")
+    hub = fresh_dir("cae_spark_prune_")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
@@ -380,7 +380,7 @@ def sort_global_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     rangepartitioning exchange. (Spark's own repartitionByRange
     samples its boundaries — run-dependent — which is why the SHARD
     column, not the sampler, carries the contract here.)"""
-    out = tempfile.mkdtemp(prefix="cae_spark_sorted_")
+    out = fresh_dir("cae_spark_sorted_")
     sorted_export_frame(spark, sf_dir).write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy("shard").agg(
@@ -448,7 +448,7 @@ def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipping contrast vs a single-dim sort. At 100 TB this is the
     layout that lets a scan on either predicate prune ~15/16 of files
     without any index."""
-    out = tempfile.mkdtemp(prefix="cae_spark_zorder_")
+    out = fresh_dir("cae_spark_zorder_")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         (F.col("o_custkey") % 256).cast("int").alias("bx"),
@@ -514,8 +514,8 @@ def snk_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just local paths) and the decimal sum proves content equality
     through both rewrites. Tests additionally assert the physical
     file counts on disk match the reported ones."""
-    frag = tempfile.mkdtemp(prefix="cae_spark_frag_")
-    compacted = tempfile.mkdtemp(prefix="cae_spark_compact_")
+    frag = fresh_dir("cae_spark_frag_")
+    compacted = fresh_dir("cae_spark_compact_")
     _LAST_COMPACTION_DIRS[:] = [frag, compacted]
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
@@ -635,7 +635,7 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dim actually selects — with no static predicate available to
     write. The plan assertion in tests/test_scale_patterns.py pins the
     `dynamicpruningexpression` on the fact scan's partition filters."""
-    hub = tempfile.mkdtemp(prefix="cae_spark_dpp_")
+    hub = fresh_dir("cae_spark_dpp_")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
@@ -1012,7 +1012,7 @@ def prune_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     query would charge the amortized write to every read."""
     memo_key = session_memo_key(spark, sf_dir)
     if memo_key not in _FILESKIP_MEMO:
-        out = tempfile.mkdtemp(prefix="cae_spark_fileskip_")
+        out = fresh_dir("cae_spark_fileskip_")
         li = load(spark, sf_dir, "lineitem").select(
             F.col("l_shipdate").cast("date").alias("ship_d"),
             "l_extendedprice",
@@ -1152,7 +1152,7 @@ def prune_zorder_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning can only serve one."""
     memo_key = session_memo_key(spark, sf_dir)
     if memo_key not in _ZORDER_MEMO:
-        out = tempfile.mkdtemp(prefix="cae_spark_zprune_")
+        out = fresh_dir("cae_spark_zprune_")
         o = load(spark, sf_dir, "orders").select(
             "o_orderkey",
             (F.col("o_custkey") % 256).cast("int").alias("bx"),

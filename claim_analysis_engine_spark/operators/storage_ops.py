@@ -15,7 +15,7 @@ appears here.
 from __future__ import annotations
 
 import shutil
-import tempfile
+from claim_analysis_engine_spark.tmputil import fresh_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -77,7 +77,7 @@ def snk_parquet_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     write partitionBy(year, month) parquet, read back WITH a partition
     filter — the read-back plan prunes to the 1996 directories — and
     count per partition. Values must match the pre-write aggregation."""
-    hub = tempfile.mkdtemp(prefix="cae_spark_hub_")
+    hub = fresh_dir("cae_spark_hub_")
     storage.write_hub(_claims_from_orders(spark, sf_dir), hub)
     back = storage.read_hub(spark, hub, year=1996)
     return (
@@ -103,7 +103,7 @@ def snk_parquet_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat parquet sink round-trip with a fixed column order
     (reference sales save, pages/2_매출수량_관리.py:53-64): aggregate,
     write one flat file layout, read back verbatim."""
-    out = tempfile.mkdtemp(prefix="cae_spark_flat_")
+    out = fresh_dir("cae_spark_flat_")
     monthly = (
         _claims_from_orders(spark, sf_dir)
         .groupBy(
@@ -197,7 +197,7 @@ def snk_json_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = storage.build_series_mart(
         _claims_from_orders(spark, sf_dir), as_of="2026-08-13"
     )
-    out = tempfile.mkdtemp(prefix="cae_spark_series_")
+    out = fresh_dir("cae_spark_series_")
     storage.write_series_docs(docs, out)
     stats_t = "struct<mean:double,std:double,slope:double,avg_lag_days:double>"
     hist_t = "array<struct<date:string,count:bigint>>"
@@ -289,7 +289,7 @@ def src_json_settings(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumed by the docs-only rule engine): write the per-plant filter
     presets as JSON, read back with spark.read.json + explicit schema,
     flatten array fields to verifiable scalars."""
-    out = tempfile.mkdtemp(prefix="cae_spark_settings_")
+    out = fresh_dir("cae_spark_settings_")
     spark.createDataFrame(_SETTINGS).write.mode("overwrite").json(out)
     schema = (
         "plant string, filter_business array<string>, "
@@ -332,7 +332,7 @@ def src_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    path = os.path.join(tempfile.mkdtemp(prefix="cae_spark_xlsx_"), "nation.xlsx")
+    path = os.path.join(fresh_dir("cae_spark_xlsx_"), "nation.xlsx")
     storage.write_excel(src, path)
     back = storage.read_excel(spark, path)
     return back.select(
@@ -362,7 +362,7 @@ def snk_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="cae_spark_xlsx_"), "report.xlsx")
+    path = os.path.join(fresh_dir("cae_spark_xlsx_"), "report.xlsx")
     storage.write_excel(agg, path)
     back = storage.read_excel(spark, path)
     return back.select(
@@ -386,7 +386,7 @@ def util_clear(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     from pathlib import Path
 
-    store = Path(tempfile.mkdtemp(prefix="cae_spark_clear_")) / "hub"
+    store = Path(fresh_dir("cae_spark_clear_")) / "hub"
     store.mkdir()
     (store / "part-000.parquet").write_bytes(b"x")
     refused = storage.util_clear(str(store))  # no confirm → False
@@ -421,7 +421,7 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens in the file index, not the format reader. The money sum
     renders as round-to-2dp DOUBLE on both sides (DECIMAL would print
     trailing zeros differently across engines)."""
-    out = tempfile.mkdtemp(prefix="cae_spark_orc_")
+    out = fresh_dir("cae_spark_orc_")
     src = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
     )
@@ -465,7 +465,7 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning; per-row cost is zero, which is why evolution-by-null is
     the lakehouse norm while full rewrites are compaction-sized
     events."""
-    out = tempfile.mkdtemp(prefix="cae_spark_evolve_")
+    out = fresh_dir("cae_spark_evolve_")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_totalprice",
@@ -604,7 +604,7 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest finishing or not."""
     from pyspark.sql import types as T
 
-    out = tempfile.mkdtemp(prefix="cae_spark_jsonl_")
+    out = fresh_dir("cae_spark_jsonl_")
     load(spark, sf_dir, "documents").write.mode("overwrite").json(out)
 
     schema = T.StructType(
@@ -663,7 +663,7 @@ def snk_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference lives (upload page accepts .csv, app.py:61), and
     this op proves the escaping path preserves every byte when it IS
     used."""
-    out = tempfile.mkdtemp(prefix="cae_spark_csvrt_")
+    out = fresh_dir("cae_spark_csvrt_")
     docs = load(spark, sf_dir, "documents")
     hostile = docs.withColumn(
         "note",
@@ -731,7 +731,7 @@ def dedup_audit_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the nightly integrity scan: one shuffle on the
     key; the per-file grain never leaves the executors (the reference
     collects every file into driver memory, check_duplication.py:46)."""
-    hub = tempfile.mkdtemp(prefix="cae_spark_audit_")
+    hub = fresh_dir("cae_spark_audit_")
     (
         load(spark, sf_dir, "orders")
         .select(
@@ -800,7 +800,7 @@ def src_logs_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     formats), so read parallelism survives; parsing is JVM-side regex
     in whole-stage codegen — the anti-pattern this op replaces is a
     per-line Python loop over downloaded log files."""
-    out = tempfile.mkdtemp(prefix="cae_spark_logs_")
+    out = fresh_dir("cae_spark_logs_")
     e = load(spark, sf_dir, "events")
     lines = e.select(
         F.concat(
@@ -867,7 +867,7 @@ def snk_manifest_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    out = tempfile.mkdtemp(prefix="cae_spark_manifest_")
+    out = fresh_dir("cae_spark_manifest_")
     data_dir = os.path.join(out, "data")
     (
         load(spark, sf_dir, "orders")
@@ -948,7 +948,7 @@ def snk_manifest_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    root = tempfile.mkdtemp(prefix="cae_spark_timetravel_")
+    root = fresh_dir("cae_spark_timetravel_")
     orders = load(spark, sf_dir, "orders").select(
         "o_orderdate", "o_totalprice"
     )
@@ -1050,7 +1050,7 @@ def snk_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    root = tempfile.mkdtemp(prefix="cae_spark_vacuum_")
+    root = fresh_dir("cae_spark_vacuum_")
     orders = load(spark, sf_dir, "orders").select(
         "o_orderdate", "o_totalprice"
     )
@@ -1189,7 +1189,7 @@ def src_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     memo_key = session_memo_key(spark, sf_dir)
     if memo_key not in _PEVOLVE_MEMO:
-        root = tempfile.mkdtemp(prefix="cae_spark_pevolve_")
+        root = fresh_dir("cae_spark_pevolve_")
         g1_root = os.path.join(root, "gen1")
         g2_root = os.path.join(root, "gen2")
         o = load(spark, sf_dir, "orders").select(

@@ -27,7 +27,7 @@ against a message bus, with the file source swapped in.
 from __future__ import annotations
 
 import shutil
-import tempfile
+from claim_analysis_engine_spark.tmputil import fresh_dir
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,7 +40,7 @@ REG = OpRegistry()
 
 
 def _stage_events(sf_dir: str, copies: int) -> str:
-    stage = Path(tempfile.mkdtemp(prefix="cae_stream_stage_"))
+    stage = Path(fresh_dir("cae_stream_stage_"))
     for i in range(copies):
         shutil.copy(f"{sf_dir}/events.parquet", stage / f"part-{i:03d}.parquet")
     return str(stage)
@@ -59,8 +59,8 @@ STREAM_STATE_PARTITIONS = 8
 
 def _drain_to_parquet(spark: SparkSession, result: DataFrame) -> DataFrame:
     """Run an append-mode stream to a parquet sink and read it back."""
-    out = tempfile.mkdtemp(prefix="cae_stream_out_")
-    ckpt = tempfile.mkdtemp(prefix="cae_stream_ckpt_")
+    out = fresh_dir("cae_stream_out_")
+    ckpt = fresh_dir("cae_stream_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
     try:
@@ -272,8 +272,8 @@ def _drain_until_eof(spark: SparkSession, result: DataFrame) -> DataFrame:
     batch that flushes the last watermark-finalized windows."""
     import time
 
-    out = tempfile.mkdtemp(prefix="cae_stream_out_")
-    ckpt = tempfile.mkdtemp(prefix="cae_stream_ckpt_")
+    out = fresh_dir("cae_stream_out_")
+    ckpt = fresh_dir("cae_stream_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
     try:
@@ -285,21 +285,26 @@ def _drain_until_eof(spark: SparkSession, result: DataFrame) -> DataFrame:
             .trigger(processingTime="0 seconds")
             .start()
         )
-        deadline = time.time() + 300
-        while time.time() < deadline:
-            q.processAllAvailable()
-            lp = q.lastProgress
-            if lp and lp["sources"]:
-                # offset rendering isn't stable JSON across versions
-                # (observed single-quoted dict repr) — substring-match
-                # the sentinel key instead of parsing
-                if "eof" in (lp["sources"][0]["endOffset"] or ""):
-                    break
-            time.sleep(0.2)
-        else:
+        try:
+            deadline = time.time() + 300
+            while time.time() < deadline:
+                q.processAllAvailable()
+                lp = q.lastProgress
+                if lp and lp["sources"]:
+                    # offset rendering isn't stable JSON across versions
+                    # (observed single-quoted dict repr) — substring-match
+                    # the sentinel key instead of parsing
+                    if "eof" in (lp["sources"][0]["endOffset"] or ""):
+                        break
+                time.sleep(0.2)
+            else:
+                raise RuntimeError(
+                    "python-datasource stream never reached EOF"
+                )
+        finally:
+            # stop on EVERY exit path (incl. a poll-loop exception) so a
+            # failed drain can't leak a live query into the session
             q.stop()
-            raise RuntimeError("python-datasource stream never reached EOF")
-        q.stop()
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -422,7 +427,7 @@ def _stage_events_split(sf_dir: str, n_files: int) -> str:
     uploads hitting an incremental-refresh job."""
     import pyarrow.parquet as pq
 
-    stage = Path(tempfile.mkdtemp(prefix="cae_stream_stage_"))
+    stage = Path(fresh_dir("cae_stream_stage_"))
     t = pq.read_table(f"{sf_dir}/events.parquet")
     step = -(-t.num_rows // n_files)
     for i in range(n_files):
@@ -457,8 +462,8 @@ def evt_mart_refresh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the run really was incremental (≥ 2 versions, each re-stating only
     touched keys)."""
     stage = _stage_events_split(sf_dir, MART_REFRESH_SPLITS)
-    mart_root = Path(tempfile.mkdtemp(prefix="cae_stream_mart_"))
-    ckpt = tempfile.mkdtemp(prefix="cae_stream_ckpt_")
+    mart_root = Path(fresh_dir("cae_stream_mart_"))
+    ckpt = fresh_dir("cae_stream_ckpt_")
     versions: list[str] = []
 
     stream = streaming.read_events_stream(
@@ -537,9 +542,9 @@ def evt_scd2_refresh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stage = _stage_events_split(sf_dir, MART_REFRESH_SPLITS)
-    dim_root = Path(tempfile.mkdtemp(prefix="cae_stream_scd2_"))
+    dim_root = Path(fresh_dir("cae_stream_scd2_"))
     hist_dir = str(dim_root / "history")
-    ckpt = tempfile.mkdtemp(prefix="cae_stream_ckpt_")
+    ckpt = fresh_dir("cae_stream_ckpt_")
     versions: list[str] = []
 
     stream = streaming.read_events_stream(spark, stage, max_files_per_trigger=1)

@@ -26,7 +26,7 @@ process, trainer.py:405-570).
 from __future__ import annotations
 
 import json
-import tempfile
+from claim_analysis_engine_spark.tmputil import fresh_dir
 
 import numpy as np
 import pandas as pd
@@ -381,7 +381,7 @@ def ml_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable and safe. In local mode the store is a temp dir; on a
     cluster this path must be shared storage (object store / DBFS)."""
     s = _series(spark, sf_dir)
-    model_dir = tempfile.mkdtemp(prefix="cae_spark_models_")
+    model_dir = fresh_dir("cae_spark_models_")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         y = _series_pdf_to_values(pdf)
