@@ -26,6 +26,7 @@ against a message bus, with the file source swapped in.
 
 from __future__ import annotations
 
+import os
 import shutil
 from claim_analysis_engine_spark.tmputil import fresh_dir
 from pathlib import Path
@@ -57,10 +58,20 @@ def _stage_events(sf_dir: str, copies: int) -> str:
 STREAM_STATE_PARTITIONS = 8
 
 
-def _drain_to_parquet(spark: SparkSession, result: DataFrame) -> DataFrame:
-    """Run an append-mode stream to a parquet sink and read it back."""
-    out = fresh_dir("cae_stream_out_")
-    ckpt = fresh_dir("cae_stream_ckpt_")
+def _drain_to_parquet(
+    spark: SparkSession,
+    result: DataFrame,
+    out: str | None = None,
+    ckpt: str | None = None,
+    read_back: bool = True,
+) -> DataFrame | None:
+    """Run an append-mode stream to a parquet sink and read it back.
+    Callers that RESTART a query across runs (the checkpoint-recovery
+    gate) pass their own sink/checkpoint pair and skip the read-back
+    on the pre-restart leg (its sink legitimately holds only a prefix
+    of the finalized windows at that point)."""
+    out = out or fresh_dir("cae_stream_out_")
+    ckpt = ckpt or fresh_dir("cae_stream_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
     try:
@@ -75,6 +86,8 @@ def _drain_to_parquet(spark: SparkSession, result: DataFrame) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not read_back:
+        return None
     back = spark.read.parquet(out)
     # An append-mode stateful stream that finalizes nothing writes an
     # empty sink — indistinguishable downstream from "no alerts". Every
@@ -314,6 +327,82 @@ def _drain_until_eof(spark: SparkSession, result: DataFrame) -> DataFrame:
             "streaming sink came back empty — append-mode finalization "
             f"never fired (sink={out})"
         )
+    return back
+
+
+# ---------------------------------------- evt_restart_recovery_stream
+
+RESTART_SPLIT = 4    # ts-contiguous source files (one micro-batch each)
+RESTART_PREFIX = 2   # files processed before the engine is stopped
+
+
+@REG.op(
+    "evt_restart_recovery_stream",
+    oracle="""
+    WITH wm AS (
+      SELECT max(ts) - INTERVAL 1 HOUR AS horizon FROM events
+    )
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events, wm
+    GROUP BY 1, 2, horizon
+    HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= horizon
+    """,
+)
+def evt_restart_recovery_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ACROSS A RESTART, as a driver-hash fact: the tenth
+    streaming gate stops the certified tumbling-counts query after a
+    committed prefix of its micro-batches and restarts a brand-new
+    query from the SAME checkpoint and sink; the accumulated sink must
+    equal the single-run batch oracle (evt_tumbling_stream's
+    finalization boundary).
+
+    Stage: events sorted by ts and split into {RESTART_SPLIT}
+    contiguous files, one micro-batch each (maxFilesPerTrigger=1).
+    Run 1 sees only the first {RESTART_PREFIX} files and drains to
+    completion — the engine shuts down with the source offset log,
+    watermark, and the PARTIAL counts of every unfinalized window
+    committed to the checkpoint. The remaining files are then moved in
+    WITHOUT removing the processed ones — deliberate redelivery bait:
+    the restarted query's file listing contains every already-consumed
+    file. Run 2 must (a) skip the consumed files via the checkpoint's
+    seen-file log — a re-read double-counts every pre-restart window;
+    (b) restore the state store so windows straddling the restart
+    boundary emit WHOLE counts — a state loss emits partial rows run 1
+    never finalized; and (c) not re-emit run-1's already-appended
+    windows. Any of the three failure modes flips the hash.
+
+    Scale: this is the recovery discipline a 1000-executor cluster
+    relies on after any executor/driver loss — checkpointed offsets +
+    state-store restore, certified here at gate scale with the exact
+    production mechanism (no test doubles)."""
+    import pyarrow.parquet as pq
+
+    stage = Path(fresh_dir("cae_stream_restart_stage_"))
+    pending = Path(fresh_dir("cae_stream_restart_pending_"))
+    table = pq.read_table(f"{sf_dir}/events.parquet").sort_by([("ts", "ascending")])
+    per = -(-table.num_rows // RESTART_SPLIT)
+    for i in range(RESTART_SPLIT):
+        dest = stage if i < RESTART_PREFIX else pending
+        pq.write_table(table.slice(i * per, per), str(dest / f"part-{i:03d}.parquet"))
+
+    out = fresh_dir("cae_stream_out_")
+    ckpt = fresh_dir("cae_stream_ckpt_")
+
+    def run(read_back: bool) -> DataFrame | None:
+        stream = streaming.read_events_stream(
+            spark, str(stage), max_files_per_trigger=1
+        )
+        result = streaming.tumbling_counts(stream, watermark=TUMBLING_WM)
+        return _drain_to_parquet(spark, result, out=out, ckpt=ckpt, read_back=read_back)
+
+    run(read_back=False)  # pre-restart leg: RESTART_PREFIX micro-batches
+    for f in sorted(pending.glob("*.parquet")):
+        os.rename(f, stage / f.name)  # same-fs rename: files appear atomically
+    back = run(read_back=True)  # restart from the same checkpoint
+    assert back is not None
     return back
 
 

@@ -295,6 +295,98 @@ def test_append_finalization_across_many_microbatches(spark):
     assert got == want
 
 
+def test_restart_recovery_resumes_not_reprocesses(spark):
+    """The checkpoint-restart gate's mechanics, pinned beyond the
+    oracle compare: leg 1 must really commit its prefix as multiple
+    micro-batches and stop with a non-empty (strictly partial) sink;
+    leg 2's batch ids must CONTINUE from the checkpoint (a fresh query
+    object resuming, not restarting at 0); and the accumulated sink
+    must equal the single-run truth with no window emitted twice —
+    the exactly-once-across-restart claim with the already-consumed
+    files still present in the listing as redelivery bait."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from claim_analysis_engine_spark.operators import streaming_gate as sg
+
+    stage = Path(tempfile.mkdtemp(prefix="cae_restart_stage_"))
+    pending = Path(tempfile.mkdtemp(prefix="cae_restart_pending_"))
+    table = pq.read_table(f"{SF_SMALL}/events.parquet").sort_by(
+        [("ts", "ascending")]
+    )
+    per = -(-table.num_rows // sg.RESTART_SPLIT)
+    for i in range(sg.RESTART_SPLIT):
+        dest = stage if i < sg.RESTART_PREFIX else pending
+        pq.write_table(
+            table.slice(i * per, per), str(dest / f"part-{i:03d}.parquet")
+        )
+    out = tempfile.mkdtemp(prefix="cae_restart_out_")
+    ckpt = tempfile.mkdtemp(prefix="cae_restart_ckpt_")
+
+    def run() -> int:
+        stream = streaming.read_events_stream(
+            spark, str(stage), max_files_per_trigger=1
+        )
+        result = streaming.tumbling_counts(stream, watermark="1 hour")
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q.lastProgress["batchId"]
+
+    last1 = run()
+    assert last1 >= sg.RESTART_PREFIX - 1, "prefix did not run multi-batch"
+    rows1 = spark.read.parquet(out).count()
+    assert rows1 > 0, "pre-restart leg finalized nothing — vacuous restart"
+
+    for f in sorted(pending.glob("*.parquet")):
+        os.rename(f, stage / f.name)
+    last2 = run()
+    assert last2 > last1, "batch ids reset — leg 2 did not resume the checkpoint"
+
+    final = spark.read.parquet(out)
+    n = final.count()
+    assert n > rows1, "restarted leg emitted nothing new"
+    assert (
+        final.select("event_type", "window_start").distinct().count() == n
+    ), "a window was emitted twice across the restart"
+
+    from claim_analysis_engine_spark.tables import load
+
+    load(spark, SF_SMALL, "events").createOrReplaceTempView("_evt_restart_batch")
+    want = {
+        (r.event_type, r.window_start): (r.n_events, r.total_value)
+        for r in spark.sql(
+            """
+            WITH wm AS (
+              SELECT max(ts) - INTERVAL 1 HOUR AS horizon
+              FROM _evt_restart_batch
+            )
+            SELECT event_type,
+                   date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:00')
+                     AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM _evt_restart_batch, wm
+            GROUP BY event_type, date_trunc('hour', ts), horizon
+            HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= horizon
+            """
+        ).collect()
+    }
+    got = {
+        (r.event_type, r.window_start): (r.n_events, r.total_value)
+        for r in final.collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
 # ---------------------------------------------------- ts-unit matrix
 
 def _write_ts_file(path: Path, unit: str, annotated: bool = True) -> None:
