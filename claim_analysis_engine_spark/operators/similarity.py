@@ -1907,3 +1907,242 @@ def emb_word2vec_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("finite_min") == 1).alias("all_finite"),
         (F.col("min_sq_norm") > 0.0).alias("norms_positive"),
     )
+
+
+# ------------------------------------------------ ep12: embedding lifecycle
+
+EP12_K = 3             # retrieval depth (the ANN_K convention)
+EP12_QUERY_MOD = 10    # every 10th embedded doc is a query
+EP12_POOL = 10         # int8 coarse pool re-ranked exactly (RERANK_POOL)
+EP12_RECALL_FLOOR_BP = 9000  # measured below; floor set with margin
+
+# pooled doc-embedding rows per (session, sf_dir) — doc-count-sized;
+# the e2e op and its recall contract share one pooling pass (and the
+# ONE Word2Vec training underneath, via _W2V_MEMO)
+_DOCVEC_MEMO: dict[tuple, tuple] = {}
+_DOCVEC_MEMO_MAX = 2
+
+
+def _doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pool the TRAINED word vectors into document embeddings —
+    the lifecycle step that turns emb_word2vec_train's output into the
+    embedding column the ANN stack consumes (until now the stack ran
+    only on the synthetic embeddings table): tokens broadcast-join the
+    vocab-sized vector table, components explode to (doc, dim) grain,
+    one average per (doc, dim), reassembled in dimension order. Docs
+    with ZERO in-vocab tokens drop out — exactly the SQL-expressible
+    set the contract's oracle recomputes. Token-frequency weighting is
+    the standard mean-pool (every occurrence votes).
+
+    Scale: components are tokens × dim rows feeding ONE partial-agg
+    groupBy — map-side combine collapses each partition to doc × dim
+    before the shuffle; the vector table is vocab-sized broadcast DATA.
+    Result rows are memoized per (session, sf_dir) — never cached
+    frames (the gate-safe memo pattern)."""
+    from pyspark.ml.functions import vector_to_array
+
+    from claim_analysis_engine_spark.tables import load, session_memo_key
+
+    memo_key = session_memo_key(spark, sf_dir)
+    if memo_key in _DOCVEC_MEMO:
+        rows, schema = _DOCVEC_MEMO[memo_key]
+        return spark.createDataFrame(rows, schema)
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.array_remove(F.split("text", " "), "")).alias("word"),
+    )
+    vecs = _w2v_vectors(spark, sf_dir).select(
+        "word", vector_to_array("vector").alias("v")
+    )
+    pooled = (
+        toks.join(F.broadcast(vecs), "word")
+        .select("doc_id", F.posexplode("v").alias("i", "x"))
+        .groupBy("doc_id", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("emb")
+        )
+    )
+    rows, schema = pooled.collect(), pooled.schema
+    if len(_DOCVEC_MEMO) >= _DOCVEC_MEMO_MAX:
+        _DOCVEC_MEMO.pop(next(iter(_DOCVEC_MEMO)))
+    _DOCVEC_MEMO[memo_key] = (rows, schema)
+    return spark.createDataFrame(rows, schema)
+
+
+def _ep12_topk(pooled: DataFrame, exact: bool) -> DataFrame:
+    """Top-{EP12_K} neighbors per query doc over the POOLED embeddings:
+    ``exact=True`` is the brute-force cosine truth; ``exact=False`` is
+    the certified two-stage ANN path (sim_ann_int8_rerank's exact
+    half-up int8 quantization, coarse integer-dot pool of
+    {EP12_POOL}, full-precision re-rank). Queries are the
+    deterministic doc_id % {EP12_QUERY_MOD} sample, broadcast — the
+    sim_topk_brute plan shape."""
+    if exact:
+        scored_src = pooled.select("doc_id", F.col("emb").alias("vv"))
+    else:
+        s = F.greatest(
+            F.array_max(F.transform("emb", F.abs)) / INT8_QMAX,
+            F.lit(INT8_SCALE_FLOOR),
+        )
+        scored_src = pooled.select(
+            "doc_id",
+            F.transform(
+                "emb",
+                lambda x: F.greatest(
+                    F.lit(float(-INT8_QMAX)),
+                    F.least(F.lit(float(INT8_QMAX)), F.floor(x / s + 0.5)),
+                ),
+            ).alias("vv"),
+        )
+    q = scored_src.where(F.col("doc_id") % EP12_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("vv").alias("qa")
+    )
+    c = scored_src.select(
+        F.col("doc_id").alias("neighbor_id"), F.col("vv").alias("qb")
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+
+    def nrm(col: str) -> F.Column:
+        return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (nrm("qa") * nrm("qb"))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if exact:
+        return ranked.where(F.col("rank") <= EP12_K).select(
+            "query_id", "neighbor_id", "cos", "rank"
+        )
+    # coarse pool -> exact cosine re-rank on the float embeddings
+    pool = ranked.where(F.col("rank") <= EP12_POOL).select(
+        "query_id", "neighbor_id"
+    )
+    x = pooled.select(F.col("doc_id").alias("query_id"), F.col("emb").alias("ea"))
+    y = pooled.select(F.col("doc_id").alias("neighbor_id"), F.col("emb").alias("eb"))
+    rdot = F.aggregate(
+        F.zip_with("ea", "eb", lambda p, r: p * r), F.lit(0.0), lambda a, v: a + v
+    )
+
+    def rn(col: str) -> F.Column:
+        return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+
+    exact_scored = (
+        pool.join(x, "query_id")
+        .join(y, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (rdot / (rn("ea") * rn("eb"))).alias("cos"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        exact_scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= EP12_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+@REG.op("ep12_embed_retrieval_e2e")  # rows-only: every value downstream
+# of the LEARNED word vectors; the recall floor + population accounting
+# are hash-certified by ep12_embed_recall_contract below
+def ep12_embed_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding LIFECYCLE as one pipeline — train → embed → index
+    → retrieve — previously four disconnected certified pieces: MLlib
+    Word2Vec trains word vectors (emb_word2vec_train's exact training,
+    shared via memo), mean-pooling turns them into doc embeddings
+    (_doc_embeddings), and the certified int8-coarse/exact-re-rank ANN
+    path (sim_ann_int8_rerank's scheme) retrieves top-{EP12_K}
+    neighbors per deterministic query doc. This is the retrieval loop
+    a training-data stack actually runs over its own learned
+    representations; reference analog: the ep7 retrieval composition.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    pooled = _doc_embeddings(spark, sf_dir)
+    return _ep12_topk(pooled, exact=False).select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank"
+    )
+
+
+@REG.op(
+    "ep12_embed_recall_contract",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w FROM w GROUP BY w HAVING count(*) >= {W2V_MIN_COUNT}
+    ), embedded AS (
+      SELECT DISTINCT doc_id FROM w JOIN vocab USING (w)
+    ), q AS (
+      SELECT count(*) FILTER (doc_id % {EP12_QUERY_MOD} = 0) AS n_queries,
+             count(*) AS n_docs_embedded
+      FROM embedded
+    )
+    SELECT CAST(n_docs_embedded AS BIGINT) AS n_docs_embedded,
+           CAST(n_queries AS BIGINT) AS n_queries,
+           CAST(n_queries * {EP12_K} AS BIGINT) AS n_truth_pairs,
+           {EP12_K} AS k,
+           {EP12_RECALL_FLOOR_BP} AS min_recall_bp,
+           TRUE AS recall_floor_met
+    FROM q
+    """,
+)
+def ep12_embed_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified contract closing the lifecycle loop: recall@k of
+    the ep12 ANN retrieval against the EXACT brute-force top-k over
+    the SAME trained-and-pooled embeddings must clear
+    {EP12_RECALL_FLOOR_BP} bp (the sim_ivf_recall_contract pattern —
+    the learned vectors can't have a SQL twin, but the claim about
+    retrieval quality OVER them can). The oracle independently
+    recomputes the embedded-population accounting from the corpus —
+    docs with ≥1 word at corpus count ≥ {W2V_MIN_COUNT} are EXACTLY
+    the docs Word2Vec can embed — so a tokenizer drift, a lost corpus
+    partition, a minCount change, or a pooling bug that drops docs
+    flips a VALUE, and a recall regression flips the boolean."""
+    pooled = _doc_embeddings(spark, sf_dir)
+    truth = _ep12_topk(pooled, exact=True).select("query_id", "neighbor_id")
+    found = _ep12_topk(pooled, exact=False).select("query_id", "neighbor_id")
+    t_agg = truth.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_truth_pairs"),
+    )
+    hits = truth.join(found, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_emb = pooled.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_embedded"))
+    return (
+        n_emb.crossJoin(F.broadcast(t_agg))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_docs_embedded",
+            "n_queries",
+            "n_truth_pairs",
+            F.lit(EP12_K).alias("k"),
+            F.lit(EP12_RECALL_FLOOR_BP).alias("min_recall_bp"),
+            (
+                F.expr("CAST(n_hits * 10000 AS BIGINT) div n_truth_pairs")
+                >= EP12_RECALL_FLOOR_BP
+            ).alias("recall_floor_met"),
+        )
+    )

@@ -275,3 +275,65 @@ def test_ivf_train_objective_history_shape(spark):
     assert len(hist) == sim.KMEANS_ITERS
     assert all(math.isfinite(v) for v in hist)
     assert all(b >= a - 1e-6 for a, b in zip(hist, hist[1:])), hist
+
+
+# ---------------------------------------------- ep12 embedding lifecycle
+
+def test_ep12_lifecycle_recall_and_population(spark):
+    """The lifecycle loop end-to-end at test scale: every corpus doc
+    with >= 1 in-vocab word gets a pooled embedding, the e2e retrieval
+    returns exactly k rows per query, and the contract's recall
+    boolean holds with a NON-VACUOUS truth set."""
+    from claim_analysis_engine_spark.operators import similarity as sim
+    from tests.conftest import SF_SMALL
+
+    row = sim.ep12_embed_recall_contract(spark, SF_SMALL).first().asDict()
+    assert row["n_queries"] > 0, "no query docs — the check is vacuous"
+    assert row["n_truth_pairs"] == row["n_queries"] * sim.EP12_K
+    assert row["recall_floor_met"], row
+    got = sim.ep12_embed_retrieval_e2e(spark, SF_SMALL)
+    assert got.count() == row["n_queries"] * sim.EP12_K
+    per_q = got.groupBy("query_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_q] == [sim.EP12_K]
+
+
+def test_ep12_recall_boolean_flips_on_a_broken_coarse_stage(spark, monkeypatch):
+    """Sensitivity: collapse the coarse pool to a constant ranking
+    (every query gets the same lowest-id candidates, the shape of a
+    dead quantizer) and the recall floor must flip — proving the
+    boolean actually watches the ANN stage rather than passing
+    vacuously."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators import similarity as sim
+    from tests.conftest import SF_SMALL
+
+    real_topk = sim._ep12_topk
+
+    def broken_topk(pooled, exact):
+        if exact:
+            return real_topk(pooled, exact=True)
+        # constant coarse scores: pool = lowest neighbor_ids for every
+        # query; the exact re-rank can only reorder that wrong pool
+        q = pooled.where(F.col("doc_id") % sim.EP12_QUERY_MOD == 0).select(
+            F.col("doc_id").alias("query_id")
+        )
+        c = pooled.select(F.col("doc_id").alias("neighbor_id"))
+        pool = (
+            F.broadcast(q)
+            .join(c, F.col("neighbor_id") != F.col("query_id"))
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    sim.W.partitionBy("query_id").orderBy("neighbor_id")
+                ),
+            )
+            .where(F.col("rank") <= sim.EP12_K)
+        )
+        return pool.select(
+            "query_id", "neighbor_id", F.lit(0.0).alias("cos"), "rank"
+        )
+
+    monkeypatch.setattr(sim, "_ep12_topk", broken_topk)
+    row = sim.ep12_embed_recall_contract(spark, SF_SMALL).first().asDict()
+    assert not row["recall_floor_met"], row
