@@ -170,6 +170,10 @@ _GBT_MEMO_MAX = 2
 # trained instead of paying a second fit
 _GBT_MODEL_MEMO: dict[tuple, tuple] = {}
 
+# per-series backtest RMSE rows (keys-sized) from the same training —
+# the pooled model's entry fee for the 4-way champion election
+_GBT_RMSE_MEMO: dict[tuple, tuple] = {}
+
 
 def _gbt_forecast_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared engine for both ops: train, backtest recursively over the
@@ -238,6 +242,17 @@ def _train_and_forecast(spark: SparkSession, sf_dir: str):
                 F.sqrt(F.avg((F.col("y") - F.col("yhat")) ** 2)).alias("bt_rmse")
             )
         )
+        # materialize the keys-sized RMSE once: the band join below AND
+        # the 4-way champion election (ml_champion4) both consume it —
+        # rows into the memo, frame rebuilt from them (gate-safe)
+        rmse_rows, rmse_schema = rmse.collect(), rmse.schema
+        if len(_GBT_RMSE_MEMO) >= _GBT_MEMO_MAX:
+            _GBT_RMSE_MEMO.pop(next(iter(_GBT_RMSE_MEMO)))
+        _GBT_RMSE_MEMO[session_memo_key(spark, sf_dir)] = (
+            rmse_rows,
+            rmse_schema,
+        )
+        rmse = spark.createDataFrame(rmse_rows, rmse_schema)
 
         fc = _recursive_forecast(assembler, model, hist, m, first_month)
         result = fc.join(F.broadcast(rmse), ["status", "priority"]).select(
@@ -517,4 +532,124 @@ def ml_gbt_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_series",
         "snaive_rmse_sum",
         (F.col("_gbt_raw") < F.col("_sn_raw")).alias("gbt_beats_snaive"),
+    )
+
+
+# ---------------------------------------------------- ml_champion4
+
+def _gbt_rmse_frame(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """Keys-sized per-series backtest RMSE of the pooled GBT, from the
+    SAME training every other ml_gbt_* op shares (one fit per
+    session/sf). None when the spine is too short to train
+    (m < MIN_MONTHS) — the election then runs 3-way."""
+    from claim_analysis_engine_spark.tables import session_memo_key
+
+    key = session_memo_key(spark, sf_dir)
+    if key not in _GBT_RMSE_MEMO:
+        _gbt_forecast_frame(spark, sf_dir)  # trains once, fills the memo
+    if key not in _GBT_RMSE_MEMO:
+        return None
+    rows, schema = _GBT_RMSE_MEMO[key]
+    return spark.createDataFrame(rows, schema)
+
+
+@REG.op("ml_champion4")  # rows-only: the ranked quantities are fitted-
+# model RMSEs (learned state); election STRUCTURE is hash-certified by
+# ml_champion4_contract below, determinism pinned in
+# tests/test_mllib_forecast.py
+def ml_champion4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The champion election with the pooled model on the ballot: the
+    reference ranks per-series families by test RMSE on the temporal
+    split (trainer.py:536-544); round 10 added a DISTRIBUTED pooled
+    GBT beside the per-series numpy families but it never stood for
+    election. This op re-runs the election over ml_champion's 3-family
+    leaderboard PLUS the pooled GBT's per-series recursive-backtest
+    RMSE — same held-out months (last {HORIZON}), same metric — so
+    champion selection compares per-series vs pooled honestly. Ties
+    break by model name (deterministic). One row per (series, model):
+    rank + is_champion.
+
+    Scale: the board is keys × 4 rows; the pooled entrant's RMSE rides
+    the shared training memo (zero extra fits)."""
+    from claim_analysis_engine_spark.operators.tsforecast import ml_champion
+
+    board = ml_champion(spark, sf_dir).select(
+        "status", "priority", "model", "test_rmse"
+    )
+    g = _gbt_rmse_frame(spark, sf_dir)
+    if g is not None:
+        board = board.unionByName(
+            g.select(
+                "status",
+                "priority",
+                F.lit("gbt_mllib").alias("model"),
+                F.round("bt_rmse", 4).alias("test_rmse"),
+            )
+        )
+    w = W.partitionBy("status", "priority").orderBy(
+        F.col("test_rmse").asc(), F.col("model").asc()
+    )
+    return (
+        board.withColumn("rank", F.row_number().over(w))
+        .withColumn("is_champion", F.col("rank") == 1)
+        .select("status", "priority", "model", "test_rmse", "rank", "is_champion")
+    )
+
+
+@REG.op(
+    "ml_champion4_contract",
+    oracle=_SERIES_CTE
+    + f"""
+    , months AS (SELECT count(*) AS m FROM spine)
+    SELECT k.status, k.priority,
+           CAST(4 AS BIGINT) AS n_models,
+           true AS ranks_complete,
+           true AS one_champion,
+           true AS champion_minimal,
+           true AS pooled_present
+    FROM keys k, months WHERE m >= {MIN_MONTHS}
+    """,
+)
+def ml_champion4_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-way election's structure as driver-hash facts, per series
+    (the ep3_forecast_contract pattern — RMSE values stay rows-only,
+    the claims about them become certified booleans): every series on
+    the zero-filled grid fields EXACTLY 4 candidates (3 per-series
+    families + the pooled GBT), ranks are a complete 1..4 permutation,
+    exactly one champion, the champion's RMSE is the per-series
+    minimum (the election actually elects), and the pooled entrant is
+    on every ballot. The oracle recomputes the eligible key set from
+    the shared series CTE; a dropped series, a missing entrant, a
+    duplicate rank, or a non-minimal champion each flips a VALUE."""
+    b = ml_champion4(spark, sf_dir)
+    return (
+        b.groupBy("status", "priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_models"),
+            (
+                (F.min("rank") == 1)
+                & (F.max("rank") == F.count(F.lit(1)))
+                & (F.countDistinct("rank") == F.count(F.lit(1)))
+            ).alias("ranks_complete"),
+            (F.sum(F.col("is_champion").cast("int")) == 1).alias("one_champion"),
+            (
+                F.min("test_rmse")
+                == F.min(F.when(F.col("rank") == 1, F.col("test_rmse")))
+            ).alias("champion_minimal"),
+            (
+                F.max((F.col("model") == "gbt_mllib").cast("int")) == 1
+            ).alias("pooled_present"),
+        )
+        .where(F.col("n_models") == 4)  # eligibility mirror: the pooled
+        # entrant only exists when the spine trains (m >= MIN_MONTHS),
+        # exactly the oracle's WHERE
+        .select(
+            "status",
+            "priority",
+            "n_models",
+            "ranks_complete",
+            "one_champion",
+            "champion_minimal",
+            "pooled_present",
+        )
     )

@@ -130,3 +130,56 @@ def test_beats_or_honestly_loses_to_seasonal_naive(spark, gbt_out):
     ratio = tot_gbt / tot_naive
     assert ratio < 1.0, f"global GBT lost to seasonal naive: ratio={ratio:.3f}"
     assert ratio > 0.05, f"suspiciously perfect backtest: ratio={ratio:.3f}"
+
+
+# ------------------------------------------------- 4-way champion election
+
+def test_champion4_election_is_deterministic_and_complete(spark):
+    """The 4-way election (3 per-series numpy families + the pooled
+    MLlib GBT) pinned: two invocations produce IDENTICAL boards (the
+    tie-break by model name plus deterministic training makes the
+    election a function of the data), every series fields all 4
+    candidates with a complete 1..4 rank permutation and exactly one
+    champion, the champion's RMSE is the per-series minimum, and the
+    pooled entrant is on every ballot."""
+    b1 = sorted(
+        mf.ml_champion4(spark, SF_SMALL).collect(),
+        key=lambda r: (r.status, r.priority, r.rank),
+    )
+    b2 = sorted(
+        mf.ml_champion4(spark, SF_SMALL).collect(),
+        key=lambda r: (r.status, r.priority, r.rank),
+    )
+    assert [r.asDict() for r in b1] == [r.asDict() for r in b2]
+    assert b1, "empty election board"
+
+    by_series: dict[tuple, list] = {}
+    for r in b1:
+        by_series.setdefault((r.status, r.priority), []).append(r)
+    for key, rows in by_series.items():
+        models = sorted(r.model for r in rows)
+        assert models == ["gbt_mllib", "hw", "laglin", "snaive"], (key, models)
+        assert sorted(r.rank for r in rows) == [1, 2, 3, 4], key
+        champs = [r for r in rows if r.is_champion]
+        assert len(champs) == 1, key
+        assert champs[0].rank == 1, key
+        assert champs[0].test_rmse == min(r.test_rmse for r in rows), key
+
+
+def test_champion4_pooled_entry_uses_the_shared_training(spark):
+    """The pooled entrant's RMSE must be the SAME backtest RMSE the
+    forecast bands are priced with (one training per session, memo-
+    shared) — not a second fit that could silently diverge."""
+    from claim_analysis_engine_spark.tables import session_memo_key
+
+    mf.ml_champion4(spark, SF_SMALL).collect()  # ensures the memo is filled
+    key = session_memo_key(spark, SF_SMALL)
+    assert key in mf._GBT_RMSE_MEMO
+    rows, _schema = mf._GBT_RMSE_MEMO[key]
+    memo_rmse = {(r.status, r.priority): round(r.bt_rmse, 4) for r in rows}
+    board_rmse = {
+        (r.status, r.priority): r.test_rmse
+        for r in mf.ml_champion4(spark, SF_SMALL).collect()
+        if r.model == "gbt_mllib"
+    }
+    assert board_rmse == memo_rmse
