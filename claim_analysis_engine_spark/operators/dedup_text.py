@@ -1972,7 +1972,10 @@ ZIPF_PLANT_EVERY = 20   # every 20th doc is a planted contained copy
 ZIPF_SLICE_WORDS = 30   # planted doc = this many contiguous words
 
 
-def _zipf_corpus() -> tuple[list[tuple[int, str]], list[tuple[int, int]]]:
+def _zipf_corpus(
+    n_docs: int = ZIPF_N_DOCS,
+    vocab_size: int = ZIPF_VOCAB,
+) -> tuple[list[tuple[int, str]], list[tuple[int, int]]]:
     """Deterministic Zipf-vocabulary corpus with planted containments —
     the realistic-text-shaped fixture the degenerate synthetic corpus
     (2,041 distinct shingles over 5,000 docs, candidates ≈ all pairs)
@@ -1987,19 +1990,19 @@ def _zipf_corpus() -> tuple[list[tuple[int, str]], list[tuple[int, int]]]:
 
     rng = np.random.RandomState(42)
     vocab_rng = np.random.RandomState(7)
-    lengths = vocab_rng.randint(5, 11, size=ZIPF_VOCAB)
+    lengths = vocab_rng.randint(5, 11, size=vocab_size)
     letters = "abcdefghijklmnopqrstuvwxyz"
     vocab = [
         "".join(letters[c] for c in vocab_rng.randint(0, 26, size=n))
         for n in lengths
     ]
     words_of: list[list[str]] = []
-    for _ in range(ZIPF_N_DOCS):
+    for _ in range(n_docs):
         n_words = int(rng.randint(60, 161))
-        ranks = (rng.zipf(ZIPF_A, size=n_words) - 1) % ZIPF_VOCAB
+        ranks = (rng.zipf(ZIPF_A, size=n_words) - 1) % vocab_size
         words_of.append([vocab[r] for r in ranks])
     planted: list[tuple[int, int]] = []
-    for i in range(0, ZIPF_N_DOCS, ZIPF_PLANT_EVERY):
+    for i in range(0, n_docs, ZIPF_PLANT_EVERY):
         j = i + 1  # i % 20 == 0 → j is never itself planted
         lo = int(rng.randint(0, len(words_of[j]) - ZIPF_SLICE_WORDS))
         words_of[i] = words_of[j][lo : lo + ZIPF_SLICE_WORDS]
