@@ -119,10 +119,10 @@ def registry() -> dict[str, Op]:
                 raise ValueError(f"duplicate op id across modules: {op_id!r}")
             merged[op_id] = op
 
-    missing = [op_id for op_id in ROUND10_FRONT if op_id not in merged]
+    missing = [op_id for op_id in ROUND11_FRONT if op_id not in merged]
     if missing:  # a typo here would silently shrink the sampling window
-        raise ValueError(f"ROUND10_FRONT ids not in registry: {missing}")
-    front = {op_id: merged[op_id] for op_id in ROUND10_FRONT}
+        raise ValueError(f"ROUND11_FRONT ids not in registry: {missing}")
+    front = {op_id: merged[op_id] for op_id in ROUND11_FRONT}
     front.update((op_id, op) for op_id, op in merged.items() if op_id not in front)
     return front
 
@@ -385,4 +385,82 @@ ROUND10_FRONT: tuple[str, ...] = (
     "dedup_merge",
     "agg_lag_stats",
     "spine_zero",
+)
+
+# Exact driver-sampling order for round 11. Verified against
+# CORRECTNESS_r01..r10 at rotation time (scripted union, set equality
+# both directions): ALL 303 previously registered ops have a driver
+# row — the certification backlog is zero, so this window is pure
+# freshness rotation + round-11 additions. Composition: the 15
+# candidates the round-10 window displaced (pinned in the ROUND11
+# comment above — all last certified r4) lead; the round-11 additions
+# follow (oracle-bearing before rows-only); then the next-oldest
+# certifications — the ten r1/r2 scalar/event certs (the oldest in the
+# repo) and twenty of the twenty-nine remaining r4 certs in registry
+# order.
+#
+# ROUND12_FRONT (build it first thing in round 12; verify the count
+# against CORRECTNESS_r01..r11 the way rounds 9-11 did): recycle the
+# NINE r4-certified ops that did not fit this window FIRST —
+#   agg_null_profile agg_minmax_date flt_partial_period agg_hist
+#   detect_outliers_iqr detect_outliers_zscore agg_window_profile
+#   unpvt_melt pvt_hybrid
+# — then any ops this window displaces if round-11 additions land
+# after it is built, then the next-oldest r5 certifications, plus
+# round-12 additions, oracle-bearing before rows-only, as always.
+ROUND11_FRONT: tuple[str, ...] = (
+    # --- recycled: the 15 candidates the round-10 window displaced ---
+    "meta_rowcount",
+    "src_csv",
+    "sort_multi",
+    "flt_range_date",
+    "agg_multi",
+    "dedup_fullrow",
+    "agg_kpi_mom",
+    "union_schema_align",
+    "join_claims_sales",
+    "flt_rolling_30d",
+    "src_parquet_part",
+    "pvt_subtotals",
+    "topk_per_group",
+    "pvt_months",
+    "agg_lot_alert",
+    # --- round-11 additions (oracle-bearing first) ---
+    "evt_restart_recovery_stream",
+    "ep12_embed_recall_contract",
+    "ml_champion4_contract",
+    "ep12_embed_retrieval_e2e",
+    "ml_champion4",
+    # --- recycled: the oldest certifications in the repo (r1/r2) ---
+    "f_datediff",
+    "f_month_trunc",
+    "f_month_arith",
+    "f_days_in_month",
+    "f_str_clean",
+    "evt_tumbling",
+    "evt_json_props",
+    "f_date_cascade",
+    "f_date_assemble",
+    "f_date_ms",
+    # --- recycled: next-oldest r4 certifications, registry order ---
+    "src_parquet_cols",
+    "etl_preprocess",
+    "flt_notnull",
+    "flt_isin",
+    "flt_eq",
+    "fill_na_label",
+    "num_coerce",
+    "dedup_audit",
+    "join_latest_id",
+    "join_anti_sync",
+    "join_semi",
+    "union_append",
+    "limit_head",
+    "merge_cdc_tombstone",
+    "join_semi_active",
+    "join_anti_orphans",
+    "agg_distinct_keys",
+    "agg_sum_mean",
+    "agg_topn_freq",
+    "agg_mode",
 )
