@@ -401,13 +401,14 @@ ROUND10_FRONT: tuple[str, ...] = (
 #
 # ROUND12_FRONT (build it first thing in round 12; verify the count
 # against CORRECTNESS_r01..r11 the way rounds 9-11 did): recycle the
-# NINE r4-certified ops that did not fit this window FIRST —
+# ELEVEN r4-certified ops that did not fit this window FIRST —
 #   agg_null_profile agg_minmax_date flt_partial_period agg_hist
 #   detect_outliers_iqr detect_outliers_zscore agg_window_profile
 #   unpvt_melt pvt_hybrid
-# — then any ops this window displaces if round-11 additions land
-# after it is built, then the next-oldest r5 certifications, plus
-# round-12 additions, oracle-bearing before rows-only, as always.
+# plus the two the semantic-dedup additions displaced late in round 11:
+#   agg_topn_freq agg_mode
+# — then the next-oldest r5 certifications, plus round-12 additions,
+# oracle-bearing before rows-only, as always.
 ROUND11_FRONT: tuple[str, ...] = (
     # --- recycled: the 15 candidates the round-10 window displaced ---
     "meta_rowcount",
@@ -429,8 +430,10 @@ ROUND11_FRONT: tuple[str, ...] = (
     "evt_restart_recovery_stream",
     "ep12_embed_recall_contract",
     "ml_champion4_contract",
+    "dedup_semantic_contract",
     "ep12_embed_retrieval_e2e",
     "ml_champion4",
+    "dedup_semantic_trained",
     # --- recycled: the oldest certifications in the repo (r1/r2) ---
     "f_datediff",
     "f_month_trunc",
@@ -461,6 +464,4 @@ ROUND11_FRONT: tuple[str, ...] = (
     "join_anti_orphans",
     "agg_distinct_keys",
     "agg_sum_mean",
-    "agg_topn_freq",
-    "agg_mode",
 )

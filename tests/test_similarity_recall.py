@@ -337,3 +337,52 @@ def test_ep12_recall_boolean_flips_on_a_broken_coarse_stage(spark, monkeypatch):
     monkeypatch.setattr(sim, "_ep12_topk", broken_topk)
     row = sim.ep12_embed_recall_contract(spark, SF_SMALL).first().asDict()
     assert not row["recall_floor_met"], row
+
+
+# ------------------------------------- semantic dedup over trained embeddings
+
+def test_semantic_dedup_recalls_lexical_truth(spark):
+    """The bridge claim at the correctness-gate scale (sf0.01 — the
+    floor is a gate-scale property: at sf0.001 the 2-iter Word2Vec
+    lacks co-occurrence signal and one truth pair's pooled cosine
+    falls to 0.374, measured and documented in the op): every
+    string-level near-dup pair (shingle J >= 0.9) is caught by the
+    trained-embedding semantic path, non-vacuously, and every emitted
+    pair carries a cosine at or above the emission threshold."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators import similarity as sim
+    from tests.conftest import SF_ORACLE
+
+    row = sim.dedup_semantic_contract(spark, SF_ORACLE).first().asDict()
+    assert row["n_true_high_pairs"] > 0, "no lexical truth — vacuous"
+    assert row["recall_ok"], row
+    pairs = sim.dedup_semantic_trained(spark, SF_ORACLE)
+    assert pairs.where(F.col("cosine") < sim.SEM_DUP_T - 1e-4).count() == 0
+    assert pairs.where("doc_a >= doc_b").count() == 0, "unordered pair leaked"
+
+
+def test_semantic_recall_flips_on_a_collapsed_encoder(spark, monkeypatch):
+    """Sensitivity: replace the pooled embeddings with a constant
+    vector (the shape of a collapsed/diverged encoder — after centering
+    every vector is zero, cosines are undefined, and nothing is
+    emitted) and the recall boolean must flip, proving the contract
+    watches the embedding pipeline rather than passing vacuously. Also
+    pins that zero-norm vectors NULL out via try_divide instead of
+    aborting the job under ANSI mode."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators import similarity as sim
+    from tests.conftest import SF_ORACLE
+
+    real = sim._doc_embeddings
+
+    def collapsed(spark_, sf_dir):
+        return real(spark_, sf_dir).select(
+            "doc_id",
+            F.transform("emb", lambda _x: F.lit(1.0)).alias("emb"),
+        )
+
+    monkeypatch.setattr(sim, "_doc_embeddings", collapsed)
+    row = sim.dedup_semantic_contract(spark, SF_ORACLE).first().asDict()
+    assert not row["recall_ok"], row
