@@ -126,10 +126,10 @@ EXTRA = [
     # n·(n−1), recall 250/250 — separating the algorithm (works) from
     # the degenerate corpus (dense by construction). Since the
     # round-10 gate-stability hardening it holds NO pinned state
-    # (cache-free, low-concurrency, eager), so every pass pays the
-    # full pipeline: ~13 s/run at any sf (fixture-sized) — the
-    # documented price of an instrument that can never destabilize a
-    # small-heap gate session.
+    # (cache-free, low-concurrency, eager); round 11 memoized the ONE
+    # deterministic RESULT ROW per session (rows, never cached frames)
+    # so only the first call pays the ~13 s pipeline — recorded in the
+    # cold map — and warm passes replay at ~0.3 s.
     "evt_attribution",
     "agg_decay_recency",
     "sim_mips_topk",
