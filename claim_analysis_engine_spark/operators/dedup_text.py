@@ -2158,3 +2158,274 @@ def txt_containment_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CONTAINMENT_ROW_MEMO.pop(next(iter(_CONTAINMENT_ROW_MEMO)))
     _CONTAINMENT_ROW_MEMO[memo_key] = (row, stats.schema)
     return spark.createDataFrame([row], stats.schema)
+
+
+# ---------------------------------------------- dedup_span_extract
+
+# Span-level (substring) dedup — the distributed re-expression of
+# exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better", arXiv:2107.06499, which
+# builds a corpus-wide suffix array). A suffix array is inherently
+# sequential to construct; the Spark-first equivalent detects every
+# duplicated token run of length >= SPAN_GRAM exactly, via fixed-width
+# gram hashing + the gaps-and-islands window pattern:
+#   * every SPAN_GRAM-token gram inside a duplicated run of length R
+#     is itself duplicated, so the run appears as R - SPAN_GRAM + 1
+#     consecutive duplicated gram positions;
+#   * merging consecutive positions (pos - row_number() islands)
+#     recovers the MAXIMAL duplicated run — same output granularity as
+#     the suffix-array method, with runs < SPAN_GRAM invisible by
+#     design (the standard min-match-length knob; Lee et al. use 50
+#     BPE tokens, these docs are ~30-160 words so 8 fits the corpus).
+SPAN_GRAM = 8      # minimum duplicated run length, in word tokens
+SPAN_MIN_DOCS = 2  # a gram is "duplicated" when seen in >= 2 docs
+
+_SPAN_TOKS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+# shared oracle CTE chain: tokens -> positioned grams -> cross-doc
+# duplicated grams -> maximal islands -> spans with content md5
+_SPAN_ORACLE_CTES = f"""
+    t AS (SELECT doc_id, {_SPAN_TOKS_SQL} AS toks FROM documents),
+    p AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - {SPAN_GRAM - 1})) AS pos
+          FROM t WHERE len(toks) >= {SPAN_GRAM}),
+    g AS (SELECT doc_id, pos,
+                 md5(array_to_string(toks[pos:pos + {SPAN_GRAM - 1}], ' ')) AS h
+          FROM p),
+    dup AS (SELECT h FROM g GROUP BY h
+            HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}),
+    d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS grp
+            FROM d),
+    runs AS (SELECT doc_id, min(pos) AS span_start,
+                    max(pos) + {SPAN_GRAM - 1} AS span_end,
+                    count(*) AS n_dup_grams
+             FROM isl GROUP BY doc_id, grp),
+    spans AS (SELECT r.doc_id,
+                     CAST(r.span_start AS BIGINT) AS span_start,
+                     CAST(r.span_end AS BIGINT) AS span_end,
+                     CAST(r.span_end - r.span_start + 1 AS BIGINT)
+                       AS span_tokens,
+                     CAST(r.n_dup_grams AS BIGINT) AS n_dup_grams,
+                     md5(array_to_string(t.toks[r.span_start:r.span_end], ' '))
+                       AS span_md5
+              FROM runs r JOIN t USING (doc_id))
+"""
+
+
+def _span_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): every SPAN_GRAM-token gram with its 1-based
+    start position. Built as one per-row array pipeline (transform +
+    posexplode) so the token array is hashed once per doc, never
+    copied per gram row."""
+    hs = docs.select(
+        "doc_id",
+        F.when(
+            F.size("toks") >= SPAN_GRAM,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (SPAN_GRAM - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, SPAN_GRAM))),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("hs"),
+    )
+    return hs.select(
+        "doc_id", F.posexplode("hs").alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+
+
+def _dup_spans(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(docs(doc_id, toks), spans) — the maximal cross-doc duplicated
+    token runs. Shuffles: ONE hash aggregate on gram hash (uniform md5
+    keys, no skew), one join back on the same key, one window + one
+    aggregate partitioned by doc_id, one doc_id join for the span
+    content hash. Never all-pairs: duplication is decided per GRAM by
+    count-distinct, not by comparing documents."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_remove(F.split("text", " "), "").alias("toks")
+    )
+    g = _span_grams(docs)
+    dup = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= SPAN_MIN_DOCS)
+        .select("h")
+    )
+    d = g.join(dup, "h").select("doc_id", "pos")
+    isl = d.select(
+        "doc_id",
+        "pos",
+        (
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (SPAN_GRAM - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_dup_grams"),
+    )
+    spans = runs.join(docs, "doc_id").select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        (F.col("span_end") - F.col("span_start") + 1)
+        .cast("bigint")
+        .alias("span_tokens"),
+        F.col("n_dup_grams").cast("bigint").alias("n_dup_grams"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "toks",
+                    F.col("span_start").cast("int"),
+                    (F.col("span_end") - F.col("span_start") + 1).cast("int"),
+                ),
+            )
+        ).alias("span_md5"),
+    )
+    return docs, spans
+
+
+@REG.op(
+    "dedup_span_extract",
+    oracle=f"""
+    WITH {_SPAN_ORACLE_CTES}
+    SELECT doc_id, span_start, span_end, span_tokens, n_dup_grams, span_md5
+    FROM spans
+    """,
+)
+def dedup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplicate detection: every MAXIMAL token
+    run of length >= {SPAN_GRAM} that appears in >= {SPAN_MIN_DOCS}
+    documents, with its in-document position and a content md5 — the
+    span-granularity member of the dedup family (doc-level: minhash /
+    simhash; whole-doc containment: txt_containment_prefix; localized
+    pair evidence: txt_winnowing; THIS op: the actual duplicated
+    substrings, the unit the substring-dedup literature removes).
+
+    Method (see the SPAN_GRAM comment block): hash every {SPAN_GRAM}-
+    gram, keep grams seen in >= {SPAN_MIN_DOCS} distinct docs, merge
+    consecutive duplicated positions per doc into maximal islands via
+    the pos - row_number() gaps-and-islands window. Detection is EXACT
+    for runs >= {SPAN_GRAM} tokens: every such run produces only
+    consecutive duplicated gram positions, and island merging is
+    lossless. md5 grams make the DuckDB oracle replicate the whole
+    pipeline bit-for-bit.
+
+    Scale (100 TB): the gram table is ~tokens-per-corpus rows; the only
+    corpus-wide shuffle is the groupBy on uniform md5 gram keys (plus
+    the join back — same key, AQE-coalesced); islands are a per-doc
+    window (shuffle keyed by doc_id, no skew beyond doc length); no
+    pairwise comparison ever materializes, unlike the suffix-array
+    build which needs a global sort of every suffix."""
+    _docs, spans = _dup_spans(spark, sf_dir)
+    return spans
+
+
+# ------------------------------------------- corpus_remove_dup_spans
+
+@REG.op(
+    "corpus_remove_dup_spans",
+    oracle=f"""
+    WITH {_SPAN_ORACLE_CTES},
+    ranked AS (SELECT doc_id, span_start, span_end,
+                      row_number() OVER (PARTITION BY span_md5
+                                         ORDER BY doc_id, span_start) AS rk
+               FROM spans),
+    rem AS (SELECT doc_id, span_start, span_end FROM ranked WHERE rk > 1),
+    tok AS (SELECT doc_id,
+                   unnest(generate_series(1, len(toks))) AS pos
+            FROM t),
+    tokw AS (SELECT tok.doc_id, tok.pos, t.toks[tok.pos] AS w
+             FROM tok JOIN t USING (doc_id)),
+    kept AS (SELECT tokw.doc_id, tokw.pos, tokw.w
+             FROM tokw
+             WHERE NOT EXISTS (SELECT 1 FROM rem
+                               WHERE rem.doc_id = tokw.doc_id
+                                 AND tokw.pos BETWEEN rem.span_start
+                                                  AND rem.span_end)),
+    agg AS (SELECT doc_id, count(*) AS n_tokens_kept,
+                   md5(string_agg(w, ' ' ORDER BY pos)) AS clean_md5
+            FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens_before,
+           CAST(coalesce(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+           coalesce(a.clean_md5, md5('')) AS clean_md5
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def corpus_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE half of substring dedup (Lee et al. 2022 remove all
+    but one occurrence of each duplicated substring): every maximal
+    duplicated span from dedup_span_extract is removed from every
+    document EXCEPT its canonical first occurrence — rank occurrences
+    of the same span content (span_md5) by (doc_id, span_start), keep
+    rank 1. Islands are maximal and therefore disjoint within a doc,
+    so removals never overlap and token accounting is exact. Spans
+    whose maximal extent differs between docs (one doc shares extra
+    grams with a third doc) carry different content hashes and are
+    kept in both — the documented boundary of island-identity
+    semantics vs the suffix-array method.
+
+    Output is the full corpus accounting: per doc, tokens before,
+    tokens kept, and the md5 of the rewritten text (order-preserving
+    reconstruction) — the value the oracle certifies, so a off-by-one
+    span boundary or a reordered token stream hash-mismatches.
+
+    Scale (100 TB): span discovery as dedup_span_extract; the removal
+    itself is a left_anti range join keyed on doc_id (spans per doc
+    are few and short, so the per-key range probe is cheap), and the
+    reconstruction is one per-doc aggregate (sort_array over collected
+    (pos, token) structs — bounded by doc length, the same bound the
+    tokenizer already assumes)."""
+    docs, spans = _dup_spans(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    ranked = spans.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        F.row_number()
+        .over(W.partitionBy("span_md5").orderBy("doc_id", "span_start"))
+        .alias("rk"),
+    )
+    rem = ranked.where(F.col("rk") > 1).select(
+        F.col("doc_id").alias("r_doc"),
+        "span_start",
+        "span_end",
+    )
+    tokw = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    kept = tokw.join(
+        rem,
+        (F.col("doc_id") == F.col("r_doc"))
+        & F.col("pos").between(F.col("span_start"), F.col("span_end")),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    return docs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens_before"),
+        F.coalesce(F.col("n_tokens_kept"), F.lit(0).cast("bigint")).alias(
+            "n_tokens_kept"
+        ),
+        F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+    )

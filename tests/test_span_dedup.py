@@ -1,0 +1,122 @@
+"""Planted-corpus semantics for the substring-dedup pair
+(dedup_span_extract / corpus_remove_dup_spans): exact detection at the
+SPAN_GRAM boundary, maximal-island extents, cross-doc-only duplication,
+canonical-first-occurrence removal, and order-preserving reconstruction
+— the guarantees the DuckDB oracle alone can't isolate (it replays the
+same algorithm; THESE tests pin the algorithm to the spec)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from claim_analysis_engine_spark.operators.dedup_text import (
+    SPAN_GRAM,
+    corpus_remove_dup_spans,
+    dedup_span_extract,
+)
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _u(doc: int, n: int) -> list[str]:
+    """n globally-unique filler tokens for doc `doc` — unique words can
+    never form a cross-doc duplicated gram."""
+    return [f"u{doc}x{i}" for i in range(n)]
+
+
+def _write_docs(spark, tmp_path, texts: dict[int, list[str]]) -> str:
+    rows = [
+        (i, " ".join(toks), "en", "test", len(" ".join(toks)))
+        for i, toks in texts.items()
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+SHARED20 = [f"s{i}" for i in range(20)]  # the planted 20-token run
+
+
+def test_span_extract_finds_maximal_run_with_exact_extents(spark, tmp_path):
+    # doc 1: 5 filler + run + 4 filler   -> span at positions 6..25
+    # doc 2: 2 filler + run + 7 filler   -> span at positions 3..22
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        {
+            1: _u(1, 5) + SHARED20 + [f"u1y{i}" for i in range(4)],
+            2: _u(2, 2) + SHARED20 + [f"u2y{i}" for i in range(7)],
+        },
+    )
+    spans = {
+        r["doc_id"]: r
+        for r in dedup_span_extract(spark, sf).collect()
+    }
+    assert set(spans) == {1, 2}
+    assert (spans[1]["span_start"], spans[1]["span_end"]) == (6, 25)
+    assert (spans[2]["span_start"], spans[2]["span_end"]) == (3, 22)
+    for r in spans.values():
+        assert r["span_tokens"] == 20
+        # a run of length R contributes R - SPAN_GRAM + 1 duplicated grams
+        assert r["n_dup_grams"] == 20 - SPAN_GRAM + 1
+        assert r["span_md5"] == _md5(" ".join(SHARED20))
+
+
+def test_span_extract_min_length_boundary(spark, tmp_path):
+    at = [f"a{i}" for i in range(SPAN_GRAM)]      # exactly SPAN_GRAM: found
+    below = [f"b{i}" for i in range(SPAN_GRAM - 1)]  # one short: invisible
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        {
+            1: at + _u(1, 6) + below,
+            2: below + _u(2, 6) + at,
+        },
+    )
+    rows = dedup_span_extract(spark, sf).collect()
+    assert len(rows) == 2  # one span per doc, only the SPAN_GRAM-long run
+    assert all(r["span_tokens"] == SPAN_GRAM for r in rows)
+    assert all(r["span_md5"] == _md5(" ".join(at)) for r in rows)
+
+
+def test_span_extract_requires_cross_doc_duplication(spark, tmp_path):
+    rep = [f"r{i}" for i in range(SPAN_GRAM)]
+    # the run repeats INSIDE doc 1 but appears in no other doc
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        {1: rep + _u(1, 3) + rep, 2: _u(2, 30)},
+    )
+    assert dedup_span_extract(spark, sf).count() == 0
+
+
+def test_remove_keeps_canonical_first_occurrence_only(spark, tmp_path):
+    d1 = _u(1, 5) + SHARED20 + [f"u1y{i}" for i in range(4)]
+    d2 = _u(2, 2) + SHARED20 + [f"u2y{i}" for i in range(7)]
+    sf = _write_docs(spark, tmp_path, {1: d1, 2: d2})
+    out = {r["doc_id"]: r for r in corpus_remove_dup_spans(spark, sf).collect()}
+    # doc 1 owns the canonical occurrence (min doc_id) — untouched
+    assert out[1]["n_tokens_before"] == len(d1)
+    assert out[1]["n_tokens_kept"] == len(d1)
+    assert out[1]["clean_md5"] == _md5(" ".join(d1))
+    # doc 2 loses exactly the 20-token span, order preserved
+    expect2 = _u(2, 2) + [f"u2y{i}" for i in range(7)]
+    assert out[2]["n_tokens_before"] == len(d2)
+    assert out[2]["n_tokens_kept"] == len(expect2)
+    assert out[2]["clean_md5"] == _md5(" ".join(expect2))
+
+
+def test_remove_fully_duplicated_doc_empties_to_md5_of_empty(spark, tmp_path):
+    body = [f"c{i}" for i in range(12)]
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        {1: _u(1, 3) + body + _u(1, 3), 2: body},  # doc 2 IS the span
+    )
+    out = {r["doc_id"]: r for r in corpus_remove_dup_spans(spark, sf).collect()}
+    assert out[2]["n_tokens_kept"] == 0
+    assert out[2]["clean_md5"] == _md5("")
+    assert out[1]["n_tokens_kept"] == out[1]["n_tokens_before"]
