@@ -386,3 +386,39 @@ def test_semantic_recall_flips_on_a_collapsed_encoder(spark, monkeypatch):
     monkeypatch.setattr(sim, "_doc_embeddings", collapsed)
     row = sim.dedup_semantic_contract(spark, SF_ORACLE).first().asDict()
     assert not row["recall_ok"], row
+
+
+def test_kmeans_twin_quantizers_agree_on_the_euclidean_objective(spark):
+    """The twin finding: on this corpus (near-uniform vector norms) the
+    cosine-trained 3-round Lloyd quantizer and the Euclidean-trained
+    20-round MLlib KMeans land within 5% of each other on summed
+    squared-Euclidean cost — and the contract's one-sided band holds
+    with real margin."""
+    from claim_analysis_engine_spark.operators.similarity import (
+        KM_COST_BAND,
+        N_CELLS,
+        _kmeans_fit,
+        _lloyd_euclid_cost,
+    )
+    from tests.conftest import SF_ORACLE
+
+    sizes, cost, n = _kmeans_fit(spark, SF_ORACLE)
+    lloyd = _lloyd_euclid_cost(spark, SF_ORACLE)
+    assert len(sizes) == N_CELLS and min(sizes) > 0
+    assert n == sum(sizes)
+    assert 0.95 <= cost / lloyd <= 1.05, (cost, lloyd)
+    assert cost <= lloyd * KM_COST_BAND
+
+
+def test_kmeans_fit_is_deterministic_within_a_session(spark):
+    from claim_analysis_engine_spark.operators.similarity import (
+        _KM_MEMO,
+        _kmeans_fit,
+    )
+    from tests.conftest import SF_ORACLE
+
+    sizes1, cost1, _ = _kmeans_fit(spark, SF_ORACLE)
+    _KM_MEMO.clear()  # force a real refit, not the memo
+    sizes2, cost2, _ = _kmeans_fit(spark, SF_ORACLE)
+    assert sizes1 == sizes2
+    assert abs(cost1 - cost2) < 1e-6
