@@ -2217,46 +2217,63 @@ _SPAN_ORACLE_CTES = f"""
 
 def _span_grams(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, h): every SPAN_GRAM-token gram with its 1-based
-    start position. Built as one per-row array pipeline (transform +
-    posexplode) so the token array is hashed once per doc, never
-    copied per gram row."""
-    hs = docs.select(
+    start position. Explodes the CHEAP position sequence and hashes
+    per exploded row — NOT transform-then-explode: exploding a
+    precomputed hash array makes InferFiltersFromGenerate push a
+    filter containing the whole md5-transform expression below the
+    repartition exchange, so the full hashing pass ran twice, once
+    single-task on the one-row-group scan (measured 3.3 s at sf0.1;
+    this shape reads 0.3 s). The md5 project sits after the explode
+    in the same codegen stage, so toks is never shuffled per gram."""
+    seq = F.when(
+        F.size("toks") >= SPAN_GRAM,
+        F.sequence(F.lit(1), F.size("toks") - (SPAN_GRAM - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    p = docs.select("doc_id", "toks", F.explode(seq).alias("pos"))
+    return p.select(
         "doc_id",
-        F.when(
-            F.size("toks") >= SPAN_GRAM,
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (SPAN_GRAM - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, SPAN_GRAM))),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("hs"),
+        "pos",
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.col("pos"), SPAN_GRAM))
+        ).alias("h"),
     )
-    return hs.select(
-        "doc_id", F.posexplode("hs").alias("pos0", "h")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
 
 
 def _dup_spans(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(docs(doc_id, toks), spans) — the maximal cross-doc duplicated
     token runs. Shuffles: ONE hash aggregate on gram hash (uniform md5
-    keys, no skew), one join back on the same key, one window + one
-    aggregate partitioned by doc_id, one doc_id join for the span
-    content hash. Never all-pairs: duplication is decided per GRAM by
-    count-distinct, not by comparing documents."""
+    keys, no skew — and gram hashing runs ONCE: the duplicated-gram
+    decision is a min/max window over the same shuffle, not a
+    groupBy + join-back, which would recompute the 3.5 s hashing
+    pass a second time), one window + one aggregate partitioned by
+    doc_id, one doc_id join for the span content hash. Never
+    all-pairs: duplication is decided per GRAM, not by comparing
+    documents. The scan is spread_scan: documents.parquet is one
+    row-group, and an unspread scan serializes the hashing onto one
+    core (measured 3.5 s single-task vs sub-second spread)."""
     from pyspark.sql import Window as W
 
-    docs = load(spark, sf_dir, "documents").select(
+    docs = spread_scan(load(spark, sf_dir, "documents")).select(
         "doc_id", F.array_remove(F.split("text", " "), "").alias("toks")
     )
     g = _span_grams(docs)
-    dup = (
-        g.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .where(F.col("df") >= SPAN_MIN_DOCS)
-        .select("h")
+    # min(doc_id) != max(doc_id) over the gram hash IS
+    # count(DISTINCT doc_id) >= 2 — exactly SPAN_MIN_DOCS=2 (a
+    # different floor would need a real distinct count; the oracle
+    # states the count-distinct form)
+    assert SPAN_MIN_DOCS == 2, "min/max window encodes >= 2 distinct docs"
+    w_h = W.partitionBy("h")
+    d = (
+        g.select(
+            "doc_id",
+            "pos",
+            (
+                F.min("doc_id").over(w_h) != F.max("doc_id").over(w_h)
+            ).alias("is_dup"),
+        )
+        .where("is_dup")
+        .select("doc_id", "pos")
     )
-    d = g.join(dup, "h").select("doc_id", "pos")
     isl = d.select(
         "doc_id",
         "pos",
