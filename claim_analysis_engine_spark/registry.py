@@ -405,8 +405,10 @@ ROUND10_FRONT: tuple[str, ...] = (
 #   agg_null_profile agg_minmax_date flt_partial_period agg_hist
 #   detect_outliers_iqr detect_outliers_zscore agg_window_profile
 #   unpvt_melt pvt_hybrid
-# plus the two the semantic-dedup additions displaced late in round 11:
-#   agg_topn_freq agg_mode
+# plus the SIX the round-11 late additions displaced:
+#   agg_topn_freq agg_mode (semantic-dedup rotation)
+#   join_semi_active join_anti_orphans agg_distinct_keys agg_sum_mean
+#   (substring-dedup + KMeans-twin rotation)
 # — then the next-oldest r5 certifications, plus round-12 additions,
 # oracle-bearing before rows-only, as always.
 ROUND11_FRONT: tuple[str, ...] = (
@@ -434,6 +436,11 @@ ROUND11_FRONT: tuple[str, ...] = (
     "ep12_embed_retrieval_e2e",
     "ml_champion4",
     "dedup_semantic_trained",
+    # --- late-round-11 additions (substring dedup + KMeans twin) ---
+    "dedup_span_extract",
+    "corpus_remove_dup_spans",
+    "sim_kmeans_twin_contract",
+    "sim_kmeans_mllib",
     # --- recycled: the oldest certifications in the repo (r1/r2) ---
     "f_datediff",
     "f_month_trunc",
@@ -460,8 +467,4 @@ ROUND11_FRONT: tuple[str, ...] = (
     "union_append",
     "limit_head",
     "merge_cdc_tombstone",
-    "join_semi_active",
-    "join_anti_orphans",
-    "agg_distinct_keys",
-    "agg_sum_mean",
 )
