@@ -1267,3 +1267,119 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_intersection"))
     )
     return sk.crossJoin(F.broadcast(exact))
+
+
+# ------------------------------------------- agg_cms_heavy_hitters
+
+CMS_W = 2048       # sketch width (buckets per row)
+CMS_D = 4          # sketch depth (independent hash rows)
+CMS_TOP_K = 20     # heavy hitters certified against exact counts
+# one-sided overestimate slack: a CountMin row overestimates a key by
+# the colliding mass in its bucket — E[excess] = N/W per row, and the
+# min over D rows exceeds ceil(3N/W) with probability < (1/3)^D
+# (Markov per row, rows independent). Integer arithmetic so both
+# engines agree exactly.
+CMS_SLACK_NUM = 3
+
+
+@REG.op(
+    "agg_cms_heavy_hitters",
+    oracle=f"""
+    WITH c AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
+    r AS (SELECT user_id, exact_cnt,
+                 row_number() OVER (ORDER BY exact_cnt DESC, user_id) AS rnk
+          FROM c)
+    SELECT CAST(rnk AS INT) AS rnk, user_id,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           TRUE AS cms_ge_exact, TRUE AS cms_within_slack
+    FROM r WHERE rnk <= {CMS_TOP_K}
+    """,
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency sketch, built SKETCH-AS-DATAFRAME —
+    the third certified sketch family (HLL distinct counts, GK
+    quantile ranks, now CMS frequencies). The sketch is a {CMS_D}×
+    {CMS_W} count table materialized as a DataFrame: every event
+    contributes to one bucket per depth row (xxhash64 seeded by the
+    row index), ONE groupBy produces the whole table, and estimation
+    is a broadcast join of key coordinates against it with a min-
+    aggregate — no driver-side sketch object, so two sketches merge
+    by unioning their tables and re-summing (mergeability is the
+    groupBy's associativity, free by construction, unlike object
+    sketches that need custom merge code). Estimates are EXACT sums
+    of exact counts — deterministic under any partitioning, which is
+    what lets the accuracy claims be driver-hash booleans rather than
+    seeds-and-prayers.
+
+    Certified per true top-{CMS_TOP_K} key (exact counts and ranks
+    SQL-recomputed by the oracle): the CMS estimate is >= the exact
+    count (one-sided guarantee: the key's own count is a summand in
+    every row it hashes to) and within ceil({CMS_SLACK_NUM}N/{CMS_W})
+    above it (see CMS_SLACK_NUM).
+
+    Scale (100 TB): the depth-explode multiplies the stream by
+    {CMS_D}, map-side partial aggregation collapses it to <= D*W =
+    {CMS_D * CMS_W} groups before the shuffle — the sketch build is
+    one cheap pass regardless of corpus size, and the key-grain exact
+    rank pass exists only because the CONTRACT needs truth (a
+    production consumer reads the sketch table alone). The rank
+    window runs on the key-grain aggregate, never the event stream."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select("user_id")
+    depth = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+    table = (
+        ev.select("user_id", depth)
+        .select(
+            "i",
+            F.pmod(F.xxhash64("user_id", F.col("i")), F.lit(CMS_W)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    topk = (
+        exact.select(
+            "user_id",
+            "exact_cnt",
+            F.row_number()
+            .over(W.orderBy(F.desc("exact_cnt"), "user_id"))
+            .alias("rnk"),
+        )
+        .where(F.col("rnk") <= CMS_TOP_K)
+    )
+    coords = topk.select(
+        "rnk",
+        "user_id",
+        "exact_cnt",
+        depth,
+    ).select(
+        "rnk",
+        "user_id",
+        "exact_cnt",
+        "i",
+        F.pmod(F.xxhash64("user_id", F.col("i")), F.lit(CMS_W)).alias("bucket"),
+    )
+    est = (
+        coords.join(F.broadcast(table), ["i", "bucket"])
+        .groupBy("rnk", "user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    n_total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        est.crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "user_id",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("cms_ge_exact"),
+            (
+                F.col("cms_est")
+                <= F.col("exact_cnt")
+                + (F.lit(CMS_SLACK_NUM) * F.col("n_total") + F.lit(CMS_W - 1))
+                / F.lit(CMS_W)
+            ).alias("cms_within_slack"),
+        )
+    )

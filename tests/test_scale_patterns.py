@@ -433,3 +433,88 @@ def test_star_flatten_has_no_fact_shuffle_before_aggregate(spark):
     # (broadcasts render as "(N) BroadcastExchange", a different word)
     ex_count = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
     assert ex_count == 1, (ex_count, plan[:600])
+
+
+def test_cms_estimate_dominates_exact_for_every_key(spark):
+    """The one-sided CountMin guarantee holds for ALL keys, not just
+    the contract's top-20: min-over-rows of bucket sums always
+    includes the key's own count as a summand."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        CMS_D,
+        CMS_W,
+    )
+    from claim_analysis_engine_spark.tables import load
+    from tests.conftest import SF_ORACLE
+
+    ev = load(spark, SF_ORACLE, "events").select("user_id")
+    depth = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+    bucket = F.pmod(F.xxhash64("user_id", F.col("i")), F.lit(CMS_W)).alias(
+        "bucket"
+    )
+    table = (
+        ev.select("user_id", depth)
+        .select("i", bucket)
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = (
+        exact.select("user_id", "exact_cnt", depth)
+        .select("user_id", "exact_cnt", "i", bucket)
+        .join(F.broadcast(table), ["i", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("est"))
+    )
+    bad = est.where(F.col("est") < F.col("exact_cnt")).count()
+    assert bad == 0
+
+
+def test_cms_tables_merge_by_union_resum(spark):
+    """Mergeability is the groupBy's associativity: the sketch of the
+    full stream equals the re-summed union of two half-stream
+    sketches, bucket for bucket."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        CMS_D,
+        CMS_W,
+    )
+    from claim_analysis_engine_spark.tables import load
+    from tests.conftest import SF_ORACLE
+
+    ev = load(spark, SF_ORACLE, "events").select("user_id", "event_id")
+
+    def sketch(df):
+        depth = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias(
+            "i"
+        )
+        return (
+            df.select("user_id", depth)
+            .select(
+                "i",
+                F.pmod(F.xxhash64("user_id", F.col("i")), F.lit(CMS_W)).alias(
+                    "bucket"
+                ),
+            )
+            .groupBy("i", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    full = sketch(ev)
+    merged = (
+        sketch(ev.where(F.col("event_id") % 2 == 0))
+        .unionByName(sketch(ev.where(F.col("event_id") % 2 == 1)))
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    diff = (
+        full.join(merged, ["i", "bucket"], "full")
+        .where(
+            F.coalesce(full["cnt"], F.lit(0))
+            != F.coalesce(merged["cnt"], F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
