@@ -215,6 +215,8 @@ EXTRA = [
     "corpus_remove_dup_spans",
     "sim_kmeans_mllib",
     "sim_kmeans_twin_contract",
+    "ep13_span_curation_e2e",
+    "agg_cms_heavy_hitters",
 ]
 
 

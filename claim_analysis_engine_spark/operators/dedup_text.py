@@ -2353,10 +2353,10 @@ def dedup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- corpus_remove_dup_spans
 
-@REG.op(
-    "corpus_remove_dup_spans",
-    oracle=f"""
-    WITH {_SPAN_ORACLE_CTES},
+# the rewrite as a reusable CTE chain (consumed by the remove op's own
+# oracle AND ep13's curation capstone): spans -> canonical-occurrence
+# ranking -> removable intervals -> kept tokens -> per-doc rewrite row
+_SPAN_REWRITE_CTES = f"""{_SPAN_ORACLE_CTES},
     ranked AS (SELECT doc_id, span_start, span_end,
                       row_number() OVER (PARTITION BY span_md5
                                          ORDER BY doc_id, span_start) AS rk
@@ -2375,12 +2375,21 @@ def dedup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                   AND rem.span_end)),
     agg AS (SELECT doc_id, count(*) AS n_tokens_kept,
                    md5(string_agg(w, ' ' ORDER BY pos)) AS clean_md5
-            FROM kept GROUP BY doc_id)
-    SELECT t.doc_id,
-           CAST(len(t.toks) AS BIGINT) AS n_tokens_before,
-           CAST(coalesce(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
-           coalesce(a.clean_md5, md5('')) AS clean_md5
-    FROM t LEFT JOIN agg a USING (doc_id)
+            FROM kept GROUP BY doc_id),
+    rw AS (SELECT t.doc_id,
+                  CAST(len(t.toks) AS BIGINT) AS n_tokens_before,
+                  CAST(coalesce(a.n_tokens_kept, 0) AS BIGINT)
+                    AS n_tokens_kept,
+                  coalesce(a.clean_md5, md5('')) AS clean_md5
+           FROM t LEFT JOIN agg a USING (doc_id))
+"""
+
+
+@REG.op(
+    "corpus_remove_dup_spans",
+    oracle=f"""
+    WITH {_SPAN_REWRITE_CTES}
+    SELECT doc_id, n_tokens_before, n_tokens_kept, clean_md5 FROM rw
     """,
 )
 def corpus_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2452,3 +2461,88 @@ def corpus_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
     )
+
+
+# ------------------------------------------- ep13_span_curation_e2e
+
+EP13_MIN_TOKENS = 20  # post-rewrite survival floor: a doc whose unique
+#                       content shrinks below this is dedup residue,
+#                       not trainable signal
+
+# the md5-bucket split rule comes FROM the split op, not a restatement,
+# so ep13 and corpus_split_hash can never drift apart (pipeline_ops has
+# no import back into this module — no cycle)
+from claim_analysis_engine_spark.operators.pipeline_ops import (  # noqa: E402
+    _SPLIT_SQL,
+    _split_col,
+)
+
+
+@REG.op(
+    "ep13_span_curation_e2e",
+    oracle=f"""
+    WITH {_SPAN_REWRITE_CTES},
+    s AS (SELECT rw.*, {{split_sql}} AS split
+          FROM rw
+          WHERE n_tokens_kept >= {EP13_MIN_TOKENS})
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens_kept) AS BIGINT) AS tokens_total,
+           CAST(sum(n_tokens_before - n_tokens_kept) AS BIGINT)
+             AS tokens_shaved,
+           md5(string_agg(clean_md5, '' ORDER BY doc_id)) AS content_witness
+    FROM s GROUP BY 1
+    """.replace("{split_sql}", _SPLIT_SQL),
+)
+def ep13_span_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURATION CAPSTONE over the substring-dedup rewrite — the
+    pipeline a training-data run actually executes, certified under
+    ONE hash: rewrite every document with duplicated spans removed
+    (corpus_remove_dup_spans — canonical first occurrence kept), gate
+    out docs whose surviving content drops below EP13_MIN_TOKENS
+    (dedup residue), assign the survivors to the SAME deterministic
+    md5 train/val/test buckets corpus_split_hash uses (imported, not
+    re-stated — the rules cannot drift), and account per split: doc
+    count, surviving tokens, tokens shaved by dedup, and an
+    order-insensitive corpus content witness (md5 over the doc-id-
+    ordered concatenation of per-doc rewrite hashes — a changed byte
+    in ANY surviving doc, a dropped doc, or a split-assignment drift
+    all flip it).
+
+    Composition provenance: spans/rewrite = dedup_span_extract /
+    corpus_remove_dup_spans (shared _dup_spans plan); split rule =
+    corpus_split_hash's _split_col; the e2e claim is that the three
+    certified stages COMPOSE — the reference analog is ep4's
+    quality->dedup->split corpus run (pages/9 curation flow).
+
+    Scale: adds one split projection and one split-grain aggregate on
+    top of the rewrite plan — zero new corpus-wide shuffles beyond
+    corpus_remove_dup_spans' own."""
+    rw = corpus_remove_dup_spans(spark, sf_dir)
+    surv = rw.where(F.col("n_tokens_kept") >= EP13_MIN_TOKENS).select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_kept",
+        "clean_md5",
+        _split_col("doc_id").alias("split"),
+    )
+    return surv.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens_kept").cast("bigint").alias("tokens_total"),
+        F.sum(F.col("n_tokens_before") - F.col("n_tokens_kept"))
+        .cast("bigint")
+        .alias("tokens_shaved"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "clean_md5"))
+                    ),
+                    lambda s: s["clean_md5"],
+                ),
+            )
+        ).alias("content_witness"),
+    )
+
+

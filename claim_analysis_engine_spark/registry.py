@@ -409,6 +409,7 @@ ROUND10_FRONT: tuple[str, ...] = (
 #   agg_topn_freq agg_mode (semantic-dedup rotation)
 #   join_semi_active join_anti_orphans agg_distinct_keys agg_sum_mean
 #   (substring-dedup + KMeans-twin rotation)
+#   limit_head merge_cdc_tombstone (ep13-capstone + CMS-sketch rotation)
 # — then the next-oldest r5 certifications, plus round-12 additions,
 # oracle-bearing before rows-only, as always.
 ROUND11_FRONT: tuple[str, ...] = (
@@ -441,6 +442,8 @@ ROUND11_FRONT: tuple[str, ...] = (
     "corpus_remove_dup_spans",
     "sim_kmeans_twin_contract",
     "sim_kmeans_mllib",
+    "ep13_span_curation_e2e",
+    "agg_cms_heavy_hitters",
     # --- recycled: the oldest certifications in the repo (r1/r2) ---
     "f_datediff",
     "f_month_trunc",
@@ -465,6 +468,4 @@ ROUND11_FRONT: tuple[str, ...] = (
     "join_anti_sync",
     "join_semi",
     "union_append",
-    "limit_head",
-    "merge_cdc_tombstone",
 )

@@ -120,3 +120,28 @@ def test_remove_fully_duplicated_doc_empties_to_md5_of_empty(spark, tmp_path):
     assert out[2]["n_tokens_kept"] == 0
     assert out[2]["clean_md5"] == _md5("")
     assert out[1]["n_tokens_kept"] == out[1]["n_tokens_before"]
+
+
+def test_ep13_gate_drops_fully_deduped_docs_and_accounts_shaved_tokens(
+    spark, tmp_path
+):
+    """Composition sensitivity for the curation capstone: a doc whose
+    content is entirely a duplicated span survives the rewrite as an
+    empty doc and must be GATED OUT, while its tokens count as shaved
+    only for docs that survive."""
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        EP13_MIN_TOKENS,
+        ep13_span_curation_e2e,
+    )
+
+    body = [f"c{i}" for i in range(30)]
+    keeper = _u(1, EP13_MIN_TOKENS) + body  # survives, owns the span
+    dup_doc = body                          # becomes empty -> gated out
+    trimmed = _u(3, EP13_MIN_TOKENS + 5) + body  # loses 30, survives
+    sf = _write_docs(spark, tmp_path, {1: keeper, 2: dup_doc, 3: trimmed})
+    rows = {r["split"]: r for r in ep13_span_curation_e2e(spark, sf).collect()}
+    assert sum(r["n_docs"] for r in rows.values()) == 2  # doc 2 gated
+    assert sum(r["tokens_total"] for r in rows.values()) == len(keeper) + (
+        len(trimmed) - 30
+    )
+    assert sum(r["tokens_shaved"] for r in rows.values()) == 30
