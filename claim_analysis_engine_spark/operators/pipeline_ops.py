@@ -1706,3 +1706,294 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ctoks").cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", "ctoks")).alias("chunk_md5"),
     )
+
+
+# ------------------------------------------------ corpus_unigram_train
+
+UNI_MAX_LEN = 4    # longest candidate token, in chars
+UNI_MULTI = 48     # multi-char seed candidates kept (top by weighted count)
+UNI_MIN_SEED = 2   # weighted-count floor for a multi-char seed
+UNI_ITERS = 3      # hard-EM (Viterbi) training rounds
+
+# trained model per (session, corpus): (seg_map word->tokens, history,
+# vocab token->weighted_count) — vocab-sized plain-Python state, the
+# _BPE_MERGE_MEMO pattern
+_UNI_MEMO: dict[tuple, tuple] = {}
+_UNI_MEMO_MAX = 2
+
+
+def _uni_viterbi(w: str, logp: dict[str, float]) -> tuple[list[str], float]:
+    """Best segmentation of w under token log-probs — DP over char
+    positions with lookback <= UNI_MAX_LEN. Ties break to the LONGER
+    final token (l scans long->short with strict >), so the result is
+    deterministic for equal-probability alternatives."""
+    neg = float("-inf")
+    best: list[float] = [neg] * (len(w) + 1)
+    back: list[int] = [0] * (len(w) + 1)
+    best[0] = 0.0
+    for j in range(1, len(w) + 1):
+        for l in range(min(UNI_MAX_LEN, j), 0, -1):
+            t = w[j - l : j]
+            lp = logp.get(t)
+            if lp is not None and best[j - l] + lp > best[j]:
+                best[j] = best[j - l] + lp
+                back[j] = l
+    if best[len(w)] == neg:
+        raise ValueError(f"word {w!r} unsegmentable under current vocab")
+    toks: list[str] = []
+    j = len(w)
+    while j > 0:
+        toks.append(w[j - back[j] : j])
+        j -= back[j]
+    toks.reverse()
+    return toks, best[len(w)]
+
+
+def _unigram_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[str, list[str]], list[float], dict[str, float]]:
+    """Train the unigram LM tokenizer (SentencePiece's model family,
+    Kudo 2018, hard-EM variant) and return (per-word segmentation map,
+    per-round objective history, final token->weighted-count vocab).
+
+    Seed inventory: every word-internal char (always segmentable) plus
+    the top-UNI_MULTI substrings of length 2..UNI_MAX_LEN by corpus-
+    weighted occurrence count. Then UNI_ITERS hard-EM rounds: Viterbi-
+    segment every DISTINCT word under current probs (E), re-estimate
+    probs as exact multinomial MLE over the chosen segmentations
+    weighted by word frequency (M), pruning tokens the segmentations
+    stopped using (safe: the previous round's segmentation remains
+    available, so the objective cannot drop — the k-means argument).
+    The objective Σ_w freq·max_seg log P(seg) is therefore
+    NON-DECREASING by construction, which is what the contract pins.
+
+    All state is vocabulary-sized (the BPE precedent: Heap's law makes
+    the distinct-word table sublinear in corpus size; the corpus-sized
+    work in the consumers is one broadcast join + one aggregate)."""
+    import math
+    from collections import Counter
+
+    memo_key = session_memo_key(spark, sf_dir)
+    if memo_key in _UNI_MEMO:
+        return _UNI_MEMO[memo_key]
+
+    toks = F.array_remove(F.split("text", " "), "")
+    wf_rows = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .collect()  # vocab-sized (distinct words), the documented bound
+    )
+    words = sorted((r["w"], int(r["f"])) for r in wf_rows)
+
+    seed: Counter = Counter()
+    for w, f in words:
+        for ln in range(2, UNI_MAX_LEN + 1):
+            for i in range(len(w) - ln + 1):
+                seed[w[i : i + ln]] += f
+    multi = [
+        t
+        for t, c in sorted(seed.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :UNI_MULTI
+        ]
+        if c >= UNI_MIN_SEED
+    ]
+    chars: Counter = Counter()
+    for w, f in words:
+        for ch in w:
+            chars[ch] += f
+    vocab: dict[str, float] = {t: float(seed[t]) for t in multi}
+    vocab.update({c: float(n) for c, n in chars.items()})
+
+    history: list[float] = []
+    seg_map: dict[str, list[str]] = {}
+    for _round in range(UNI_ITERS):
+        total = sum(vocab.values())
+        logp = {t: math.log(c / total) for t, c in vocab.items()}
+        obj = 0.0
+        counts: Counter = Counter()
+        seg_map = {}
+        for w, f in words:
+            toks_w, score = _uni_viterbi(w, logp)
+            seg_map[w] = toks_w
+            obj += f * score
+            for t in toks_w:
+                counts[t] += f
+        history.append(obj)
+        vocab = {t: float(c) for t, c in counts.items()}  # prune unused
+
+    out = (seg_map, history, vocab)
+    if len(_UNI_MEMO) >= _UNI_MEMO_MAX:
+        _UNI_MEMO.pop(next(iter(_UNI_MEMO)))
+    _UNI_MEMO[memo_key] = out
+    return out
+
+
+@REG.op("corpus_unigram_train")  # rows-only: the token inventory and
+# probabilities are LEARNED iterative state (no static SQL twin);
+# monotone objective + round-trip are hash-certified by
+# corpus_unigram_contract; determinism/sensitivity in tests/test_unigram.py
+def corpus_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND learned-tokenizer family beside BPE: a unigram
+    language-model tokenizer (the SentencePiece model, Kudo 2018)
+    trained by hard EM — where BPE composes a vocabulary bottom-up by
+    greedy merges, the unigram LM starts from an over-complete
+    substring inventory and lets Viterbi segmentation + multinomial
+    MLE prune it to the tokens the corpus actually uses. Emits the
+    final inventory: token, length, weighted count, probability in
+    basis points (integer), ordered facts a tokenizer registry stores.
+
+    Scale: seed counting and training state are vocab-sized
+    (_unigram_model); nothing corpus-sized leaves the executors."""
+    _seg, _hist, vocab = _unigram_model(spark, sf_dir)
+    total = sum(vocab.values())
+    rows = [
+        (t, len(t), int(c), int(c * 10000 // total))
+        for t, c in sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    ]
+    return spark.createDataFrame(
+        rows, "token string, token_len int, weighted_count bigint, prob_bp bigint"
+    )
+
+
+@REG.op("corpus_unigram_encode")  # rows-only: applies the LEARNED
+# inventory (no SQL twin); per-doc accounting pinned in tests/test_unigram.py
+def corpus_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the trained unigram LM — the same
+    distributed shape as corpus_bpe_encode (segmentation once per
+    DISTINCT word, corpus-sized work = one broadcast word->stats join
+    + one doc aggregate): per doc, word count, unigram token count,
+    exact char mass, and the saving vs char-level tokenization in
+    integer basis points — directly comparable to the BPE encoder's
+    saving_bp on the same corpus (the two-tokenizer comparison)."""
+    seg_map, _hist, _vocab = _unigram_model(spark, sf_dir)
+    toks = F.array_remove(F.split("text", " "), "")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(toks).alias("w")
+    )
+    word_stats = spark.createDataFrame(
+        [(w, len(s), len(w)) for w, s in seg_map.items()],
+        "w string, n_tok int, n_chr int",
+    )
+    return (
+        docs.join(F.broadcast(word_stats), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_uni_tokens"),
+            F.sum("n_chr").cast("long").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_uni_tokens",
+            "n_chars",
+            F.expr(
+                "CAST((n_chars - n_uni_tokens) * 10000 AS BIGINT)"
+                " div n_chars"
+            ).alias("saving_bp"),
+        )
+    )
+
+
+@REG.op(
+    "corpus_unigram_contract",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    )
+    SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_vocab_words,
+           true AS all_words_reconstruct,
+           true AS all_docs_reconstruct,
+           true AS objective_nondecreasing,
+           true AS compresses_vs_chars
+    FROM words
+    """,
+)
+def corpus_unigram_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified contract for the unigram-LM tokenizer (train and
+    encode stay rows-only): the tokenizer's defining identity
+    decode(encode(doc)) == doc by the same reassembly witness the BPE
+    contract uses — every distinct word's Viterbi tokens must concat
+    back to the word, and every document's stream re-expanded from
+    per-word tokens in position order must md5-match the raw stream
+    (orig_md5 from the PRE-join stream so join drops/duplications
+    flip the doc boolean independently) — PLUS the model-family claim
+    BPE cannot make: the hard-EM objective is NON-DECREASING across
+    training rounds (Viterbi maximizes given probs, multinomial MLE
+    maximizes given segmentations — the k-means argument; a decrease
+    is an implementation bug, tolerance 1e-9 relative), and the
+    learned segmentation strictly beats char-level tokenization on
+    the distinct-word inventory's token count (>= one multi-char
+    token earned its keep). The oracle recomputes n_docs /
+    n_vocab_words from the same
+    whitespace tokenization; sensitivity proven by planting a
+    corrupted segmentation map (tests/test_unigram.py)."""
+    seg_map, hist, _vocab = _unigram_model(spark, sf_dir)
+    mono = all(
+        b >= a - 1e-9 * max(1.0, abs(a)) for a, b in zip(hist, hist[1:])
+    )
+    decoded = spark.createDataFrame(
+        [(w, "".join(s), len(s), len(w)) for w, s in seg_map.items()],
+        "w string, decoded string, n_tok int, n_chr int",
+    )
+    toks = F.array_remove(F.split("text", " "), "")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(toks).alias("pos", "w")
+    )
+    vocab_stats = decoded.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab_words"),
+        F.min((F.col("decoded") == F.col("w")).cast("int")).alias("w_ok_min"),
+        F.sum("n_tok").alias("tok_sum"),
+        F.sum("n_chr").alias("chr_sum"),
+    )
+    orig_doc = docs.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            )
+        ).alias("orig_md5")
+    )
+    rt_doc = (
+        docs.join(F.broadcast(decoded.select("w", "decoded")), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("pos", F.col("decoded").alias("d"))
+                            )
+                        ),
+                        lambda s: s["d"],
+                    ),
+                )
+            ).alias("rt_md5"),
+        )
+    )
+    per_doc = orig_doc.join(rt_doc, "doc_id", "left").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min(
+            F.coalesce(
+                (F.col("rt_md5") == F.col("orig_md5")).cast("int"), F.lit(0)
+            )
+        ).alias("d_ok_min"),
+    )
+    return per_doc.crossJoin(F.broadcast(vocab_stats)).select(
+        "n_docs",
+        "n_vocab_words",
+        (F.col("w_ok_min") == 1).alias("all_words_reconstruct"),
+        (F.col("d_ok_min") == 1).alias("all_docs_reconstruct"),
+        F.lit(bool(mono)).alias("objective_nondecreasing"),
+        (F.col("tok_sum") < F.col("chr_sum")).alias("compresses_vs_chars"),
+    )
