@@ -217,6 +217,12 @@ EXTRA = [
     "sim_kmeans_twin_contract",
     "ep13_span_curation_e2e",
     "agg_cms_heavy_hitters",
+    # the second learned tokenizer (training memoized per session —
+    # the warm-up pass carries the cold EM cost)
+    "corpus_unigram_train",
+    "corpus_unigram_encode",
+    "corpus_unigram_contract",
+    "evt_cms_stream",
 ]
 
 
@@ -361,8 +367,12 @@ def main() -> None:
         "dedup_semantic_trained",
         "ml_champion4",
         # late round-11: the KMeans fit memoizes on first run (~13 s
-        # cold at sf0.1 — the distributed k-means|| + 20 Lloyd rounds)
+        # cold at sf0.1 — the distributed k-means|| + 20 Lloyd rounds);
+        # the unigram trainer builds its EM memo on first run
         "sim_kmeans_mllib",
+        "corpus_unigram_train",
+        # the 11th gate pays the staged-files + checkpoint floor
+        "evt_cms_stream",
     ]
     warm_first: dict[str, float] = {}
     for name in (n for n in WARMUP_EXTRA if n in extras_to_run):

@@ -1282,9 +1282,70 @@ CMS_TOP_K = 20     # heavy hitters certified against exact counts
 CMS_SLACK_NUM = 3
 
 
-@REG.op(
-    "agg_cms_heavy_hitters",
-    oracle=f"""
+def _cms_depth_col() -> F.Column:
+    return F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+
+
+def _cms_bucket_col() -> F.Column:
+    return F.pmod(F.xxhash64("user_id", F.col("i")), F.lit(CMS_W)).alias(
+        "bucket"
+    )
+
+
+def _cms_table(ev: DataFrame) -> DataFrame:
+    """The CMS as a DataFrame: (i, bucket, cnt) — one groupBy over the
+    depth-exploded stream. Shared by the batch sketch op and the
+    streaming maintainer (evt_cms_stream), whose per-batch increments
+    are THIS table over each micro-batch, merged by union + re-sum."""
+    return (
+        ev.select("user_id", _cms_depth_col())
+        .select("i", _cms_bucket_col())
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _cms_certify(ev: DataFrame, table: DataFrame) -> DataFrame:
+    """Contract rows for a CMS table against the exact event stream:
+    per true top-CMS_TOP_K key, the exact count plus the one-sided and
+    slack booleans (see agg_cms_heavy_hitters)."""
+    from pyspark.sql import Window as W
+
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    topk = exact.select(
+        "user_id",
+        "exact_cnt",
+        F.row_number()
+        .over(W.orderBy(F.desc("exact_cnt"), "user_id"))
+        .alias("rnk"),
+    ).where(F.col("rnk") <= CMS_TOP_K)
+    coords = topk.select("rnk", "user_id", "exact_cnt", _cms_depth_col()).select(
+        "rnk", "user_id", "exact_cnt", "i", _cms_bucket_col()
+    )
+    est = (
+        coords.join(F.broadcast(table), ["i", "bucket"])
+        .groupBy("rnk", "user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    n_total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    return est.crossJoin(F.broadcast(n_total)).select(
+        F.col("rnk").cast("int").alias("rnk"),
+        "user_id",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("cms_ge_exact"),
+        (
+            F.col("cms_est")
+            <= F.col("exact_cnt")
+            + (F.lit(CMS_SLACK_NUM) * F.col("n_total") + F.lit(CMS_W - 1))
+            / F.lit(CMS_W)
+        ).alias("cms_within_slack"),
+    )
+
+
+# the oracle is shared with evt_cms_stream: the streaming maintainer
+# must converge to EXACTLY this table, so its contract rows — and the
+# SQL that checks them — are identical
+CMS_ORACLE = f"""
     WITH c AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
     r AS (SELECT user_id, exact_cnt,
                  row_number() OVER (ORDER BY exact_cnt DESC, user_id) AS rnk
@@ -1293,7 +1354,12 @@ CMS_SLACK_NUM = 3
            CAST(exact_cnt AS BIGINT) AS exact_cnt,
            TRUE AS cms_ge_exact, TRUE AS cms_within_slack
     FROM r WHERE rnk <= {CMS_TOP_K}
-    """,
+    """
+
+
+@REG.op(
+    "agg_cms_heavy_hitters",
+    oracle=CMS_ORACLE,
 )
 def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min point-frequency sketch, built SKETCH-AS-DATAFRAME —
@@ -1324,62 +1390,5 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank pass exists only because the CONTRACT needs truth (a
     production consumer reads the sketch table alone). The rank
     window runs on the key-grain aggregate, never the event stream."""
-    from pyspark.sql import Window as W
-
     ev = load(spark, sf_dir, "events").select("user_id")
-    depth = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
-    table = (
-        ev.select("user_id", depth)
-        .select(
-            "i",
-            F.pmod(F.xxhash64("user_id", F.col("i")), F.lit(CMS_W)).alias(
-                "bucket"
-            ),
-        )
-        .groupBy("i", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    topk = (
-        exact.select(
-            "user_id",
-            "exact_cnt",
-            F.row_number()
-            .over(W.orderBy(F.desc("exact_cnt"), "user_id"))
-            .alias("rnk"),
-        )
-        .where(F.col("rnk") <= CMS_TOP_K)
-    )
-    coords = topk.select(
-        "rnk",
-        "user_id",
-        "exact_cnt",
-        depth,
-    ).select(
-        "rnk",
-        "user_id",
-        "exact_cnt",
-        "i",
-        F.pmod(F.xxhash64("user_id", F.col("i")), F.lit(CMS_W)).alias("bucket"),
-    )
-    est = (
-        coords.join(F.broadcast(table), ["i", "bucket"])
-        .groupBy("rnk", "user_id", "exact_cnt")
-        .agg(F.min("cnt").alias("cms_est"))
-    )
-    n_total = ev.agg(F.count(F.lit(1)).alias("n_total"))
-    return (
-        est.crossJoin(F.broadcast(n_total))
-        .select(
-            F.col("rnk").cast("int").alias("rnk"),
-            "user_id",
-            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
-            (F.col("cms_est") >= F.col("exact_cnt")).alias("cms_ge_exact"),
-            (
-                F.col("cms_est")
-                <= F.col("exact_cnt")
-                + (F.lit(CMS_SLACK_NUM) * F.col("n_total") + F.lit(CMS_W - 1))
-                / F.lit(CMS_W)
-            ).alias("cms_within_slack"),
-        )
-    )
+    return _cms_certify(ev, _cms_table(ev))

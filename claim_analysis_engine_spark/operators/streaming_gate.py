@@ -805,3 +805,109 @@ def evt_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_parquet(spark, result)
+
+
+# ------------------------------------------------------ evt_cms_stream
+
+CMS_STREAM_SPLITS = 3
+
+
+def _cms_oracle() -> str:
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        CMS_ORACLE,
+    )
+
+    return CMS_ORACLE
+
+
+@REG.op(
+    "evt_cms_stream",
+    # identical contract to the batch agg_cms_heavy_hitters — the hash
+    # proves the incrementally maintained sketch CONVERGED to the batch
+    # sketch (oracle string installed below, after module definitions,
+    # to keep the cross-module import out of decorator-evaluation time)
+    oracle=None,
+)
+def evt_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ELEVENTH streaming gate: incremental sketch maintenance.
+    Because the CMS is a DataFrame of exact counts (sketch-as-
+    DataFrame, see scale_patterns._cms_table), streaming maintenance
+    is just union + re-sum per micro-batch — no custom merge code, no
+    approximation drift across batches: the streamed sketch is
+    EXACTLY the batch sketch, which is what the shared oracle
+    certifies. The events table arrives as three disjoint staged
+    files, one micro-batch each (maxFilesPerTrigger=1); each
+    foreachBatch computes the batch's increment table and merges it
+    onto the running version (the evt_mart_refresh_stream version
+    trail — at scale the merge rewrite is bounded by the sketch size
+    D*W, never the stream). The returned frame certifies the FINAL
+    sketch against the exact top-k truth with the same booleans and
+    the same SQL as the batch op, so a dropped batch, a double-applied
+    increment, or a bucket-merge bug hash-mismatches at the driver.
+    State bound: the sketch table itself — D*W rows regardless of
+    stream length; no watermark needed (the sketch is a monoid)."""
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        _cms_certify,
+        _cms_table,
+    )
+
+    stage = _stage_events_split(sf_dir, CMS_STREAM_SPLITS)
+    root = Path(fresh_dir("cae_stream_cmsv_"))
+    ckpt = fresh_dir("cae_stream_ckpt_")
+    versions: list[str] = []
+
+    stream = streaming.read_events_stream(
+        spark, stage, max_files_per_trigger=1
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        inc = _cms_table(batch_df.select("user_id"))
+        if versions:
+            prev = batch_df.sparkSession.read.parquet(versions[-1])
+            inc = (
+                prev.unionByName(inc)
+                .groupBy("i", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        v = str(root / f"v{len(versions):03d}")
+        inc.write.mode("overwrite").parquet(v)
+        versions.append(v)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if len(versions) < 2:
+        raise RuntimeError(
+            f"cms stream produced {len(versions)} versions — expected one "
+            f"per staged file ({CMS_STREAM_SPLITS}); maintenance was not "
+            "incremental"
+        )
+    # surface the version trail for the incrementality test
+    evt_cms_stream.last_versions = versions  # type: ignore[attr-defined]
+    sketch = spark.read.parquet(versions[-1])
+    from claim_analysis_engine_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select("user_id")
+    return _cms_certify(ev, sketch)
+
+
+def _install_cms_stream_oracle() -> None:
+    REG.ops["evt_cms_stream"] = type(REG.ops["evt_cms_stream"])(
+        "evt_cms_stream",
+        REG.ops["evt_cms_stream"].query,
+        _cms_oracle(),
+        REG.ops["evt_cms_stream"].doc,
+    )
+
+
+_install_cms_stream_oracle()

@@ -410,6 +410,8 @@ ROUND10_FRONT: tuple[str, ...] = (
 #   join_semi_active join_anti_orphans agg_distinct_keys agg_sum_mean
 #   (substring-dedup + KMeans-twin rotation)
 #   limit_head merge_cdc_tombstone (ep13-capstone + CMS-sketch rotation)
+#   join_anti_sync join_semi union_append (unigram-tokenizer rotation)
+#   join_latest_id (cms-stream-gate rotation)
 # — then the next-oldest r5 certifications, plus round-12 additions,
 # oracle-bearing before rows-only, as always.
 ROUND11_FRONT: tuple[str, ...] = (
@@ -444,6 +446,10 @@ ROUND11_FRONT: tuple[str, ...] = (
     "sim_kmeans_mllib",
     "ep13_span_curation_e2e",
     "agg_cms_heavy_hitters",
+    "corpus_unigram_contract",
+    "corpus_unigram_train",
+    "corpus_unigram_encode",
+    "evt_cms_stream",
     # --- recycled: the oldest certifications in the repo (r1/r2) ---
     "f_datediff",
     "f_month_trunc",
@@ -464,8 +470,4 @@ ROUND11_FRONT: tuple[str, ...] = (
     "fill_na_label",
     "num_coerce",
     "dedup_audit",
-    "join_latest_id",
-    "join_anti_sync",
-    "join_semi",
-    "union_append",
 )

@@ -766,3 +766,42 @@ def test_pydatasource_stream_runs_real_micro_batches(spark):
         "watermark did not advance across micro-batches"
     )
     assert spark.read.parquet(out).count() > 0
+
+
+def test_cms_stream_versions_accumulate_to_the_batch_sketch(spark):
+    """The 11th gate's mechanics: one sketch version per staged file,
+    strictly growing mass, and the final version EQUALS the batch
+    sketch bucket-for-bucket (the mergeability the monoid promises)."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        CMS_D,
+        _cms_table,
+    )
+    from claim_analysis_engine_spark.operators.streaming_gate import (
+        CMS_STREAM_SPLITS,
+        evt_cms_stream,
+    )
+    from claim_analysis_engine_spark.tables import load
+    from tests.conftest import SF_ORACLE
+
+    evt_cms_stream(spark, SF_ORACLE).collect()
+    vs = evt_cms_stream.last_versions
+    assert len(vs) == CMS_STREAM_SPLITS
+    masses = [
+        spark.read.parquet(v).agg(F.sum("cnt")).first()[0] for v in vs
+    ]
+    assert masses == sorted(masses) and len(set(masses)) == len(masses)
+    n_events = load(spark, SF_ORACLE, "events").count()
+    assert masses[-1] == n_events * CMS_D
+    batch = _cms_table(load(spark, SF_ORACLE, "events").select("user_id"))
+    final = spark.read.parquet(vs[-1])
+    diff = (
+        batch.withColumnRenamed("cnt", "b")
+        .join(final.withColumnRenamed("cnt", "s"), ["i", "bucket"], "full")
+        .where(
+            F.coalesce(F.col("b"), F.lit(0)) != F.coalesce(F.col("s"), F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
