@@ -223,6 +223,7 @@ EXTRA = [
     "corpus_unigram_encode",
     "corpus_unigram_contract",
     "evt_cms_stream",
+    "txt_dup_span_frac",
 ]
 
 

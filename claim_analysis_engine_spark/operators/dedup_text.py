@@ -2546,3 +2546,54 @@ def ep13_span_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------- txt_dup_span_frac
+
+@REG.op(
+    "txt_dup_span_frac",
+    oracle=f"""
+    WITH {_SPAN_ORACLE_CTES},
+    cov AS (SELECT doc_id, sum(span_tokens) AS covered, count(*) AS n_spans
+            FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.covered, 0) AS BIGINT) AS dup_tokens,
+           CAST(coalesce(c.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(c.covered, 0) * 10000 AS BIGINT)
+             // greatest(len(t.toks), 1) AS dup_frac_bp
+    FROM t LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def txt_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DUPLICATION SCORE: the fraction of a doc's tokens
+    covered by cross-doc duplicated spans (dedup_span_extract's
+    islands — disjoint within a doc, so the sum is exact coverage),
+    in integer basis points. The quality-filter complement to the
+    rewrite op: curation stacks often SCORE-and-threshold on
+    duplicate fraction (the C4/Gopher-style rule family
+    txt_repetition covers intra-doc; this is the cross-doc axis)
+    rather than surgically rewriting. Every doc is emitted — zero
+    spans means a 0 bp score, so the column is a total signal the
+    quality funnel can join.
+
+    Scale: dedup_span_extract's plan plus one doc-grain aggregate and
+    one left join on doc_id; integer bp arithmetic keeps the value
+    hash-exact across engines."""
+    docs, spans = _dup_spans(spark, sf_dir)
+    cov = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("covered"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    return docs.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("covered"), F.lit(0)).cast("bigint").alias(
+            "dup_tokens"
+        ),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.expr(
+            "CAST(coalesce(covered, 0) * 10000 AS BIGINT)"
+            " div greatest(size(toks), 1)"
+        ).alias("dup_frac_bp"),
+    )

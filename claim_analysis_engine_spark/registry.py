@@ -412,6 +412,7 @@ ROUND10_FRONT: tuple[str, ...] = (
 #   limit_head merge_cdc_tombstone (ep13-capstone + CMS-sketch rotation)
 #   join_anti_sync join_semi union_append (unigram-tokenizer rotation)
 #   join_latest_id (cms-stream-gate rotation)
+#   dedup_audit (dup-span-score rotation)
 # — then the next-oldest r5 certifications, plus round-12 additions,
 # oracle-bearing before rows-only, as always.
 ROUND11_FRONT: tuple[str, ...] = (
@@ -450,6 +451,7 @@ ROUND11_FRONT: tuple[str, ...] = (
     "corpus_unigram_train",
     "corpus_unigram_encode",
     "evt_cms_stream",
+    "txt_dup_span_frac",
     # --- recycled: the oldest certifications in the repo (r1/r2) ---
     "f_datediff",
     "f_month_trunc",
@@ -469,5 +471,4 @@ ROUND11_FRONT: tuple[str, ...] = (
     "flt_eq",
     "fill_na_label",
     "num_coerce",
-    "dedup_audit",
 )

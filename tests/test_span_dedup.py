@@ -145,3 +145,18 @@ def test_ep13_gate_drops_fully_deduped_docs_and_accounts_shaved_tokens(
         len(trimmed) - 30
     )
     assert sum(r["tokens_shaved"] for r in rows.values()) == 30
+
+
+def test_dup_span_frac_scores_exact_coverage(spark, tmp_path):
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        txt_dup_span_frac,
+    )
+
+    d1 = _u(1, 20) + SHARED20  # 40 tokens, 20 covered -> 5000 bp
+    d2 = SHARED20 + _u(2, 60)  # 80 tokens, 20 covered -> 2500 bp
+    d3 = _u(3, 10)             # clean -> 0 bp
+    sf = _write_docs(spark, tmp_path, {1: d1, 2: d2, 3: d3})
+    out = {r["doc_id"]: r for r in txt_dup_span_frac(spark, sf).collect()}
+    assert out[1]["dup_frac_bp"] == 5000 and out[1]["n_spans"] == 1
+    assert out[2]["dup_frac_bp"] == 2500 and out[2]["dup_tokens"] == 20
+    assert out[3]["dup_frac_bp"] == 0 and out[3]["n_spans"] == 0
