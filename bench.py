@@ -224,6 +224,10 @@ EXTRA = [
     "corpus_unigram_contract",
     "evt_cms_stream",
     "txt_dup_span_frac",
+    # the sixth MLlib family (EM LDA; fit memoized — cold 18.9 s at
+    # sf0.1 carried by the warm-up pass, warm report 0.4 s)
+    "ml_lda_topics",
+    "ml_lda_contract",
 ]
 
 
@@ -374,6 +378,8 @@ def main() -> None:
         "corpus_unigram_train",
         # the 11th gate pays the staged-files + checkpoint floor
         "evt_cms_stream",
+        # the EM LDA fit memoizes on first run (~19 s cold at sf0.1)
+        "ml_lda_topics",
     ]
     warm_first: dict[str, float] = {}
     for name in (n for n in WARMUP_EXTRA if n in extras_to_run):

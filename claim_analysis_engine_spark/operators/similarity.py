@@ -2548,3 +2548,152 @@ def sim_kmeans_twin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors bigint, k bigint, assignment_complete boolean, "
         "all_cells_nonempty boolean, euclid_cost_competitive boolean",
     )
+
+
+# ------------------------------------------------------ ml_lda_topics
+
+LDA_K = 3
+LDA_MIN_DF = 5.0   # CountVectorizer floor: docs a term must appear in
+LDA_ITERS = 15
+
+# fitted (vocab list, lda model, tf frame) per (session, sf_dir):
+# topics op and contract share one distributed fit
+_LDA_MEMO: dict[tuple, tuple] = {}
+_LDA_MEMO_MAX = 2
+
+
+def _lda_fit(spark: SparkSession, sf_dir: str):
+    """CountVectorizer + EM LDA over the documents corpus. NOTE
+    (measured): MLlib's EM LDA is NOT deterministic across refits even
+    with a fixed seed (GraphX edge-partition initialization), so
+    nothing downstream may hash a learned VALUE — the contract claims
+    are structural booleans plus SQL-recomputable accounting, all
+    invariant across fit instances."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+
+    memo_key = session_memo_key(spark, sf_dir)
+    if memo_key in _LDA_MEMO:
+        return _LDA_MEMO[memo_key]
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_remove(F.split("text", " "), "").alias("words")
+    )
+    cv = CountVectorizer(
+        inputCol="words", outputCol="tf", minDF=LDA_MIN_DF, vocabSize=1 << 18
+    ).fit(docs)
+    tf = cv.transform(docs).select("doc_id", "tf")
+    lda = LDA(
+        k=LDA_K, seed=7, optimizer="em", maxIter=LDA_ITERS, featuresCol="tf"
+    ).fit(tf)
+    out = (list(cv.vocabulary), lda, tf)
+    if len(_LDA_MEMO) >= _LDA_MEMO_MAX:
+        _LDA_MEMO.pop(next(iter(_LDA_MEMO)))
+    _LDA_MEMO[memo_key] = out
+    return out
+
+
+@REG.op("ml_lda_topics")  # rows-only: topic-term weights are LEARNED
+# state AND MLlib's EM LDA is measurably nondeterministic across fits
+# (see _lda_fit) — structure/accounting are hash-certified by
+# ml_lda_contract; planted-pool separation in tests/test_lda.py
+def ml_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDA topic modeling as the SIXTH MLlib family (GBT, logistic
+    regression, MinHashLSH, Word2Vec, KMeans, now LDA): EM-optimized
+    k={LDA_K} topics over the CountVectorizer term space, emitting
+    each topic's ranked terms with normalized weights in basis points
+    — the corpus-structure report a curation stack uses to spot
+    over-represented content families. Fit is one distributed job;
+    model state is V×k expected counts, driver-held, vocab-sized."""
+    vocab, lda, _tf = _lda_fit(spark, sf_dir)
+    rows = []
+    for t in lda.describeTopics(5).collect():
+        total = sum(t["termWeights"]) or 1.0
+        for rank, (ti, w) in enumerate(
+            zip(t["termIndices"], t["termWeights"]), start=1
+        ):
+            rows.append(
+                (
+                    int(t["topic"]),
+                    rank,
+                    vocab[ti],
+                    int(w * 10000 // total),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "topic int, term_rank int, term string, weight_bp bigint"
+    )
+
+
+@REG.op(
+    "ml_lda_contract",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM words GROUP BY w
+      HAVING count(DISTINCT doc_id) >= {int(LDA_MIN_DF)}
+    )
+    SELECT CAST((SELECT count(*) FROM vocab) AS BIGINT) AS n_vocab,
+           CAST({LDA_K} AS INT) AS k,
+           CAST((SELECT count(DISTINCT doc_id) FROM words) AS BIGINT)
+             AS n_docs_modeled,
+           true AS doc_distributions_valid,
+           true AS topics_matrix_shape_ok,
+           true AS loglik_finite_negative
+    FROM (VALUES (1)) AS t(x)
+    """,
+)
+def ml_lda_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified contract for the LDA fit (topics stay rows-only
+    — doubly so, since EM LDA is measurably nondeterministic across
+    fits): the VOCABULARY ACCOUNTING is exact SQL — CountVectorizer
+    at minDF={int(LDA_MIN_DF)} models precisely the terms appearing
+    in >= that many distinct docs, and every tokenized doc gets a
+    topic row (both recomputed by the oracle; a tokenizer change, a
+    dropped partition, or a minDF drift flips the VALUES) — plus the
+    structural claims that hold for ANY valid fit instance: every
+    document's topic distribution is a probability vector (sums to 1
+    within 1e-6, non-negative), the topics matrix is V×k, and the
+    training log-likelihood is finite and negative."""
+    import math
+
+    vocab, lda, tf = _lda_fit(spark, sf_dir)
+    tm = lda.topicsMatrix()
+    shape_ok = (tm.numRows, tm.numCols) == (len(vocab), LDA_K)
+    ll = float(lda.logLikelihood(tf))
+    ll_ok = math.isfinite(ll) and ll < 0
+    from pyspark.ml.functions import vector_to_array
+
+    td = lda.transform(tf).select(
+        vector_to_array("topicDistribution").alias("d")
+    )
+    stats = td.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_modeled"),
+        F.min(
+            (
+                F.abs(
+                    F.aggregate("d", F.lit(0.0), lambda a, x: a + x)
+                    - F.lit(1.0)
+                )
+                < 1e-6
+            ).cast("int")
+        ).alias("sum_ok"),
+        F.min(
+            F.aggregate(
+                "d", F.lit(True), lambda a, x: a & (x >= 0.0)
+            ).cast("int")
+        ).alias("nonneg_ok"),
+    )
+    return stats.select(
+        F.lit(len(vocab)).cast("bigint").alias("n_vocab"),
+        F.lit(LDA_K).cast("int").alias("k"),
+        "n_docs_modeled",
+        ((F.col("sum_ok") == 1) & (F.col("nonneg_ok") == 1)).alias(
+            "doc_distributions_valid"
+        ),
+        F.lit(bool(shape_ok)).alias("topics_matrix_shape_ok"),
+        F.lit(bool(ll_ok)).alias("loglik_finite_negative"),
+    )

@@ -413,6 +413,7 @@ ROUND10_FRONT: tuple[str, ...] = (
 #   join_anti_sync join_semi union_append (unigram-tokenizer rotation)
 #   join_latest_id (cms-stream-gate rotation)
 #   dedup_audit (dup-span-score rotation)
+#   fill_na_label num_coerce (LDA-family rotation)
 # — then the next-oldest r5 certifications, plus round-12 additions,
 # oracle-bearing before rows-only, as always.
 ROUND11_FRONT: tuple[str, ...] = (
@@ -452,6 +453,8 @@ ROUND11_FRONT: tuple[str, ...] = (
     "corpus_unigram_encode",
     "evt_cms_stream",
     "txt_dup_span_frac",
+    "ml_lda_contract",
+    "ml_lda_topics",
     # --- recycled: the oldest certifications in the repo (r1/r2) ---
     "f_datediff",
     "f_month_trunc",
@@ -469,6 +472,4 @@ ROUND11_FRONT: tuple[str, ...] = (
     "flt_notnull",
     "flt_isin",
     "flt_eq",
-    "fill_na_label",
-    "num_coerce",
 )
