@@ -160,3 +160,20 @@ def test_dup_span_frac_scores_exact_coverage(spark, tmp_path):
     assert out[1]["dup_frac_bp"] == 5000 and out[1]["n_spans"] == 1
     assert out[2]["dup_frac_bp"] == 2500 and out[2]["dup_tokens"] == 20
     assert out[3]["dup_frac_bp"] == 0 and out[3]["n_spans"] == 0
+
+
+def test_span_discovery_scales_linearly_across_sf(spark):
+    """Scaling instrument: duplicated-span discovery must grow ~linearly
+    with corpus size (the gram groupBy admits no pair blow-up). The
+    driver corpus is 10x between sf0.01 and sf0.1; pin the span count
+    ratio inside a generous linear band (a quadratic candidate path
+    would blow far past it)."""
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        dedup_span_extract,
+    )
+
+    n_small = dedup_span_extract(spark, "/root/testdata/sf0.01").count()
+    n_large = dedup_span_extract(spark, "/root/testdata/sf0.1").count()
+    assert n_small > 0
+    ratio = n_large / n_small
+    assert 5 <= ratio <= 20, (n_small, n_large)
