@@ -384,6 +384,10 @@ def test_semantic_recall_flips_on_a_collapsed_encoder(spark, monkeypatch):
         )
 
     monkeypatch.setattr(sim, "_doc_embeddings", collapsed)
+    # the pair-row memo would replay the REAL pipeline's pairs and hide
+    # the collapsed encoder — give the test its own empty memo (the
+    # real dict is restored, unpolluted, on teardown)
+    monkeypatch.setattr(sim, "_SEM_PAIRS_MEMO", {})
     row = sim.dedup_semantic_contract(spark, SF_ORACLE).first().asDict()
     assert not row["recall_ok"], row
 
