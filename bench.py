@@ -228,6 +228,7 @@ EXTRA = [
     # sf0.1 carried by the warm-up pass, warm report 0.4 s)
     "ml_lda_topics",
     "ml_lda_contract",
+    "dedup_span_incremental",
 ]
 
 

@@ -2597,3 +2597,102 @@ def txt_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(size(toks), 1)"
         ).alias("dup_frac_bp"),
     )
+
+
+# ------------------------------------------- dedup_span_incremental
+
+SPAN_INC_MOD = 5  # doc_id % MOD == 0 plays the NEW snapshot; rest = corpus
+
+
+@REG.op(
+    "dedup_span_incremental",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SPAN_TOKS_SQL} AS toks FROM documents),
+    p AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - {SPAN_GRAM - 1})) AS pos
+          FROM t WHERE len(toks) >= {SPAN_GRAM}),
+    g AS (SELECT doc_id, pos,
+                 md5(array_to_string(toks[pos:pos + {SPAN_GRAM - 1}], ' ')) AS h
+          FROM p),
+    old_g AS (SELECT DISTINCT h FROM g WHERE doc_id % {SPAN_INC_MOD} <> 0),
+    d AS (SELECT g.doc_id, g.pos FROM g
+          JOIN old_g USING (h)
+          WHERE g.doc_id % {SPAN_INC_MOD} = 0),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS grp
+            FROM d),
+    runs AS (SELECT doc_id, min(pos) AS span_start,
+                    max(pos) + {SPAN_GRAM - 1} AS span_end
+             FROM isl GROUP BY doc_id, grp)
+    SELECT r.doc_id,
+           CAST(r.span_start AS BIGINT) AS span_start,
+           CAST(r.span_end AS BIGINT) AS span_end,
+           CAST(r.span_end - r.span_start + 1 AS BIGINT) AS span_tokens,
+           md5(array_to_string(t.toks[r.span_start:r.span_end], ' '))
+             AS span_md5
+    FROM runs r JOIN t USING (doc_id)
+    """,
+)
+def dedup_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL substring dedup — the arriving-crawl shape
+    (dedup_cross_snapshot's asymmetry at span granularity): only the
+    NEW snapshot's docs (doc_id % {SPAN_INC_MOD} == 0, the
+    deterministic stand-in for an arrival batch) are checked, and
+    only against the EXISTING corpus's gram set — never new-vs-new,
+    never old-vs-old re-pairing. A maximal token run in a new doc is
+    flagged iff every gram of it already exists in the old corpus,
+    so a crawler can strip previously-seen passages from arrivals
+    without re-touching the corpus.
+
+    Scale: the old side reduces to a DISTINCT gram-hash set (built
+    once per ingest wave and reusable across arrival batches — at
+    100 TB this is the persisted gram index, append-only as waves
+    land); the new side is arrival-sized. The join is new-grams ×
+    gram-index on the uniform md5 key; islands window only the
+    arrival docs. Contrast dedup_span_extract, which certifies the
+    symmetric corpus-wide pass."""
+    from pyspark.sql import Window as W
+
+    docs = spread_scan(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.array_remove(F.split("text", " "), "").alias("toks")
+    )
+    g = _span_grams(docs)
+    old_g = (
+        g.where(F.col("doc_id") % SPAN_INC_MOD != 0).select("h").distinct()
+    )
+    d = (
+        g.where(F.col("doc_id") % SPAN_INC_MOD == 0)
+        .join(old_g, "h")
+        .select("doc_id", "pos")
+    )
+    isl = d.select(
+        "doc_id",
+        "pos",
+        (
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (SPAN_GRAM - 1)).alias("span_end"),
+    )
+    return runs.join(docs, "doc_id").select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        (F.col("span_end") - F.col("span_start") + 1)
+        .cast("bigint")
+        .alias("span_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "toks",
+                    F.col("span_start").cast("int"),
+                    (F.col("span_end") - F.col("span_start") + 1).cast("int"),
+                ),
+            )
+        ).alias("span_md5"),
+    )

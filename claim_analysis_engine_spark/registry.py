@@ -414,6 +414,7 @@ ROUND10_FRONT: tuple[str, ...] = (
 #   join_latest_id (cms-stream-gate rotation)
 #   dedup_audit (dup-span-score rotation)
 #   fill_na_label num_coerce (LDA-family rotation)
+#   flt_eq (incremental-span rotation)
 # — then the next-oldest r5 certifications, plus round-12 additions,
 # oracle-bearing before rows-only, as always.
 ROUND11_FRONT: tuple[str, ...] = (
@@ -455,6 +456,7 @@ ROUND11_FRONT: tuple[str, ...] = (
     "txt_dup_span_frac",
     "ml_lda_contract",
     "ml_lda_topics",
+    "dedup_span_incremental",
     # --- recycled: the oldest certifications in the repo (r1/r2) ---
     "f_datediff",
     "f_month_trunc",
@@ -471,5 +473,4 @@ ROUND11_FRONT: tuple[str, ...] = (
     "etl_preprocess",
     "flt_notnull",
     "flt_isin",
-    "flt_eq",
 )

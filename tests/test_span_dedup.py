@@ -177,3 +177,30 @@ def test_span_discovery_scales_linearly_across_sf(spark):
     assert n_small > 0
     ratio = n_large / n_small
     assert 5 <= ratio <= 20, (n_small, n_large)
+
+
+def test_incremental_span_dedup_is_asymmetric(spark, tmp_path):
+    """Only new-vs-OLD duplication is flagged: new-vs-new and
+    old-vs-old runs must not appear (the arriving-crawl contract)."""
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        SPAN_INC_MOD,
+        dedup_span_incremental,
+    )
+
+    old_run = [f"o{i}" for i in range(12)]
+    new_run = [f"n{i}" for i in range(12)]
+    docs = {
+        1: _u(1, 4) + old_run,            # old
+        2: old_run + _u(2, 4),            # old (old-vs-old: ignored)
+        SPAN_INC_MOD: _u(5, 3) + old_run + new_run,       # new
+        2 * SPAN_INC_MOD: new_run + _u(10, 6),            # new
+    }
+    sf = _write_docs(spark, tmp_path, docs)
+    out = dedup_span_incremental(spark, sf).collect()
+    # exactly ONE span: doc 5's copy of the old run; the new-vs-new
+    # run and the old docs never emit
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == SPAN_INC_MOD
+    assert (r["span_start"], r["span_end"]) == (4, 15)
+    assert r["span_md5"] == _md5(" ".join(old_run))
