@@ -204,3 +204,103 @@ def test_incremental_span_dedup_is_asymmetric(spark, tmp_path):
     assert r["doc_id"] == SPAN_INC_MOD
     assert (r["span_start"], r["span_end"]) == (4, 15)
     assert r["span_md5"] == _md5(" ".join(old_run))
+
+
+# ---- independent pure-Python twin + hypothesis agreement (the
+# test_bpe.py verification form: two implementations, one spec) ----
+
+def _ref_spans(texts: dict[int, list[str]]):
+    """Independent span extraction: gram sets + island merging in
+    plain Python — no shared code with the Spark op."""
+    from claim_analysis_engine_spark.operators.dedup_text import SPAN_GRAM
+
+    grams: dict[tuple, set] = {}
+    for d, toks in texts.items():
+        for i in range(len(toks) - SPAN_GRAM + 1):
+            grams.setdefault(tuple(toks[i : i + SPAN_GRAM]), set()).add(d)
+    dup = {g for g, s in grams.items() if len(s) >= 2}
+    out: dict[int, list[tuple[int, int]]] = {}
+    for d, toks in texts.items():
+        runs: list[list[int]] = []
+        for i in range(len(toks) - SPAN_GRAM + 1):
+            if tuple(toks[i : i + SPAN_GRAM]) not in dup:
+                continue
+            p = i + 1
+            if runs and p == runs[-1][1] + 1:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        out[d] = [(s, e + SPAN_GRAM - 1) for s, e in runs]
+    return out
+
+
+def _ref_remove(texts: dict[int, list[str]]):
+    spans = _ref_spans(texts)
+    flat = []  # (content, doc, start, end)
+    for d, ss in spans.items():
+        for s, e in ss:
+            flat.append((" ".join(texts[d][s - 1 : e]), d, s, e))
+    removable: dict[int, list[tuple[int, int]]] = {}
+    seen_first: dict[str, tuple[int, int]] = {}
+    for content, d, s, e in sorted(flat, key=lambda t: (t[0], t[1], t[2])):
+        if content not in seen_first:
+            seen_first[content] = (d, s)
+        else:
+            removable.setdefault(d, []).append((s, e))
+    out = {}
+    for d, toks in texts.items():
+        rem = removable.get(d, [])
+        kept = [
+            w
+            for i, w in enumerate(toks, start=1)
+            if not any(s <= i <= e for s, e in rem)
+        ]
+        out[d] = (len(toks), len(kept), _md5(" ".join(kept)))
+    return out
+
+
+def test_span_ops_agree_with_independent_twin_on_random_corpora(
+    spark, tmp_path
+):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        corpus_remove_dup_spans,
+        dedup_span_extract,
+    )
+
+    doc_strategy = st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=0, max_size=28
+    )
+    corpus_strategy = st.lists(doc_strategy, min_size=2, max_size=5)
+
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(corpus=corpus_strategy)
+    def run(corpus):
+        counter[0] += 1
+        texts = {i + 1: toks for i, toks in enumerate(corpus)}
+        sf = _write_docs(
+            spark, f"{tmp_path}/c{counter[0]}", texts
+        )
+        got_spans = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in dedup_span_extract(spark, sf).collect()
+        }
+        want_spans = {
+            (d, s, e) for d, ss in _ref_spans(texts).items() for s, e in ss
+        }
+        assert got_spans == want_spans
+        got_rw = {
+            r["doc_id"]: (
+                r["n_tokens_before"],
+                r["n_tokens_kept"],
+                r["clean_md5"],
+            )
+            for r in corpus_remove_dup_spans(spark, sf).collect()
+        }
+        assert got_rw == _ref_remove(texts)
+
+    run()
