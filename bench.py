@@ -229,6 +229,8 @@ EXTRA = [
     "ml_lda_topics",
     "ml_lda_contract",
     "dedup_span_incremental",
+    "agg_dp_release",
+    "evt_mart_restart_stream",
 ]
 
 
@@ -381,6 +383,8 @@ def main() -> None:
         "evt_cms_stream",
         # the EM LDA fit memoizes on first run (~19 s cold at sf0.1)
         "ml_lda_topics",
+        # the 12th gate runs two full foreachBatch legs per pass
+        "evt_mart_restart_stream",
     ]
     warm_first: dict[str, float] = {}
     for name in (n for n in WARMUP_EXTRA if n in extras_to_run):

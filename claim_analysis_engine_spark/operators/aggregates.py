@@ -2280,3 +2280,80 @@ def agg_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("flat")
         .alias("trend"),
     )
+
+
+# ------------------------------------------------------ agg_dp_release
+
+DP_EPS = 0.5          # privacy budget; Laplace scale b = 1/eps = 2.0
+DP_SALT = "dp-lap-1"  # seed for the deterministic uniform draw
+
+
+@REG.op(
+    "agg_dp_release",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ),
+    drawn AS (
+      SELECT event_type, n,
+             (CAST(('0x' || substr(md5('{DP_SALT}' || event_type), 1, 8))
+                   AS UBIGINT) + 0.5) / 4294967296.0 AS u
+      FROM c
+    )
+    SELECT event_type,
+           round(
+             greatest(
+               n - (1.0 / {DP_EPS}) * sign(u - 0.5)
+                   * ln(1.0 - 2.0 * abs(u - 0.5)),
+               0.0
+             ), 4
+           ) AS n_released,
+           CAST({DP_EPS} AS DOUBLE) AS epsilon
+    FROM drawn
+    """,
+)
+def agg_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release — the privacy family's
+    second member beside the k-anonymity gate (agg_kanon_suppress):
+    per-group counts (sensitivity 1 under add/remove of one event)
+    plus Laplace(1/eps) noise via the inverse CDF, clamped at zero
+    for release. The uniform draw derives from a SALTED md5 of the
+    group key — the corpus_sample_weighted philosophy: a reproducible,
+    auditable draw both engines can recompute exactly, which is what
+    makes the release hash-certifiable. This is the TESTABLE TWIN of
+    a production release, which swaps ONLY the uniform source for
+    secure randomness (same plan, same sensitivity, same clamp); a
+    deterministic seed keyed to the data is NOT private in the formal
+    sense and the docstring is the documentation of that boundary.
+
+    Scale: one map-side-combinable aggregate to the group grain, then
+    per-row noise arithmetic on the group-sized frame — release cost
+    is group-count-sized, never data-sized."""
+    c = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(DP_SALT), F.col("event_type"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    noise = (
+        (F.lit(-1.0 / DP_EPS))
+        * F.signum(u - 0.5)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+    )
+    return c.select(
+        "event_type",
+        F.round(F.greatest(F.col("n") + noise, F.lit(0.0)), 4).alias(
+            "n_released"
+        ),
+        F.lit(float(DP_EPS)).alias("epsilon"),
+    )

@@ -911,3 +911,113 @@ def _install_cms_stream_oracle() -> None:
 
 
 _install_cms_stream_oracle()
+
+
+# ------------------------------------------------ evt_mart_restart_stream
+
+MART_RESTART_SPLIT = 4   # ts-contiguous files, one micro-batch each
+MART_RESTART_PREFIX = 2  # files processed before the engine stops
+
+
+@REG.op(
+    "evt_mart_restart_stream",
+    # the batch mart oracle — the hash proves incremental maintenance
+    # CONVERGED across an engine restart
+    oracle="""
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def evt_mart_restart_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart-safety for the foreachBatch maintenance path — the
+    TWELFTH gate, completing the restart story evt_restart_recovery_
+    stream began for append sinks: the key-scoped mart refresh
+    (evt_mart_refresh_stream's update-mode running counts +
+    foreachBatch merge) is STOPPED after a committed prefix of its
+    micro-batches, and a brand-new query restarts from the same
+    checkpoint with the already-consumed files still listed
+    (redelivery bait). Two properties must BOTH survive the boundary
+    or the hash flips: the state store's running totals (a state loss
+    resets post-restart totals and the merged mart undercounts every
+    key touched on both sides of the restart) and the offset log (a
+    re-read double-counts). Crucially, the version trail is recovered
+    from DISK, not driver memory — apply_batch discovers the latest
+    committed version by listing the mart root, because a real
+    restart loses every in-process structure (the closure-held list
+    the non-restart gate uses would silently hide that).
+
+    Scale: the recovery contract a long-running incremental
+    materialization job actually depends on — state + offsets +
+    on-disk version discovery, certified with the production
+    mechanism at gate scale."""
+    import pyarrow.parquet as pq
+
+    stage = Path(fresh_dir("cae_stream_mrestart_stage_"))
+    pending = Path(fresh_dir("cae_stream_mrestart_pending_"))
+    table = pq.read_table(f"{sf_dir}/events.parquet").sort_by(
+        [("ts", "ascending")]
+    )
+    per = -(-table.num_rows // MART_RESTART_SPLIT)
+    for i in range(MART_RESTART_SPLIT):
+        dest = stage if i < MART_RESTART_PREFIX else pending
+        pq.write_table(
+            table.slice(i * per, per), str(dest / f"part-{i:03d}.parquet")
+        )
+
+    mart_root = Path(fresh_dir("cae_stream_mrestart_mart_"))
+    ckpt = fresh_dir("cae_stream_ckpt_")
+
+    def latest_version() -> str | None:
+        vs = sorted(mart_root.glob("v*"))
+        return str(vs[-1]) if vs else None
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upd = batch_df
+        prev_path = latest_version()  # DISK discovery — restart-safe
+        n = len(list(mart_root.glob("v*")))
+        if prev_path is not None:
+            prev = batch_df.sparkSession.read.parquet(prev_path)
+            keys = upd.select("event_type", "day").distinct()
+            carried = prev.join(
+                F.broadcast(keys), ["event_type", "day"], "left_anti"
+            )
+            upd = carried.unionByName(upd)
+        upd.write.mode("overwrite").parquet(str(mart_root / f"v{n:03d}"))
+
+    def run_leg() -> None:
+        stream = streaming.read_events_stream(
+            spark, str(stage), max_files_per_trigger=1
+        )
+        counts = stream.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+        q = (
+            counts.writeStream.foreachBatch(apply_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        run_leg()  # pre-restart leg
+        n_pre = len(list(mart_root.glob("v*")))
+        for f in sorted(pending.glob("*.parquet")):
+            os.rename(f, stage / f.name)  # atomic same-fs appearance
+        run_leg()  # restart from the same checkpoint
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    n_post = len(list(mart_root.glob("v*")))
+    if not (0 < n_pre < n_post):
+        raise RuntimeError(
+            f"restart legs produced {n_pre}/{n_post} versions — the run "
+            "was not split across the boundary"
+        )
+    evt_mart_restart_stream.versions = (n_pre, n_post)  # type: ignore[attr-defined]
+    final = latest_version()
+    assert final is not None
+    return spark.read.parquet(final)

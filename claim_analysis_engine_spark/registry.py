@@ -415,6 +415,8 @@ ROUND10_FRONT: tuple[str, ...] = (
 #   dedup_audit (dup-span-score rotation)
 #   fill_na_label num_coerce (LDA-family rotation)
 #   flt_eq (incremental-span rotation)
+#   flt_isin (dp-release rotation)
+#   flt_notnull (mart-restart-gate rotation)
 # — then the next-oldest r5 certifications, plus round-12 additions,
 # oracle-bearing before rows-only, as always.
 ROUND11_FRONT: tuple[str, ...] = (
@@ -457,6 +459,8 @@ ROUND11_FRONT: tuple[str, ...] = (
     "ml_lda_contract",
     "ml_lda_topics",
     "dedup_span_incremental",
+    "agg_dp_release",
+    "evt_mart_restart_stream",
     # --- recycled: the oldest certifications in the repo (r1/r2) ---
     "f_datediff",
     "f_month_trunc",
@@ -471,6 +475,4 @@ ROUND11_FRONT: tuple[str, ...] = (
     # --- recycled: next-oldest r4 certifications, registry order ---
     "src_parquet_cols",
     "etl_preprocess",
-    "flt_notnull",
-    "flt_isin",
 )

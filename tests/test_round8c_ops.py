@@ -469,3 +469,33 @@ def test_interpolation_is_exact_on_a_planted_gap(spark):
     # Dec 1996 precedes bucket 5's first observation -> edge, null
     assert out[(5, jan - 1)]["src"] == "edge"
     assert out[(5, jan - 1)]["value_milli"] is None
+
+
+def test_dp_release_noise_is_bounded_and_nonnegative(spark):
+    """The deterministic Laplace draw: released counts are clamped
+    non-negative and within a 10-scale tail of the exact counts
+    (b = 1/eps = 2 -> |noise| > 20 has probability < 5e-5; the fixed
+    salted draw realizes well inside it)."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators.aggregates import (
+        agg_dp_release,
+    )
+    from claim_analysis_engine_spark.tables import load
+    from tests.conftest import SF_ORACLE
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rel = {
+        r["event_type"]: r["n_released"]
+        for r in agg_dp_release(spark, SF_ORACLE).collect()
+    }
+    assert set(rel) == set(exact)
+    for k, v in rel.items():
+        assert v >= 0.0
+        assert abs(v - exact[k]) <= 20.0, (k, v, exact[k])

@@ -805,3 +805,19 @@ def test_cms_stream_versions_accumulate_to_the_batch_sketch(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_mart_restart_splits_versions_across_the_boundary(spark):
+    """The 12th gate's mechanics: the version trail grows on BOTH
+    sides of the restart (disk-discovered, not closure-held), and the
+    total covers every staged micro-batch."""
+    from claim_analysis_engine_spark.operators.streaming_gate import (
+        MART_RESTART_SPLIT,
+        evt_mart_restart_stream,
+    )
+    from tests.conftest import SF_ORACLE
+
+    evt_mart_restart_stream(spark, SF_ORACLE).collect()
+    n_pre, n_post = evt_mart_restart_stream.versions
+    assert 0 < n_pre < n_post
+    assert n_post == MART_RESTART_SPLIT
