@@ -518,3 +518,24 @@ def test_cms_tables_merge_by_union_resum(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_cms_table_size_is_stream_length_independent(spark):
+    """The sketch's defining scale property as a golden: a 10x larger
+    event stream (sf0.01 -> sf0.1) may not grow the sketch table past
+    its D*W bound — the state-bound claim the streaming gate relies on."""
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        CMS_D,
+        CMS_W,
+        _cms_table,
+    )
+    from claim_analysis_engine_spark.tables import load
+
+    sizes = {}
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        sizes[sf] = _cms_table(
+            load(spark, sf, "events").select("user_id")
+        ).count()
+    assert all(n <= CMS_D * CMS_W for n in sizes.values())
+    # the bigger stream touches at most the same bucket space
+    assert sizes["/root/testdata/sf0.1"] <= CMS_D * CMS_W
