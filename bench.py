@@ -248,6 +248,24 @@ import tempfile  # noqa: E402
 _BENCH_TMP_PARENT = tempfile.mkdtemp(prefix=f"cae_bench_{os.getpid()}_")
 tempfile.tempdir = _BENCH_TMP_PARENT
 
+# The end-of-main sweep never runs if the process is killed mid-bench
+# (a timed-out CI wrapper SIGTERMs it and the 40 MB staging parent
+# orphans — observed). atexit covers normal exit AND exceptions;
+# translating SIGTERM into SystemExit routes graceful termination
+# through the same path. SIGKILL still leaks, unavoidably.
+import atexit  # noqa: E402
+import shutil as _shutil  # noqa: E402
+import signal  # noqa: E402
+
+atexit.register(_shutil.rmtree, _BENCH_TMP_PARENT, ignore_errors=True)
+
+
+def _graceful_term(signum, frame):  # noqa: ARG001
+    raise SystemExit(143)
+
+
+signal.signal(signal.SIGTERM, _graceful_term)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
