@@ -231,6 +231,7 @@ EXTRA = [
     "dedup_span_incremental",
     "agg_dp_release",
     "evt_mart_restart_stream",
+    "evt_hll_stream",
 ]
 
 
@@ -403,6 +404,8 @@ def main() -> None:
         "ml_lda_topics",
         # the 12th gate runs two full foreachBatch legs per pass
         "evt_mart_restart_stream",
+        # the 13th gate pays the staged-files + checkpoint floor
+        "evt_hll_stream",
     ]
     warm_first: dict[str, float] = {}
     for name in (n for n in WARMUP_EXTRA if n in extras_to_run):

@@ -1021,3 +1021,111 @@ def evt_mart_restart_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = latest_version()
     assert final is not None
     return spark.read.parquet(final)
+
+
+# ------------------------------------------------------ evt_hll_stream
+
+HLL_STREAM_SPLITS = 3
+HLL_STREAM_ERR_CAP_BP = 800  # 4-sigma cap at lgConfigK=12, matching the
+# batch sketch contracts (agg_hll_error_contract); at gate-scale
+# cardinalities the Datasketches HLL is still in sparse/exact mode and
+# the realized error is 0 bp — the cap is the production bound
+
+
+@REG.op(
+    "evt_hll_stream",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           {HLL_STREAM_ERR_CAP_BP} AS err_cap_bp,
+           TRUE AS stream_est_ok,
+           TRUE AS matches_batch_sketch
+    FROM events GROUP BY 1
+    """,
+)
+def evt_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRTEENTH gate: incremental DISTINCT-COUNT maintenance with
+    the engine's NATIVE sketch family — the built-in-Datasketches
+    complement to evt_cms_stream's hand-rolled frequency table. Each
+    micro-batch sketches its per-type distinct users (hll_sketch_agg),
+    and foreachBatch merges the increment onto the running version by
+    re-aggregating the unioned sketch rows with hll_union_agg — the
+    mergeability agg_hll_union_rollup certifies batch-side, exercised
+    here across micro-batch boundaries where it actually earns its
+    keep (a re-scan-based distinct count would reprocess the whole
+    history every batch; the sketch merge touches bytes per group).
+
+    Certified per event type against the exact SQL distinct count:
+    the streamed sketch's estimate lands within the production error
+    cap, AND it agrees with the single-pass batch sketch over the same
+    rows within the same cap — a dropped batch, a double-merged
+    increment, or a sketch-state corruption flips the booleans.
+    State bound: one sketch blob per event type, stream-length-
+    independent, no watermark (sketch union is a monoid, the
+    evt_cms_stream argument with the engine's own sketch algebra)."""
+    stage = _stage_events_split(sf_dir, HLL_STREAM_SPLITS)
+    root = Path(fresh_dir("cae_stream_hllv_"))
+    ckpt = fresh_dir("cae_stream_ckpt_")
+    versions: list[str] = []
+
+    stream = streaming.read_events_stream(
+        spark, stage, max_files_per_trigger=1
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        inc = batch_df.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        )
+        if versions:
+            prev = batch_df.sparkSession.read.parquet(versions[-1])
+            inc = (
+                prev.unionByName(inc)
+                .groupBy("event_type")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        v = str(root / f"v{len(versions):03d}")
+        inc.write.mode("overwrite").parquet(v)
+        versions.append(v)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if len(versions) < 2:
+        raise RuntimeError(
+            f"hll stream produced {len(versions)} versions — expected one "
+            f"per staged file ({HLL_STREAM_SPLITS})"
+        )
+    streamed = spark.read.parquet(versions[-1]).select(
+        "event_type", F.hll_sketch_estimate("sk").alias("stream_est")
+    )
+    from claim_analysis_engine_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    batch = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("batch_est"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    cap = F.lit(HLL_STREAM_ERR_CAP_BP)
+    return streamed.join(batch, "event_type").select(
+        "event_type",
+        "exact_users",
+        cap.alias("err_cap_bp"),
+        (
+            F.abs(F.col("stream_est") - F.col("exact_users")) * 10000
+            <= cap * F.col("exact_users")
+        ).alias("stream_est_ok"),
+        (
+            F.abs(F.col("stream_est") - F.col("batch_est")) * 10000
+            <= cap * F.col("exact_users")
+        ).alias("matches_batch_sketch"),
+    )

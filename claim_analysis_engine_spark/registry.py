@@ -417,6 +417,7 @@ ROUND10_FRONT: tuple[str, ...] = (
 #   flt_eq (incremental-span rotation)
 #   flt_isin (dp-release rotation)
 #   flt_notnull (mart-restart-gate rotation)
+#   etl_preprocess (hll-stream-gate rotation)
 # — then the next-oldest r5 certifications, plus round-12 additions,
 # oracle-bearing before rows-only, as always.
 ROUND11_FRONT: tuple[str, ...] = (
@@ -461,6 +462,7 @@ ROUND11_FRONT: tuple[str, ...] = (
     "dedup_span_incremental",
     "agg_dp_release",
     "evt_mart_restart_stream",
+    "evt_hll_stream",
     # --- recycled: the oldest certifications in the repo (r1/r2) ---
     "f_datediff",
     "f_month_trunc",
@@ -474,5 +476,4 @@ ROUND11_FRONT: tuple[str, ...] = (
     "f_date_ms",
     # --- recycled: next-oldest r4 certifications, registry order ---
     "src_parquet_cols",
-    "etl_preprocess",
 )
