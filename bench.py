@@ -234,41 +234,99 @@ EXTRA = [
     "evt_hll_stream",
 ]
 
+# Machine-readable exclusion ledger (r11 verdict ask): every op that is
+# DELIBERATELY not timed, with the measured reason — written into
+# BENCH_DETAIL.json as `excluded` so the committed artifact itself
+# shows what is missing from the timing and why. The inline comments
+# above carry the full measurements; this map is the durable summary.
+# (Ops simply not yet promoted into EXTRA are not listed — exclusion
+# is a decision, absence is a backlog.)
+EXCLUDED: dict[str, str] = {
+    "txt_containment_prefix": (
+        "corpus property, not a plan flaw: the synthetic 2,041-shingle "
+        "vocabulary makes candidate pairs dense (~12M at sf0.1), "
+        "~33 s/pass; the identical pipeline on a Zipf fixture IS timed "
+        "(txt_containment_sparse)"
+    ),
+    "graph_pagerank": (
+        "10 power-iteration rounds cost ~6.5 s warm at sf0.1 "
+        "(iterative tiny-frame floor, like the CC fixpoint) and would "
+        "dominate the pass; correctness gate covers it"
+    ),
+    "sim_ivf_train_contract": (
+        "re-runs full Lloyd training per invocation by design (the "
+        "history is the product); median-of-3 would charge 3 trainings "
+        "(~30+ s at sf0.1) to a correctness instrument"
+    ),
+    "dedup_minhash_mllib": (
+        "MLlib MinHashLSH only OR-combines r=1 tables, so the dense "
+        "synthetic corpus admits nearly all pairs: 27.5 s/pass at "
+        "sf0.1 vs ~1.3 s for the banded xxhash64 path; certified at "
+        "sf0.01 (~4 s)"
+    ),
+    "dedup_minhash_mllib_contract": (
+        "ground truth is an all-pairs instrument (see "
+        "dedup_minhash_mllib + sim_ivf_train_contract precedents)"
+    ),
+    "dedup_semantic_contract": (
+        "all-pairs truth recompute ~170 s at sf0.1 — timing it "
+        "measures the instrument, not the op"
+    ),
+    "ep12_embed_recall_contract": (
+        "brute-force exact top-k truth per invocation — instrument "
+        "cost, decided at the correctness gate"
+    ),
+    "ml_champion4_contract": (
+        "reruns the numpy tuning fanout beside the memoized board — "
+        "instrument cost"
+    ),
+}
 
-# Stage every cae_* temp dir this process creates under ONE
-# per-invocation parent: operators allocate scratch via
-# tempfile.mkdtemp(prefix="cae_..."), which honors tempfile.tempdir,
-# so pointing it at cae_bench_<pid>_* confines this run's staging to a
-# directory no concurrent pytest/bench process touches. The end-of-run
-# sweep removes exactly that parent — a snapshot-diff over the global
-# cae_* glob (the previous scheme) still raced: it deleted any cae_*
-# dir a CONCURRENT process created after our snapshot (live
-# checkpoint/stage dirs).
-import tempfile  # noqa: E402
 
-_BENCH_TMP_PARENT = tempfile.mkdtemp(prefix=f"cae_bench_{os.getpid()}_")
-tempfile.tempdir = _BENCH_TMP_PARENT
-
-# The end-of-main sweep never runs if the process is killed mid-bench
-# (a timed-out CI wrapper SIGTERMs it and the 40 MB staging parent
-# orphans — observed). atexit covers normal exit AND exceptions;
-# translating SIGTERM into SystemExit routes graceful termination
-# through the same path. SIGKILL still leaks, unavoidably.
 import atexit  # noqa: E402
 import shutil as _shutil  # noqa: E402
 import signal  # noqa: E402
+import tempfile  # noqa: E402
 
-atexit.register(_shutil.rmtree, _BENCH_TMP_PARENT, ignore_errors=True)
+# Set by _install_staging(); stays None on a bare import so no sweep
+# can ever target the real system tempdir.
+_BENCH_TMP_PARENT: str | None = None
 
 
-def _graceful_term(signum, frame):  # noqa: ARG001
-    raise SystemExit(143)
+def _install_staging() -> None:
+    """Stage every cae_* temp dir this process creates under ONE
+    per-invocation parent: operators allocate scratch via
+    tempfile.mkdtemp(prefix="cae_..."), which honors tempfile.tempdir,
+    so pointing it at cae_bench_<pid>_* confines this run's staging to
+    a directory no concurrent pytest/bench process touches. The
+    end-of-run sweep removes exactly that parent — a snapshot-diff over
+    the global cae_* glob (the previous scheme) still raced: it deleted
+    any cae_* dir a CONCURRENT process created after our snapshot (live
+    checkpoint/stage dirs).
 
+    The end-of-main sweep never runs if the process is killed mid-bench
+    (a timed-out CI wrapper SIGTERMs it and the 40 MB staging parent
+    orphans — observed). atexit covers normal exit AND exceptions;
+    translating SIGTERM into SystemExit routes graceful termination
+    through the same path. SIGKILL still leaks, unavoidably.
 
-signal.signal(signal.SIGTERM, _graceful_term)
+    Called from main(), NOT at import: a harness that imports bench.py
+    for the HEADLINE/EXTRA lists must not have its SIGTERM handler
+    replaced or its tempdir redirected as a side effect of the import.
+    """
+    global _BENCH_TMP_PARENT
+    _BENCH_TMP_PARENT = tempfile.mkdtemp(prefix=f"cae_bench_{os.getpid()}_")
+    tempfile.tempdir = _BENCH_TMP_PARENT
+    atexit.register(_shutil.rmtree, _BENCH_TMP_PARENT, ignore_errors=True)
+
+    def _graceful_term(signum, frame):  # noqa: ARG001
+        raise SystemExit(143)
+
+    signal.signal(signal.SIGTERM, _graceful_term)
 
 
 def main() -> None:
+    _install_staging()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="cae-bench")
@@ -473,6 +531,7 @@ def main() -> None:
         "queries": queries,
         "runs_per_query": {"headline": N_RUNS_HEADLINE, "extra": N_RUNS_EXTRA},
         "cold": cold,
+        "excluded": EXCLUDED,
         "methodology": methodology,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "metric": "headline_total_runtime",
@@ -541,11 +600,13 @@ def main() -> None:
     # The e2e/sink/streaming ops each stage into fresh cae_*-prefixed
     # temp dirs per query() call — ×3 runs that's dozens of abandoned
     # dirs per bench invocation. They all live under this run's private
-    # parent (tempfile.tempdir override above), so the sweep is one
-    # rmtree that cannot touch any other process's staging.
+    # parent (_install_staging's tempfile.tempdir override), so the
+    # sweep is one rmtree that cannot touch any other process's
+    # staging. The atexit hook registered there covers abnormal exits.
     import shutil
 
-    shutil.rmtree(_BENCH_TMP_PARENT, ignore_errors=True)
+    if _BENCH_TMP_PARENT is not None:
+        shutil.rmtree(_BENCH_TMP_PARENT, ignore_errors=True)
 
 
 if __name__ == "__main__":

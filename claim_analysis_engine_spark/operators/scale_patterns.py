@@ -1276,9 +1276,21 @@ CMS_D = 4          # sketch depth (independent hash rows)
 CMS_TOP_K = 20     # heavy hitters certified against exact counts
 # one-sided overestimate slack: a CountMin row overestimates a key by
 # the colliding mass in its bucket — E[excess] = N/W per row, and the
-# min over D rows exceeds ceil(3N/W) with probability < (1/3)^D
-# (Markov per row, rows independent). Integer arithmetic so both
-# engines agree exactly.
+# min over D rows exceeds ceil(3N/W) with probability < (1/3)^D per
+# key (Markov per row, rows independent). The gate hard-codes the
+# slack boolean TRUE in the shared oracle, so its failure budget must
+# be understood: the Markov UNION bound over the top-20 certified keys
+# is 20*(1/3)^4 ~ 25%, which sounds alarming but is loose by orders of
+# magnitude — Markov charges the whole row's expected mass to one
+# tail, while the actual excess is a sum over ~n_keys/W independent
+# light colliders (Chernoff-concentrated around N/W) plus a heavy
+# collider only with probability ~ top_k/W per row, ^D across rows
+# (~1e-8 at these shapes). tests/test_scale_patterns.py pins the
+# MEASURED worst-key excess at <= 1x N/W on both committed scale
+# factors, a 3x margin under the certified bound, so a new sf would
+# have to triple the observed collision mass before the hard-coded
+# TRUE could trip. Integer arithmetic (SQL `div`) so both engines
+# agree exactly on the ceil((3N + W - 1)/W) bound.
 CMS_SLACK_NUM = 3
 
 
@@ -1333,11 +1345,16 @@ def _cms_certify(ev: DataFrame, table: DataFrame) -> DataFrame:
         "user_id",
         F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
         (F.col("cms_est") >= F.col("exact_cnt")).alias("cms_ge_exact"),
+        # ceil(SLACK*N/W) in pure bigint arithmetic: `div` is SQL
+        # integral division, so the bound is exactly the documented
+        # ceiling — `/` here would be double division on bigints,
+        # a (slightly looser) float bound masquerading as the ceil
         (
             F.col("cms_est")
             <= F.col("exact_cnt")
-            + (F.lit(CMS_SLACK_NUM) * F.col("n_total") + F.lit(CMS_W - 1))
-            / F.lit(CMS_W)
+            + F.expr(
+                f"({CMS_SLACK_NUM} * n_total + {CMS_W - 1}) div {CMS_W}"
+            )
         ).alias("cms_within_slack"),
     )
 

@@ -2597,8 +2597,19 @@ def _lda_fit(spark: SparkSession, sf_dir: str):
     memo_key = session_memo_key(spark, sf_dir)
     if memo_key in _LDA_MEMO:
         return _LDA_MEMO[memo_key]
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.array_remove(F.split("text", " "), "").alias("words")
+    # Model ONLY docs with >= 1 whitespace token: the contract oracle's
+    # n_docs_modeled is count(DISTINCT doc_id) over unnested non-empty
+    # tokens, which an empty/whitespace-only document never reaches —
+    # without this filter the Spark side would count the transform row
+    # such a doc still gets (and its all-zero tf can yield an invalid
+    # topicDistribution), hash-mismatching the gate on any corpus that
+    # contains one.
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.array_remove(F.split("text", " "), "").alias("words")
+        )
+        .where(F.size("words") > 0)
     )
     cv = CountVectorizer(
         inputCol="words", outputCol="tf", minDF=LDA_MIN_DF, vocabSize=1 << 18

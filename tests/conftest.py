@@ -21,8 +21,25 @@ def _suite_tmp_root():
     (round-10 verdict: dozens of orphaned cae_spark_* trees per suite).
     tmputil's lazy per-process parent is created under whatever
     tempfile.tempdir is active at first use, so it nests here too."""
+    import glob
     import shutil
     import tempfile
+    import time
+
+    # Stale-parent sweep (r11 verdict): a KILLED suite never reaches
+    # the teardown rmtree, orphaning its parent. Any cae_suite_tmp_*
+    # older than 2h cannot belong to a live run (full suite ~25 min),
+    # so reap it at the next session start. Age-gating keeps a
+    # concurrent fresh run's staging safe.
+    cutoff = time.time() - 2 * 3600
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), "cae_suite_tmp_*")
+    ):
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass  # vanished mid-scan — someone else's teardown won
 
     parent = tempfile.mkdtemp(prefix="cae_suite_tmp_")
     old = tempfile.tempdir

@@ -166,6 +166,48 @@ def test_minhash_lsh_fast_recall_and_precision(spark, duck):
     assert recall >= 0.9, f"fast-LSH recall {recall:.2f} over {len(high)} true pairs"
 
 
+def test_mllib_hashed_jaccard_divergence_anchors_contract_slack(spark, duck):
+    """The r11 ADVICE ask: dedup_lsh_fast_contract /
+    dedup_minhash_mllib_contract relaxed their precision threshold by
+    1e-3 to absorb hashed-shingle divergence — anchor that slack to the
+    MEASURED quantity so it can't silently grow. The hashing-trick path
+    (HashingTF at 2^18 features) is the only one with real divergence:
+    measure max |emitted hashed-set J - exact string-shingle J| over
+    every emitted pair and assert it sits two orders of magnitude
+    inside the slack (documented ~3e-5; emitted values carry a round-6,
+    so the measurable bound is divergence + 5e-7)."""
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        dedup_minhash_mllib,
+    )
+
+    exact = {
+        (a, b): j
+        for a, b, j in duck.execute(
+            """
+            WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(1, length(text) - 4)),
+                       i -> substr(text, i, 5))) AS s
+              FROM documents)
+            SELECT a.doc_id, b.doc_id,
+                   len(list_intersect(a.s, b.s)) * 1.0
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            """
+        ).fetchall()
+    }
+    found = dedup_minhash_mllib(spark, SF_ORACLE).collect()
+    assert found
+    worst = max(abs(r.jaccard - exact[(r.doc_a, r.doc_b)]) for r in found)
+    # the contracts' slack constant, and the measured anchor under it
+    assert worst < 1e-3, f"divergence {worst:.2e} breaches the 1e-3 slack"
+    assert worst < 1e-4, (
+        f"measured hashed-J divergence {worst:.2e} grew past 1e-4 — "
+        "the contracts' 1e-3 slack is no longer two orders of margin; "
+        "re-measure before trusting the relaxed precision threshold"
+    )
+
+
 def test_simhash_fast_pigeonhole_recall_is_exact(spark):
     """The 64-bit xxhash64 production geometry: 4 disjoint 16-bit
     blocks, so a pair within Hamming <= 3 shares at least one block —

@@ -115,6 +115,21 @@ def test_sampling_front_is_duplicate_free_and_leads_the_registry():
     assert list(registry())[: len(ROUND11_FRONT)] == list(ROUND11_FRONT)
 
 
+def test_bench_exclusion_ledger_is_consistent_with_the_registry():
+    """The BENCH_DETAIL `excluded` map (r11 verdict ask) must stay
+    honest: every excluded id is a real registered op, no excluded op
+    is simultaneously timed, and every id carries a non-empty reason."""
+    import bench
+    from claim_analysis_engine_spark.registry import registry
+
+    reg = registry()
+    timed = set(bench.HEADLINE) | set(bench.EXTRA)
+    for op_id, reason in bench.EXCLUDED.items():
+        assert op_id in reg, f"excluded id {op_id!r} is not a registered op"
+        assert op_id not in timed, f"{op_id!r} is both excluded and timed"
+        assert reason.strip(), f"{op_id!r} has no exclusion reason"
+
+
 def test_dq_expectations_fire_on_planted_violations(spark):
     """The all-pass oracle result on clean testdata proves agreement,
     not sensitivity — here every violation class is planted once and

@@ -13,7 +13,7 @@ from claim_analysis_engine_spark.operators.similarity import (
 )
 
 
-def _planted_corpus(spark, tmp_path) -> str:
+def _planted_corpus(spark, tmp_path, with_empty_docs: bool = False) -> str:
     # 3 pools of 12 disjoint words; 30 docs of 24 words cycling their
     # pool (deterministic index arithmetic — no RNG)
     rows = []
@@ -21,6 +21,11 @@ def _planted_corpus(spark, tmp_path) -> str:
         pool = d % 3
         words = [f"t{pool}w{(d * 7 + j) % 12}" for j in range(24)]
         rows.append((d, " ".join(words), "en", "t", 120))
+    if with_empty_docs:
+        # the corpus shapes the contract must survive: a zero-length
+        # text and a whitespace-only text (zero tokens either way)
+        rows.append((90, "", "en", "t", 0))
+        rows.append((91, "   ", "en", "t", 3))
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -63,6 +68,36 @@ def test_lda_separates_planted_disjoint_pools(spark, tmp_path):
     purity = sum(r["count"] for r in maj) / 30.0
     assert len(set(majority_topics.values())) == LDA_K
     assert purity >= 0.8
+
+
+def test_lda_contract_survives_empty_and_whitespace_docs(spark, tmp_path):
+    """The r11 ADVICE gap: the oracle's n_docs_modeled counts docs with
+    >= 1 whitespace token, so an empty/whitespace-only document must be
+    excluded from the fit — otherwise the Spark side counts its
+    transform row and the gate hash-mismatches. Full oracle replay on a
+    corpus that PLANTS both shapes."""
+    import duckdb
+
+    from claim_analysis_engine_spark.registry import registry
+    from tests.oracle_harness import compare
+
+    sf = _planted_corpus(spark, tmp_path, with_empty_docs=True)
+    op = registry()["ml_lda_contract"]
+    con = duckdb.connect()
+    # Spark writes a DIRECTORY; DuckDB needs the part-file glob
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    try:
+        result = op.query(spark, sf).toPandas()
+        ok, msg = compare(result, con, op.oracle)
+        assert ok, msg
+        # the planted empty docs are genuinely excluded, not coincidence
+        assert int(result["n_docs_modeled"].iloc[0]) == 30
+        assert bool(result["doc_distributions_valid"].iloc[0])
+    finally:
+        con.close()
 
 
 def test_lda_topics_report_shape(spark, tmp_path):

@@ -520,6 +520,54 @@ def test_cms_tables_merge_by_union_resum(spark):
     assert diff == 0
 
 
+def test_cms_measured_excess_stays_under_certified_slack_for_all_keys(spark):
+    """Anchor the hard-coded-TRUE slack boolean to a MEASURED quantity
+    (the r11 ADVICE ask): the worst per-key excess of the min-over-rows
+    estimate over the exact count, across ALL keys — a population
+    hundreds of times larger than the contract's top-20 — stays under
+    the certified ceil(3N/W) bound on both committed scale factors
+    (measured: 0 vs bound 15 at sf0.01; 82 vs 147 at sf0.1, i.e.
+    worst-of-ALL-keys ~1.7x N/W where the bound allows 3x). The
+    20 certified keys are a uniform draw from this population hash-wise,
+    so a new sf or hash change would have to push the corpus-wide worst
+    past a bound currently clearing it by ~1.8x before the oracle's
+    hard-coded TRUE could trip — and the erosion shows up HERE first."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators.scale_patterns import (
+        CMS_W,
+        _cms_depth_col,
+        _cms_bucket_col,
+        _cms_table,
+    )
+    from claim_analysis_engine_spark.tables import load
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        ev = load(spark, sf, "events").select("user_id")
+        table = _cms_table(ev)
+        exact = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("exact_cnt")
+        )
+        est = (
+            exact.select("user_id", "exact_cnt", _cms_depth_col())
+            .select("user_id", "exact_cnt", "i", _cms_bucket_col())
+            .join(F.broadcast(table), ["i", "bucket"])
+            .groupBy("user_id", "exact_cnt")
+            .agg(F.min("cnt").alias("est"))
+        )
+        row = est.agg(
+            F.max(F.col("est") - F.col("exact_cnt")).alias("worst_excess")
+        ).crossJoin(
+            F.broadcast(ev.agg(F.count(F.lit(1)).alias("n")))
+        ).first()
+        bound = (3 * row["n"] + CMS_W - 1) // CMS_W
+        assert row["worst_excess"] <= bound, (
+            f"{sf}: worst excess {row['worst_excess']} exceeds the "
+            f"certified ceil(3N/W) bound ({bound}) even corpus-wide — "
+            "the hard-coded slack TRUE is no longer safe"
+        )
+
+
 def test_cms_table_size_is_stream_length_independent(spark):
     """The sketch's defining scale property as a golden: a 10x larger
     event stream (sf0.01 -> sf0.1) may not grow the sketch table past
