@@ -670,3 +670,188 @@ def ml_champion4_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pooled_present",
         )
     )
+
+
+# ------------------------------------- ep14: forecast by elected champion
+
+# finished (keys × HORIZON) forecast rows per (session, sf_dir): the
+# e2e op and its contract pay the per-series champion refit once
+_EP14_MEMO: dict[tuple, tuple] = {}
+
+
+def _ep14_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared engine for ep14_champion_forecast_e2e + contract: take
+    the 4-way election's winner per series and emit THAT model's
+    HORIZON-month forecast with ±1.96·RMSE bands.
+
+    * numpy-family champions (hw / laglin / snaive) refit on the FULL
+      series with their tuned params before forecasting — exactly the
+      reference's champion lifecycle (trainer.py:548-570: refit on all
+      data, then forecast), via one applyInPandas fanout that fits ONLY
+      the elected family per series (cheaper than the election itself,
+      which tunes every family).
+    * gbt_mllib champions reuse the pooled model's session forecast:
+      its recursion already runs from the FULL history (the train-span
+      fit + full-history recursion is the pooled design — one model,
+      honest backtest), so its production forecast IS the full-series
+      forecast; a semi-join selects the elected keys.
+
+    Scale: the election board is keys × 4 broadcast DATA; the numpy
+    fanout is the embarrassingly-parallel per-series shape
+    (fanout_apply's packing defeats AQE's bytes-only coalescing); the
+    pooled side is a keys-sized semi-join against a memoized frame."""
+    import numpy as np
+    import pandas as pd
+
+    from claim_analysis_engine_spark import forecast_models as fm
+    from claim_analysis_engine_spark.operators.tsforecast import HORIZON as H
+    from claim_analysis_engine_spark.tables import fanout_apply, session_memo_key
+
+    memo_key = session_memo_key(spark, sf_dir)
+    if memo_key in _EP14_MEMO:
+        rows, schema = _EP14_MEMO[memo_key]
+        return spark.createDataFrame(rows, schema)
+
+    board = (
+        ml_champion4(spark, sf_dir)
+        .where(F.col("is_champion"))
+        .select("status", "priority", "model")
+    )
+    gbt_fc = _gbt_forecast_frame(spark, sf_dir).join(
+        board.where(F.col("model") == "gbt_mllib").drop("model"),
+        ["status", "priority"],
+        "left_semi",
+    )
+    np_board = board.where(F.col("model") != "gbt_mllib")
+    s = _series(spark, sf_dir).join(
+        F.broadcast(np_board), ["status", "priority"]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month")
+        y = pdf["n"].to_numpy(dtype=float)
+        name = pdf["model"].iloc[0]
+        params, test_rmse = fm.tune_model(name, y)
+        model = fm.slot_factory(name)(**params).fit(y)
+        fc = model.predict(H)
+        lo, hi = fm.confidence_interval(fc, test_rmse)
+        return pd.DataFrame(
+            {
+                "status": pdf["status"].iloc[0],
+                "priority": pdf["priority"].iloc[0],
+                "h": np.arange(1, H + 1),
+                "yhat": np.round(fc, 4),
+                "ci_lo": np.round(lo, 4),
+                "ci_hi": np.round(hi, 4),
+                "model": name,
+            }
+        )
+
+    np_fc = fanout_apply(
+        s,
+        ["status", "priority"],
+        run,
+        "status string, priority string, h int, yhat double, "
+        "ci_lo double, ci_hi double, model string",
+    )
+    out = np_fc.unionByName(gbt_fc)
+    rows, schema = out.collect(), out.schema  # keys × HORIZON — bounded
+    if len(_EP14_MEMO) >= _GBT_MEMO_MAX:
+        _EP14_MEMO.pop(next(iter(_EP14_MEMO)))
+    _EP14_MEMO[memo_key] = (rows, schema)
+    return spark.createDataFrame(rows, schema)
+
+
+@REG.op("ep14_champion_forecast_e2e")  # rows-only: yhat comes from the
+# elected fitted model (learned state); structure + election agreement
+# are hash-certified by ep14_champion_forecast_contract below
+def ep14_champion_forecast_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last seam in the forecasting story closed (r11 verdict #3):
+    the 4-way election (ml_champion4) PICKS a winner per series, and
+    this op EMITS that winner's forecast — champion refit on the full
+    series, {HORIZON}-month horizon, ±1.96·RMSE bands clipped at 0 —
+    the reference's champion lifecycle (trainer.py:548-570) composed
+    with the distributed election. One row per (series, horizon) with
+    the elected model's name on every row."""
+    return _ep14_frame(spark, sf_dir)
+
+
+@REG.op(
+    "ep14_champion_forecast_contract",
+    oracle=_SERIES_CTE
+    + f"""
+    , months AS (SELECT count(*) AS m FROM spine)
+    SELECT k.status, k.priority,
+           CAST({HORIZON} AS BIGINT) AS n_horizons,
+           true AS h_complete,
+           true AS model_matches_election,
+           true AS band_const,
+           true AS lo_clipped_sym,
+           true AS band_ordered
+    FROM keys k, months WHERE m >= {MIN_MONTHS}
+    """,
+)
+def ep14_champion_forecast_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-certified contract for the champion-forecast lifecycle
+    (the ep3_forecast_contract pattern — learned yhat stays rows-only,
+    the claims about it become certified booleans): every series on
+    the zero-filled grid emits EXACTLY {HORIZON} horizon rows (h a
+    complete 1..{HORIZON}); every emitted row's model equals the
+    election's is_champion row for that series (the seam this op
+    exists to close — a forecast from a non-elected model flips the
+    VALUE); and the CI arithmetic holds (reference pages/4:321-324):
+    constant upper margin per series, ci_lo = max(0, 2*yhat - ci_hi),
+    ci_lo <= ci_hi. Eligibility mirrors ml_champion4_contract: rows
+    exist only when the spine trains the pooled entrant
+    (m >= {MIN_MONTHS}), which the oracle recomputes from the shared
+    series CTE. Tolerances are 1e-3 against the op's 4-dp rounding."""
+    s = _lag_features(_series(spark, sf_dir))
+    m = s.agg(F.max("idx")).first()[0]
+    empty_schema = (
+        "status string, priority string, n_horizons bigint, "
+        "h_complete boolean, model_matches_election boolean, "
+        "band_const boolean, lo_clipped_sym boolean, band_ordered boolean"
+    )
+    if m is None or m < MIN_MONTHS:  # the oracle's eligibility mirror
+        return spark.createDataFrame([], empty_schema)
+    out = _ep14_frame(spark, sf_dir)
+    board = (
+        ml_champion4(spark, sf_dir)
+        .where(F.col("is_champion"))
+        .select("status", "priority", F.col("model").alias("champ_model"))
+    )
+    hi_margin = F.col("ci_hi") - F.col("yhat")
+    lo_expect = F.greatest(
+        F.lit(0.0), F.lit(2.0) * F.col("yhat") - F.col("ci_hi")
+    )
+    per = (
+        out.join(F.broadcast(board), ["status", "priority"], "left")
+        .groupBy("status", "priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_horizons"),
+            F.array_sort(F.collect_list("h")).alias("hs"),
+            F.min(
+                (F.col("model") == F.col("champ_model")).cast("int")
+            ).alias("match_min"),
+            (F.max(hi_margin) - F.min(hi_margin)).alias("margin_spread"),
+            F.max(F.abs(F.col("ci_lo") - lo_expect)).alias("lo_err"),
+            F.min((F.col("ci_lo") <= F.col("ci_hi")).cast("int")).alias(
+                "ord_min"
+            ),
+        )
+    )
+    return per.select(
+        "status",
+        "priority",
+        "n_horizons",
+        (
+            F.col("hs")
+            == F.array(*[F.lit(i) for i in range(1, HORIZON + 1)])
+        ).alias("h_complete"),
+        (F.col("match_min") == 1).alias("model_matches_election"),
+        (F.col("margin_spread") < 1e-3).alias("band_const"),
+        (F.col("lo_err") < 1e-3).alias("lo_clipped_sym"),
+        (F.col("ord_min") == 1).alias("band_ordered"),
+    )

@@ -183,3 +183,54 @@ def test_champion4_pooled_entry_uses_the_shared_training(spark):
         if r.model == "gbt_mllib"
     }
     assert board_rmse == memo_rmse
+
+
+def test_ep14_emits_exactly_the_elected_champion_per_series(spark):
+    """The seam ep14 closes, asserted directly: the per-series model on
+    every forecast row equals the election's is_champion row, every
+    elected series emits exactly HORIZON rows, and the bands are
+    ordered with the documented clip-at-zero symmetry."""
+    champs = {
+        (r.status, r.priority): r.model
+        for r in mf.ml_champion4(spark, SF_SMALL).collect()
+        if r.is_champion
+    }
+    rows = mf.ep14_champion_forecast_e2e(spark, SF_SMALL).collect()
+    assert rows, "no forecast emitted"
+    per_series: dict[tuple, list] = {}
+    for r in rows:
+        key = (r.status, r.priority)
+        assert champs[key] == r.model, (key, r.model, champs[key])
+        assert r.ci_lo <= r.ci_hi
+        assert abs(r.ci_lo - max(0.0, 2 * r.yhat - r.ci_hi)) < 1e-3
+        per_series.setdefault(key, []).append(r.h)
+    assert set(per_series) == set(champs), "series set drifted"
+    for key, hs in per_series.items():
+        assert sorted(hs) == [1, 2, 3], key
+
+
+def test_ep14_contract_flips_on_a_non_elected_model(spark, monkeypatch):
+    """Sensitivity: swap the emitted forecast's model name on one
+    series (the shape of a lifecycle bug where the forecast comes from
+    a non-elected family) and model_matches_election must flip — the
+    contract watches the seam, not just the shape."""
+    from pyspark.sql import functions as F
+
+    real = mf._ep14_frame
+
+    def swapped(spark_, sf_dir):
+        out = real(spark_, sf_dir)
+        first = out.select("status", "priority").first()
+        return out.withColumn(
+            "model",
+            F.when(
+                (F.col("status") == first["status"])
+                & (F.col("priority") == first["priority"]),
+                F.lit("not_the_champion"),
+            ).otherwise(F.col("model")),
+        )
+
+    monkeypatch.setattr(mf, "_ep14_frame", swapped)
+    rows = mf.ep14_champion_forecast_contract(spark, SF_SMALL).collect()
+    bad = [r for r in rows if not r.model_matches_election]
+    assert len(bad) == 1, "exactly the swapped series must flip"
