@@ -1129,3 +1129,225 @@ def evt_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= cap * F.col("exact_users")
         ).alias("matches_batch_sketch"),
     )
+
+
+# --------------------------------------------------- evt_span_dedup_stream
+
+SPAN_STREAM_SPLITS = 3  # arrival waves staged as one file per micro-batch
+
+
+def _span_stream_oracle() -> str:
+    """The streaming semantic as one SQL statement: an arrival doc
+    (doc_id % MOD == 0, wave b = (doc_id div MOD) % SPLITS) is checked
+    against the gram set of the OLD corpus plus every EARLIER wave —
+    first_b encodes when each gram entered the index (old corpus = -1;
+    an arrival gram becomes visible only to waves strictly AFTER its
+    own, because the maintainer appends a wave's grams after stripping
+    it). Islands/spans as in dedup_span_incremental."""
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        SPAN_GRAM,
+        SPAN_INC_MOD,
+        _SPAN_TOKS_SQL,
+    )
+
+    mod, k = SPAN_INC_MOD, SPAN_GRAM
+    return f"""
+    WITH t AS (SELECT doc_id, {_SPAN_TOKS_SQL} AS toks FROM documents),
+    p AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - {k - 1})) AS pos
+          FROM t WHERE len(toks) >= {k}),
+    g AS (SELECT doc_id, pos,
+                 md5(array_to_string(toks[pos:pos + {k - 1}], ' ')) AS h
+          FROM p),
+    idx AS (SELECT h,
+                   min(CASE WHEN doc_id % {mod} <> 0 THEN -1
+                            ELSE (doc_id // {mod}) % {SPAN_STREAM_SPLITS}
+                       END) AS first_b
+            FROM g GROUP BY h),
+    d AS (SELECT g.doc_id, g.pos FROM g
+          JOIN idx USING (h)
+          WHERE g.doc_id % {mod} = 0
+            AND idx.first_b < (g.doc_id // {mod}) % {SPAN_STREAM_SPLITS}),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS grp
+            FROM d),
+    runs AS (SELECT doc_id, min(pos) AS span_start,
+                    max(pos) + {k - 1} AS span_end
+             FROM isl GROUP BY doc_id, grp)
+    SELECT r.doc_id,
+           CAST((r.doc_id // {mod}) % {SPAN_STREAM_SPLITS} AS INT)
+             AS arrival_batch,
+           CAST(r.span_start AS BIGINT) AS span_start,
+           CAST(r.span_end AS BIGINT) AS span_end,
+           CAST(r.span_end - r.span_start + 1 AS BIGINT) AS span_tokens,
+           md5(array_to_string(t.toks[r.span_start:r.span_end], ' '))
+             AS span_md5
+    FROM runs r JOIN t USING (doc_id)
+    """
+
+
+def _install_span_stream_oracle() -> None:
+    """The oracle interpolates dedup_text's span constants, so it is
+    built by a call at module bottom (the _install_scd2_oracle pattern)
+    rather than at decoration time — keeping every dedup_text import
+    function-local and the constants single-sourced."""
+    op = REG.ops["evt_span_dedup_stream"]
+    REG.ops["evt_span_dedup_stream"] = type(op)(
+        op.id, op.query, _span_stream_oracle(), op.doc
+    )
+
+
+@REG.op("evt_span_dedup_stream")  # oracle installed below (deferred
+# import); the driver and parity suite both see the final SQL
+def evt_span_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOURTEENTH streaming gate — substring dedup as a streaming
+    maintainer, composing round 11's span family with the foreachBatch
+    index pattern (the crawler-ingest shape dedup_span_incremental's
+    docstring promises): arrival docs (doc_id % MOD == 0) are staged
+    as {SPAN_STREAM_SPLITS} wave files replayed one per micro-batch
+    (maxFilesPerTrigger=1, mtimes force wave order); a PERSISTED gram
+    index starts as the old corpus's distinct gram hashes, each wave
+    is span-stripped against the index AS OF ITS ARRIVAL (left_semi on
+    the gram hash, gaps-and-islands per doc — dedup_span_incremental's
+    exact join, per batch), and the wave's own grams are appended to
+    the index AFTER stripping — so docs arriving together never check
+    against each other (no new-vs-new within a wave), while later
+    waves see everything before them. The oracle reproduces the full
+    arrival-order semantic relationally (first_b strictly-less rule),
+    so the driver hash certifies actual incremental maintenance, not
+    a batch stand-in.
+
+    Scale: the index is the append-only distinct-gram table (grows
+    with corpus novelty, not stream length — Heaps-sublinear); each
+    micro-batch's work is arrival-sized grams semi-joined against it
+    on the uniform md5 key; islands window only the arriving docs.
+    Exactly the shape a crawler runs against an object-store gram
+    index, with the file source standing in for the bus."""
+    import time
+
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        SPAN_GRAM,
+        SPAN_INC_MOD,
+        _span_grams,
+    )
+    from claim_analysis_engine_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.array_remove(F.split("text", " "), "").alias("toks")
+
+    # stage: one parquet FILE per arrival wave, strictly increasing
+    # mtimes so the file source (oldest-first) replays wave order
+    import pandas as pd  # noqa: F401 — via pyarrow below
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stage = Path(fresh_dir("cae_stream_spanstage_"))
+    full = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    arrivals = full[full.doc_id % SPAN_INC_MOD == 0]
+    now = time.time()
+    for b in range(SPAN_STREAM_SPLITS):
+        wave = arrivals[(arrivals.doc_id // SPAN_INC_MOD) % SPAN_STREAM_SPLITS == b]
+        f = stage / f"wave-{b:03d}.parquet"
+        pq.write_table(pa.Table.from_pandas(wave, preserve_index=False), f)
+        os.utime(f, (now + 10 * b, now + 10 * b))
+
+    # the persisted gram index, seeded with the OLD corpus
+    index_root = fresh_dir("cae_stream_spanidx_")
+    old_g = (
+        _span_grams(
+            docs.where(F.col("doc_id") % SPAN_INC_MOD != 0).select(
+                "doc_id", toks
+            )
+        )
+        .select("h")
+        .distinct()
+    )
+    old_g.write.mode("overwrite").parquet(index_root)
+
+    result_dir = fresh_dir("cae_stream_spanout_")
+    ckpt = fresh_dir("cae_stream_ckpt_")
+    from pyspark.sql import Window as W
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        bdocs = batch_df.select("doc_id", toks)
+        g = _span_grams(bdocs)
+        idx = sess.read.parquet(index_root)
+        d = g.join(idx, "h", "left_semi").select("doc_id", "pos")
+        isl = d.select(
+            "doc_id",
+            "pos",
+            (
+                F.col("pos")
+                - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+            ).alias("grp"),
+        )
+        runs = isl.groupBy("doc_id", "grp").agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (SPAN_GRAM - 1)).alias("span_end"),
+        )
+        spans = runs.join(bdocs, "doc_id").select(
+            "doc_id",
+            F.expr(
+                f"CAST((doc_id div {SPAN_INC_MOD}) % {SPAN_STREAM_SPLITS} "
+                "AS INT)"
+            ).alias("arrival_batch"),
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("span_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "toks",
+                        F.col("span_start").cast("int"),
+                        (F.col("span_end") - F.col("span_start") + 1).cast(
+                            "int"
+                        ),
+                    ),
+                )
+            ).alias("span_md5"),
+        )
+        spans.write.mode("append").parquet(result_dir)
+        # index append AFTER stripping: this wave's grams become
+        # visible only to later waves (set semantics via the reader's
+        # left_semi; within-wave dups collapsed here)
+        g.select("h").distinct().write.mode("append").parquet(index_root)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    n_batches = 0
+
+    def counted(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        apply_batch(batch_df, batch_id)
+
+    try:
+        q = (
+            stream.writeStream.foreachBatch(counted)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if n_batches != SPAN_STREAM_SPLITS:
+        raise RuntimeError(
+            f"span dedup stream ran {n_batches} micro-batches — expected "
+            f"one per staged wave ({SPAN_STREAM_SPLITS})"
+        )
+    return spark.read.parquet(result_dir)
+
+
+_install_span_stream_oracle()

@@ -821,3 +821,73 @@ def test_mart_restart_splits_versions_across_the_boundary(spark):
     n_pre, n_post = evt_mart_restart_stream.versions
     assert 0 < n_pre < n_post
     assert n_post == MART_RESTART_SPLIT
+
+
+def test_span_dedup_stream_visibility_follows_arrival_order(spark, tmp_path):
+    """The 14th gate's defining semantics, planted: a passage shared by
+    two docs arriving in the SAME wave is flagged in NEITHER (no
+    new-vs-new within a micro-batch — the index appends only after the
+    wave is stripped); the same passage arriving again in a LATER wave
+    IS flagged (earlier waves joined the index); and a passage shared
+    with the OLD corpus is flagged from wave zero. Oracle replayed on
+    the planted corpus too, so the SQL first_b rule and the maintainer
+    agree beyond the synthetic sf tables."""
+    import duckdb
+
+    from claim_analysis_engine_spark.operators import streaming_gate as sg
+    from tests.oracle_harness import compare
+
+    def words(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    passage_p = words("pp", 9)   # arrivals-only shared passage
+    passage_q = words("qq", 9)   # shared with the old corpus
+    rows = [
+        # old corpus (doc_id % 5 != 0)
+        (1, words("oldone", 12), "en", "t", 0),
+        (2, words("leadq", 3) + " " + passage_q + " " + words("tailq", 3),
+         "en", "t", 0),
+        (3, words("oldthree", 12), "en", "t", 0),
+        # wave 0: id 15 -> (3) % 3 == 0; shares Q with old doc 2
+        (15, words("w0a", 4) + " " + passage_q + " " + words("w0b", 4),
+         "en", "t", 0),
+        # wave 1: ids 5 and 20 -> (1)%3 == (4)%3 == 1; share P with
+        # each other ONLY (same-wave arrivals)
+        (5, words("w1a", 4) + " " + passage_p, "en", "t", 0),
+        (20, passage_p + " " + words("w1b", 4), "en", "t", 0),
+        # wave 2: id 10 -> (2) % 3 == 2; P again, now previously seen
+        (10, words("w2a", 2) + " " + passage_p + " " + words("w2b", 2),
+         "en", "t", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = sg.evt_span_dedup_stream(spark, str(tmp_path))
+    got = {
+        r.doc_id: (r.arrival_batch, r.span_tokens) for r in out.collect()
+    }
+    # doc 15 flagged against the old corpus in wave 0 (9-token Q run)
+    assert got.get(15) == (0, 9), got
+    # same-wave sharers NEVER flag each other
+    assert 5 not in got and 20 not in got, got
+    # the later wave sees wave 1's grams
+    assert got.get(10) == (2, 9), got
+    assert set(got) == {15, 10}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    try:
+        ok, msg = compare(
+            sg.evt_span_dedup_stream(spark, str(tmp_path)).toPandas(),
+            con,
+            sg.REG.ops["evt_span_dedup_stream"].oracle,
+        )
+        assert ok, msg
+    finally:
+        con.close()
