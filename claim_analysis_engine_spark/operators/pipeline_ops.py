@@ -1997,3 +1997,106 @@ def corpus_unigram_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(mono)).alias("objective_nondecreasing"),
         (F.col("tok_sum") < F.col("chr_sum")).alias("compresses_vs_chars"),
     )
+
+
+# ------------------------------------------- corpus_tokenizer_faceoff
+
+# head-to-head bands for the two learned tokenizers' CORPUS-level
+# compression (chars -> tokens saving in basis points). Measured on
+# the committed testdata: BPE 2770 (sf0.001) / 2762 (sf0.01), unigram
+# 3070 / 3371 — delta <= 609 bp, both comfortably above 1000. The
+# floor catches a family whose compression collapses; the band
+# catches the two families silently diverging (one regressing while
+# its own round-trip still holds).
+TOKENIZER_MIN_SAVING_BP = 1000
+TOKENIZER_FACEOFF_BAND_BP = 1500
+
+
+@REG.op(
+    "corpus_tokenizer_faceoff",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    )
+    SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(len(w)) AS BIGINT) AS n_chars,
+           true AS bpe_reconstructs,
+           true AS unigram_reconstructs,
+           true AS both_compress_min_bp,
+           true AS savings_within_band
+    FROM words
+    """,
+)
+def corpus_tokenizer_faceoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head capstone for the two learned tokenizer families
+    (the sim_kmeans_twin_contract pattern — the comparison IS the
+    finding, certified under ONE hash so a regression in either
+    family's compression is gate-visible): BPE (bottom-up greedy
+    merges) and the unigram LM (top-down hard-EM pruning) encode the
+    SAME corpus with their session-trained models, and one row
+    certifies (a) both round-trip witnesses — every distinct word's
+    token array concats back to the word for BOTH families (the
+    tokenizer identity, re-derived here from the live models, not
+    assumed from the sibling contracts); (b) the corpus char mass both
+    encoders were charged against, which the oracle recomputes exactly
+    (a dropped word or a join duplication flips the VALUE); (c) both
+    corpus-level savings clear {TOKENIZER_MIN_SAVING_BP} bp; (d) the
+    two families land within {TOKENIZER_FACEOFF_BAND_BP} bp of each
+    other (measured delta <= 609 bp — see the band constants).
+
+    Scale: both segmentations are vocab-sized (BPE's merge fold at 8
+    shuffle partitions, unigram's Viterbi map broadcast DATA); the
+    corpus-sized work is ONE token-stream pass per family (broadcast
+    word->stats join + global aggregate); model state rides the
+    session memos both trainers already fill."""
+    merges = _bpe_merges(spark, sf_dir)
+    seg_map, _hist, _vocab = _unigram_model(spark, sf_dir)
+
+    toks = F.array_remove(F.split("text", " "), "")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(toks).alias("w")
+    )
+    vocab = docs.select("w").distinct()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        bpe_seg = _bpe_segment(vocab, merges)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    bpe_stats = bpe_seg.select(
+        "w",
+        F.size("sym").alias("bpe_tok"),
+        (F.concat_ws("", F.col("sym")) == F.col("w")).cast("int").alias("bpe_rt"),
+    )
+    uni_ok = all("".join(s) == w for w, s in seg_map.items())
+    uni_stats = spark.createDataFrame(
+        [(w, len(s)) for w, s in seg_map.items()], "w string, uni_tok int"
+    )
+    per_word = bpe_stats.join(uni_stats, "w")
+    corpus = (
+        docs.join(F.broadcast(per_word), "w")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum("bpe_tok").cast("bigint").alias("bpe_tokens"),
+            F.sum("uni_tok").cast("bigint").alias("uni_tokens"),
+            F.min("bpe_rt").alias("bpe_rt_min"),
+        )
+    )
+    bpe_bp = F.expr("CAST((n_chars - bpe_tokens) * 10000 AS BIGINT) div n_chars")
+    uni_bp = F.expr("CAST((n_chars - uni_tokens) * 10000 AS BIGINT) div n_chars")
+    return corpus.select(
+        "n_docs",
+        "n_chars",
+        (F.col("bpe_rt_min") == 1).alias("bpe_reconstructs"),
+        F.lit(bool(uni_ok)).alias("unigram_reconstructs"),
+        (
+            (bpe_bp >= TOKENIZER_MIN_SAVING_BP)
+            & (uni_bp >= TOKENIZER_MIN_SAVING_BP)
+        ).alias("both_compress_min_bp"),
+        (
+            F.abs(bpe_bp - uni_bp) <= TOKENIZER_FACEOFF_BAND_BP
+        ).alias("savings_within_band"),
+    )

@@ -79,3 +79,38 @@ def test_contract_booleans_flip_on_corrupted_segmentation(
     row = corpus_unigram_contract(spark, SF_ORACLE).first()
     assert not row["all_words_reconstruct"]
     assert not row["all_docs_reconstruct"]
+
+
+def test_faceoff_flips_on_a_degraded_family(spark, monkeypatch):
+    """The head-to-head capstone's sensitivity: degrade ONE family and
+    the shared-hash booleans must flip. (a) a corrupted unigram
+    segmentation flips unigram_reconstructs; (b) a char-level unigram
+    model (every word split to single chars — zero compression) flips
+    both_compress_min_bp AND savings_within_band while its round-trip
+    still holds, proving the band watches compression, not just
+    decode identity."""
+    import claim_analysis_engine_spark.operators.pipeline_ops as po
+    from claim_analysis_engine_spark.operators.pipeline_ops import (
+        corpus_tokenizer_faceoff,
+    )
+
+    seg, hist, vocab = _unigram_model(spark, SF_ORACLE)
+
+    bad = dict(seg)
+    first = next(iter(sorted(bad)))
+    bad[first] = ["@corrupt@"]
+    monkeypatch.setattr(
+        po, "_unigram_model", lambda *_a, **_k: (bad, hist, vocab)
+    )
+    row = corpus_tokenizer_faceoff(spark, SF_ORACLE).first()
+    assert not row["unigram_reconstructs"]
+    assert row["bpe_reconstructs"], "BPE side must be untouched"
+
+    charlevel = {w: list(w) for w in seg}
+    monkeypatch.setattr(
+        po, "_unigram_model", lambda *_a, **_k: (charlevel, hist, vocab)
+    )
+    row = corpus_tokenizer_faceoff(spark, SF_ORACLE).first()
+    assert row["unigram_reconstructs"], "char split still round-trips"
+    assert not row["both_compress_min_bp"]
+    assert not row["savings_within_band"]
