@@ -232,6 +232,15 @@ EXTRA = [
     "agg_dp_release",
     "evt_mart_restart_stream",
     "evt_hll_stream",
+    # round-12 additions: the champion-forecast lifecycle (board +
+    # forecast rows memoized per session — the warm-up pass carries
+    # the election + refit fanout), the tokenizer head-to-head (both
+    # models session-memoized), and the 14th gate (per-run staging +
+    # three foreachBatch waves, the stream-gate floor)
+    "ep14_champion_forecast_e2e",
+    "ep14_champion_forecast_contract",
+    "corpus_tokenizer_faceoff",
+    "evt_span_dedup_stream",
 ]
 
 # Machine-readable exclusion ledger (r11 verdict ask): every op that is
@@ -464,6 +473,11 @@ def main() -> None:
         "evt_mart_restart_stream",
         # the 13th gate pays the staged-files + checkpoint floor
         "evt_hll_stream",
+        # round-12: the champion-forecast lifecycle fills the election
+        # board + refit-forecast memos on first run; the 14th gate pays
+        # the wave staging + gram-index seed + three foreachBatch legs
+        "ep14_champion_forecast_e2e",
+        "evt_span_dedup_stream",
     ]
     warm_first: dict[str, float] = {}
     for name in (n for n in WARMUP_EXTRA if n in extras_to_run):
@@ -496,6 +510,7 @@ def main() -> None:
         "ep12_embed_retrieval_e2e",
         "dedup_semantic_trained",
         "ml_champion4",
+        "ep14_champion_forecast_e2e",
     ]
     cold = {
         name: warm_first.get(name, spread[name][0])

@@ -119,10 +119,10 @@ def registry() -> dict[str, Op]:
                 raise ValueError(f"duplicate op id across modules: {op_id!r}")
             merged[op_id] = op
 
-    missing = [op_id for op_id in ROUND11_FRONT if op_id not in merged]
+    missing = [op_id for op_id in CURRENT_FRONT if op_id not in merged]
     if missing:  # a typo here would silently shrink the sampling window
-        raise ValueError(f"ROUND11_FRONT ids not in registry: {missing}")
-    front = {op_id: merged[op_id] for op_id in ROUND11_FRONT}
+        raise ValueError(f"CURRENT_FRONT ids not in registry: {missing}")
+    front = {op_id: merged[op_id] for op_id in CURRENT_FRONT}
     front.update((op_id, op) for op_id, op in merged.items() if op_id not in front)
     return front
 
@@ -477,3 +477,89 @@ ROUND11_FRONT: tuple[str, ...] = (
     # --- recycled: next-oldest r4 certifications, registry order ---
     "src_parquet_cols",
 )
+
+# Exact driver-sampling order for round 12. Verified against
+# CORRECTNESS_r01..r11 at rotation time (scripted union, set equality
+# both directions: all 327 pre-round-12 ops have a driver row — the
+# backlog stays zero, so this window is pure freshness rotation +
+# round-12 additions). Composition, per the round-11 plan: ALL 28
+# remaining r4-era certifications lead (the 11 never-recycled ones
+# plus the 17 the round-11 late additions displaced — after this
+# round nothing in the registry is certified older than r5); the four
+# round-12 additions follow (oracle-bearing first: the
+# champion-forecast contract, the tokenizer head-to-head, the 14th
+# streaming gate; then the rows-only ep14 e2e); the remaining 18
+# slots recycle the next-oldest r5 certifications in registry order
+# (the risk-scoring family + rule engine + the first forecast
+# certs).
+#
+# ROUND13_FRONT (build it first thing in round 13; verify the count
+# against CORRECTNESS_r01..r12 the way rounds 9-12 did): recycle the
+# REMAINING 32 r5-era certifications FIRST (22 oracle-bearing in
+# registry order — ml_alloc, the sales/storage/sink family,
+# join_exog_align, ppm, ep5 siblings, dedup_exact and the md5
+# minhash/simhash flavors — then the 10 rows-only r5 certs:
+# rs_wrapper, ml_sarimax/catboost/lstm/tune/champion/persist,
+# ml_warning_marking, snk_series_refresh, src_orc_roundtrip), then
+# round-13 additions, then the oldest r7 certs, oracle-bearing before
+# rows-only, as always.
+ROUND12_FRONT: tuple[str, ...] = (
+    # --- recycled: all 28 remaining r4-era certifications ---
+    "etl_preprocess",
+    "flt_notnull",
+    "flt_isin",
+    "flt_eq",
+    "fill_na_label",
+    "num_coerce",
+    "dedup_audit",
+    "join_latest_id",
+    "join_anti_sync",
+    "join_semi",
+    "union_append",
+    "limit_head",
+    "merge_cdc_tombstone",
+    "join_semi_active",
+    "join_anti_orphans",
+    "agg_distinct_keys",
+    "agg_sum_mean",
+    "agg_topn_freq",
+    "agg_mode",
+    "agg_null_profile",
+    "agg_minmax_date",
+    "flt_partial_period",
+    "agg_hist",
+    "detect_outliers_iqr",
+    "detect_outliers_zscore",
+    "agg_window_profile",
+    "unpvt_melt",
+    "pvt_hybrid",
+    # --- round-12 additions (oracle-bearing first) ---
+    "ep14_champion_forecast_contract",
+    "corpus_tokenizer_faceoff",
+    "evt_span_dedup_stream",
+    "ep14_champion_forecast_e2e",
+    # --- recycled: next-oldest r5 certifications, registry order ---
+    "rs_regime",
+    "rs_momentum",
+    "rs_ewma",
+    "rs_sparse_tail",
+    "rs_stl_z",
+    "rs_nelson",
+    "rs_partial",
+    "rs_cold_start",
+    "rs_safe_zone",
+    "rs_noise_cap",
+    "rs_grade_thresholds",
+    "f_month_end_pred",
+    "rs_tree_relational",
+    "p6_rule_engine",
+    "ep5_p2_summary",
+    "ep5_alerts_incremental",
+    "ml_split",
+    "ml_ci",
+)
+
+# The front the driver samples THIS round — rehearsal script and the
+# front-invariants test both read this alias, so a rotation is one
+# tuple + one alias change.
+CURRENT_FRONT: tuple[str, ...] = ROUND12_FRONT

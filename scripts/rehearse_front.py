@@ -22,7 +22,7 @@ sys.path.insert(
 def main() -> int:
     from pyspark.sql import SparkSession
 
-    from claim_analysis_engine_spark.registry import ROUND11_FRONT, registry
+    from claim_analysis_engine_spark.registry import CURRENT_FRONT, registry
     from oracle_harness import compare, duck_connection
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -37,7 +37,7 @@ def main() -> int:
     con = duck_connection(sf)
     bad: list[tuple[str, str]] = []
     t_all = time.time()
-    for op_id in ROUND11_FRONT:
+    for op_id in CURRENT_FRONT:
         op = reg[op_id]
         t0 = time.time()
         try:

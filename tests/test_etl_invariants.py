@@ -108,11 +108,11 @@ def test_sampling_front_is_duplicate_free_and_leads_the_registry():
     already raises on ids missing from the merged map, but a DUPLICATE
     inside the front tuple would dedupe silently in the dict build and
     shrink the window by one slot — pin both properties."""
-    from claim_analysis_engine_spark.registry import ROUND11_FRONT, registry
+    from claim_analysis_engine_spark.registry import CURRENT_FRONT, registry
 
-    assert len(ROUND11_FRONT) == 50, "driver samples EXACTLY 50 entries"
-    assert len(set(ROUND11_FRONT)) == len(ROUND11_FRONT), "duplicate id in front"
-    assert list(registry())[: len(ROUND11_FRONT)] == list(ROUND11_FRONT)
+    assert len(CURRENT_FRONT) == 50, "driver samples EXACTLY 50 entries"
+    assert len(set(CURRENT_FRONT)) == len(CURRENT_FRONT), "duplicate id in front"
+    assert list(registry())[: len(CURRENT_FRONT)] == list(CURRENT_FRONT)
 
 
 def test_bench_exclusion_ledger_is_consistent_with_the_registry():
