@@ -241,6 +241,12 @@ EXTRA = [
     "ep14_champion_forecast_contract",
     "corpus_tokenizer_faceoff",
     "evt_span_dedup_stream",
+    # late round-12: PMI collocations (pure aggregates), the ALS
+    # recommender lifecycle (fit memoized per session via the
+    # parquet-path memo — the warm-up pass carries the cold fit)
+    "txt_collocations",
+    "ml_als_recs",
+    "ml_als_contract",
 ]
 
 # Machine-readable exclusion ledger (r11 verdict ask): every op that is
@@ -478,6 +484,8 @@ def main() -> None:
         # the wave staging + gram-index seed + three foreachBatch legs
         "ep14_champion_forecast_e2e",
         "evt_span_dedup_stream",
+        # late round-12: the ALS fit memoizes on first run
+        "ml_als_recs",
     ]
     warm_first: dict[str, float] = {}
     for name in (n for n in WARMUP_EXTRA if n in extras_to_run):
@@ -511,6 +519,7 @@ def main() -> None:
         "dedup_semantic_trained",
         "ml_champion4",
         "ep14_champion_forecast_e2e",
+        "ml_als_recs",
     ]
     cold = {
         name: warm_first.get(name, spread[name][0])

@@ -1,0 +1,228 @@
+"""Recommendation: MLlib ALS as the SEVENTH MLlib family (GBT,
+logistic regression, MinHashLSH, Word2Vec, KMeans, LDA, now ALS) —
+implicit-feedback collaborative filtering over the purchase graph
+(customers × parts via orders ⋈ lineitem), the classic recommender
+shape (reference scope: the engine's analytics surface stops at
+per-series forecasting; this is a beyond-reference extension like the
+rest of the training-data stack).
+
+Design notes (the LDA/KMeans precedents):
+
+* The INTERACTION TABLE is exact SQL — purchase counts per
+  (customer, part) from two fact joins — so the contract's population
+  accounting is oracle-recomputable to the row.
+* The FACTORS are learned state: MLlib ALS block-partitions users and
+  items and seeds per block, so scores are not reproducible across
+  session layouts even seeded — recommendation VALUES stay rows-only,
+  and the contract certifies per-instance structure (complete top-k
+  per modeled user, items from the modeled item set, finite scores
+  non-increasing in rank) plus the SQL-exact accounting.
+* Recommendations are written ONCE per (session, sf_dir) to a
+  session-private parquet dir and the PATH memoized (the _DOCVEC_MEMO
+  layout pattern) — users × k rows is customer-dimension-sized, which
+  at warehouse scale is millions of rows and must never be
+  driver-resident.
+
+Scale (100 TB): the interaction build is two fact joins collapsing to
+a (users × items-touched) aggregate — the standard star-join shape
+with partial aggregation; ALS itself is MLlib's block-distributed
+alternating least squares (the canonical distributed recommender);
+recommendForAllUsers is a blocked cross of user × item factor blocks
+with a per-block top-k, never a full user × item materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from claim_analysis_engine_spark.registry import OpRegistry
+from claim_analysis_engine_spark.tables import load, session_memo_key
+
+REG = OpRegistry()
+
+ALS_RANK = 8
+ALS_ITERS = 10
+ALS_REG = 0.1
+ALS_ALPHA = 1.0   # implicit-feedback confidence scaling
+ALS_K = 3         # recommendations per user
+
+# recommendation PARQUET PATH per (session, sf_dir) — see module
+# docstring; the e2e op and its contract share one fit
+_ALS_MEMO: dict[tuple, str] = {}
+_ALS_MEMO_MAX = 2
+
+# the interaction CTE both the op and the oracle derive from — kept as
+# one string so the modeled-population definition cannot drift
+_ALS_INTERACTIONS_SQL = """
+    SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+           count(*) AS n_buys
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+"""
+
+
+def _als_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("custkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("partkey")
+    )
+    return (
+        li.join(o, "ok")
+        .groupBy("custkey", "partkey")
+        .agg(F.count(F.lit(1)).alias("n_buys"))
+    )
+
+
+def _als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit implicit ALS on the purchase counts and materialize top-K
+    recommendations per user to a session-private parquet dir; the
+    memoized PATH serves every consumer identical values (fit once,
+    read many — the gate-stability property, with nothing
+    user-dimension-sized on the driver)."""
+    from pyspark.ml.recommendation import ALS
+
+    from claim_analysis_engine_spark.tmputil import fresh_dir
+
+    memo_key = session_memo_key(spark, sf_dir)
+    if memo_key not in _ALS_MEMO:
+        inter = _als_interactions(spark, sf_dir).select(
+            F.col("custkey").cast("int").alias("user"),
+            F.col("partkey").cast("int").alias("item"),
+            F.col("n_buys").cast("float").alias("rating"),
+        )
+        model = ALS(
+            rank=ALS_RANK,
+            maxIter=ALS_ITERS,
+            regParam=ALS_REG,
+            implicitPrefs=True,
+            alpha=ALS_ALPHA,
+            seed=7,
+            userCol="user",
+            itemCol="item",
+            ratingCol="rating",
+            coldStartStrategy="drop",
+        ).fit(inter)
+        recs = (
+            model.recommendForAllUsers(ALS_K)
+            .select(
+                "user",
+                F.posexplode("recommendations").alias("pos", "rec"),
+            )
+            .select(
+                F.col("user").cast("bigint").alias("custkey"),
+                (F.col("pos") + 1).alias("rank"),
+                F.col("rec.item").cast("bigint").alias("partkey"),
+                F.col("rec.rating").cast("double").alias("score"),
+            )
+        )
+        out = fresh_dir("cae_spark_alsrecs_")
+        recs.write.mode("overwrite").parquet(out)
+        if len(_ALS_MEMO) >= _ALS_MEMO_MAX:
+            import shutil
+
+            evicted = _ALS_MEMO.pop(next(iter(_ALS_MEMO)))
+            shutil.rmtree(evicted, ignore_errors=True)
+        _ALS_MEMO[memo_key] = out
+    return spark.read.parquet(_ALS_MEMO[memo_key])
+
+
+@REG.op("ml_als_recs")  # rows-only: factor scores are LEARNED state,
+# and MLlib ALS's block-seeded init is not reproducible across session
+# layouts even seeded — structure + accounting hash-certified by
+# ml_als_contract; planted-preference separation in tests/test_als.py
+def ml_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{ALS_K} part recommendations per customer from implicit
+    ALS (rank {ALS_RANK}, {ALS_ITERS} alternating sweeps, confidence
+    1 + {ALS_ALPHA}·count) over the purchase-count interaction table —
+    the seventh MLlib family. One row per (customer, rank)."""
+    return _als_recs(spark, sf_dir)
+
+
+@REG.op(
+    "ml_als_contract",
+    oracle=f"""
+    WITH inter AS ({_ALS_INTERACTIONS_SQL})
+    SELECT CAST(count(DISTINCT custkey) AS BIGINT) AS n_users_modeled,
+           CAST(count(DISTINCT partkey) AS BIGINT) AS n_items_modeled,
+           CAST(count(*) AS BIGINT) AS n_interactions,
+           CAST({ALS_K} AS INT) AS k,
+           true AS recs_complete,
+           true AS items_valid,
+           true AS scores_finite_desc
+    FROM inter
+    """,
+)
+def ml_als_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified contract for the ALS recommender (scores stay
+    rows-only): the MODELED POPULATION is exact SQL — users, items,
+    and interaction rows all recomputed by the oracle from the same
+    two-fact join (a lost partition, a changed join key, or a
+    coldStartStrategy drift flips the VALUES) — plus the structural
+    claims that hold for ANY valid fit instance: every modeled user
+    gets EXACTLY {ALS_K} recommendations with ranks a complete
+    1..{ALS_K}, every recommended part is in the modeled item set,
+    and each user's scores are finite and non-increasing in rank
+    (recommendForAllUsers returns its top-k sorted — a NaN factor or
+    a broken explode order flips it)."""
+    from pyspark.sql import Window as W
+
+    inter = _als_interactions(spark, sf_dir)
+    pop = inter.agg(
+        F.countDistinct("custkey").cast("bigint").alias("n_users_modeled"),
+        F.countDistinct("partkey").cast("bigint").alias("n_items_modeled"),
+        F.count(F.lit(1)).cast("bigint").alias("n_interactions"),
+    )
+    recs = _als_recs(spark, sf_dir)
+    items = inter.select("partkey").distinct().withColumn(
+        "known_item", F.lit(True)
+    )
+    w = W.partitionBy("custkey").orderBy("rank")
+    scored = recs.withColumn("prev_score", F.lag("score").over(w)).join(
+        F.broadcast(items), "partkey", "left"
+    )
+    per_user = scored.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_recs"),
+        F.array_sort(F.collect_list("rank")).alias("ranks"),
+        F.min(F.coalesce("known_item", F.lit(False)).cast("int")).alias(
+            "item_ok_min"
+        ),
+        F.min(
+            (
+                ~F.isnan("score") & (F.abs("score") < F.lit(float("inf")))
+            ).cast("int")
+        ).alias("finite_min"),
+        F.min(
+            F.when(F.col("prev_score").isNull(), F.lit(1)).otherwise(
+                (F.col("score") <= F.col("prev_score")).cast("int")
+            )
+        ).alias("desc_min"),
+    )
+    want_ranks = F.array(*[F.lit(i) for i in range(1, ALS_K + 1)])
+    fold = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users_with_recs"),
+        F.min(
+            ((F.col("n_recs") == ALS_K) & (F.col("ranks") == want_ranks))
+            .cast("int")
+        ).alias("complete_min"),
+        F.min("item_ok_min").alias("items_min"),
+        F.min(
+            ((F.col("finite_min") == 1) & (F.col("desc_min") == 1)).cast(
+                "int"
+            )
+        ).alias("scores_min"),
+    )
+    return pop.crossJoin(F.broadcast(fold)).select(
+        "n_users_modeled",
+        "n_items_modeled",
+        "n_interactions",
+        F.lit(ALS_K).cast("int").alias("k"),
+        (
+            (F.col("n_users_with_recs") == F.col("n_users_modeled"))
+            & (F.col("complete_min") == 1)
+        ).alias("recs_complete"),
+        (F.col("items_min") == 1).alias("items_valid"),
+        (F.col("scores_min") == 1).alias("scores_finite_desc"),
+    )

@@ -1384,3 +1384,87 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in VOCAB_COVERAGE_PCTS
     ]
     return ranked.agg(*aggs)
+
+
+# -------------------------------------------------- txt_collocations
+
+COLLOC_MIN_PAIR = 5  # bigram count floor (PMI is unstable on rare pairs)
+
+
+@REG.op(
+    "txt_collocations",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    uni AS (SELECT unnest(toks) AS w FROM t),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    nt AS (SELECT count(*) AS n_tok FROM uni),
+    bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+           WHERE len(toks) >= 2),
+    bcnt AS (SELECT w1, w2, count(*) AS c_pair FROM bg GROUP BY w1, w2),
+    nb AS (SELECT count(*) AS n_big FROM bg)
+    SELECT b.w1, b.w2, CAST(b.c_pair AS BIGINT) AS n_pair,
+           round(ln(b.c_pair * 1.0 * nt.n_tok * nt.n_tok
+                    / (nb.n_big * 1.0 * u1.c * u2.c)), 6) AS pmi
+    FROM bcnt b
+    JOIN ucnt u1 ON u1.w = b.w1
+    JOIN ucnt u2 ON u2.w = b.w2
+    CROSS JOIN nt CROSS JOIN nb
+    WHERE b.c_pair >= {COLLOC_MIN_PAIR}
+      AND ln(b.c_pair * 1.0 * nt.n_tok * nt.n_tok
+             / (nb.n_big * 1.0 * u1.c * u2.c)) > 0
+    """,
+)
+def txt_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the
+    corpus-statistics op a curation stack uses to find multi-word
+    units worth protecting from tokenization/boilerplate rules:
+    PMI(x,y) = ln(P(x,y) / (P(x)P(y))) with P(x,y) from the adjacent-
+    bigram stream and P(x) from the unigram stream, emitted for every
+    bigram with count >= {COLLOC_MIN_PAIR} and positive PMI (the
+    attraction half — negative PMI means the pair co-occurs LESS than
+    chance). All counts exact integers; PMI the only float (round 6).
+
+    Scale: one explode per stream (bigrams = tokens - docs rows), two
+    hash aggregates on uniform word keys, the unigram table joined
+    twice as broadcast DATA (vocab-sized), totals one-row broadcasts.
+    No windows, no per-doc state — the plan a 100 TB corpus wants."""
+    toks = F.array_remove(F.split("text", " "), "")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks")
+    )
+    uni = docs.select(F.explode("toks").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nt = uni.agg(F.count(F.lit(1)).alias("n_tok"))
+    bg = docs.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, "
+                "element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bcnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    nb = bg.agg(F.count(F.lit(1)).alias("n_big"))
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        F.col("c_pair")
+        * F.col("n_tok")
+        * F.col("n_tok")
+        / (F.col("n_big") * F.col("c1") * F.col("c2"))
+    )
+    return (
+        bcnt.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .where((F.col("c_pair") >= COLLOC_MIN_PAIR) & (pmi > 0))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_pair").cast("bigint").alias("n_pair"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+    )

@@ -68,6 +68,7 @@ def registry() -> dict[str, Op]:
         similarity,
         storage_ops,
         pipeline_ops,
+        recommend,
         streaming_gate,
         textops,
         tsforecast,
@@ -102,6 +103,7 @@ def registry() -> dict[str, Op]:
         similarity,
         textops,
         pipeline_ops,
+        recommend,
         multimodal,
         scale_patterns,
         streaming_gate,
@@ -537,7 +539,10 @@ ROUND12_FRONT: tuple[str, ...] = (
     "ep14_champion_forecast_contract",
     "corpus_tokenizer_faceoff",
     "evt_span_dedup_stream",
+    "txt_collocations",
+    "ml_als_contract",
     "ep14_champion_forecast_e2e",
+    "ml_als_recs",
     # --- recycled: next-oldest r5 certifications, registry order ---
     "rs_regime",
     "rs_momentum",
@@ -554,9 +559,10 @@ ROUND12_FRONT: tuple[str, ...] = (
     "rs_tree_relational",
     "p6_rule_engine",
     "ep5_p2_summary",
-    "ep5_alerts_incremental",
-    "ml_split",
-    "ml_ci",
+    # DISPLACED by the late-round-12 additions (txt_collocations,
+    # ml_als_contract, ml_als_recs): ep5_alerts_incremental, ml_split,
+    # ml_ci — recycle them FIRST in ROUND13_FRONT (see the plan
+    # comment above).
 )
 
 # The front the driver samples THIS round — rehearsal script and the
