@@ -247,6 +247,7 @@ EXTRA = [
     "txt_collocations",
     "ml_als_recs",
     "ml_als_contract",
+    "txt_quality_gopher",
 ]
 
 # Machine-readable exclusion ledger (r11 verdict ask): every op that is

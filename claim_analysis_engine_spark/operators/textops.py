@@ -1468,3 +1468,138 @@ def txt_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pmi, 6).alias("pmi"),
         )
     )
+
+
+# --------------------------------------------------- txt_quality_gopher
+
+# the Gopher quality-filter rule set (Rae et al. 2021, App. A1.1) at
+# the documented thresholds; the stop set is the paper's 8-word list
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_BULLET_FRAC = 0.90
+GOPHER_MAX_ELLIPSIS_FRAC = 0.30
+
+
+@REG.op(
+    "txt_quality_gopher",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks,
+                      string_split(text, chr(10)) AS lines
+               FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             list_sum(list_transform(toks, w -> len(w))) * 1.0
+               / nullif(len(toks), 0) AS mwl,
+             ((len(text) - len(replace(text, '#', '')))
+              + (len(text) - len(replace(text, '...', ''))) / 3) * 1.0
+               / nullif(len(toks), 0) AS sym_ratio,
+             len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) * 1.0
+               / nullif(len(toks), 0) AS alpha_frac,
+             len(list_filter(toks, w -> w IN {GOPHER_STOPS!r})) AS stop_hits,
+             len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%')) * 1.0
+               / nullif(len(lines), 0) AS bullet_frac,
+             len(list_filter(lines, l -> l LIKE '%...')) * 1.0
+               / nullif(len(lines), 0) AS ellipsis_frac
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(mwl, 4) AS mean_word_len,
+           round(sym_ratio, 4) AS symbol_ratio,
+           round(alpha_frac, 4) AS alpha_word_frac,
+           CAST(stop_hits AS BIGINT) AS n_stop_hits,
+           round(bullet_frac, 4) AS bullet_frac,
+           round(ellipsis_frac, 4) AS ellipsis_frac,
+           coalesce(
+             n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+             AND mwl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+             AND sym_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+             AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+             AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+             AND bullet_frac <= {GOPHER_MAX_BULLET_FRAC}
+             AND ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}, FALSE)
+             AS passes_gopher
+    FROM m
+    """,
+)
+def txt_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GOPHER quality-filter rule set (Rae et al. 2021, Appendix
+    A1.1) as one certified pass — the named production rule family
+    beside the C4-style heuristics txt_quality ships: word-count
+    bounds [{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}], mean word length
+    [{GOPHER_MIN_MWL}, {GOPHER_MAX_MWL}], symbol-to-word ratio
+    (# and ... occurrences) <= {GOPHER_MAX_SYMBOL_RATIO}, >=
+    {GOPHER_MIN_ALPHA_FRAC:.0%} of words containing an alphabetic
+    character, >= {GOPHER_MIN_STOP_HITS} stop-word hits from the
+    paper's 8-word list, and the two line-shape rules (bullet-start
+    <= {GOPHER_MAX_BULLET_FRAC:.0%}, ellipsis-end <=
+    {GOPHER_MAX_ELLIPSIS_FRAC:.0%}). Every per-doc measurement is
+    emitted beside the gate so threshold tuning is a WHERE clause,
+    not a rerun; docs with zero tokens fail closed (coalesce FALSE).
+
+    Scale: one projection pass, no explode (all rules are array
+    folds inside whole-stage codegen), no joins, no windows — the
+    cheapest possible shape for a rule that must touch every byte of
+    a 100 TB corpus exactly once."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        _tokens_col().alias("toks"),
+        F.split("text", "\n").alias("lines"),
+    )
+    n_words = F.size("toks")
+    nwn = F.nullif(n_words.cast("double"), F.lit(0.0))
+    mwl = (
+        F.aggregate("toks", F.lit(0), lambda a, w: a + F.length(w)).cast(
+            "double"
+        )
+        / nwn
+    )
+    sym = (
+        (F.length("text") - F.length(F.replace("text", F.lit("#"))))
+        + (F.length("text") - F.length(F.replace("text", F.lit("...")))) / 3
+    ).cast("double") / nwn
+    alpha_frac = (
+        F.size(F.filter("toks", lambda w: w.rlike("[a-z]"))).cast("double")
+        / nwn
+    )
+    stop_hits = F.size(F.filter("toks", lambda w: w.isin(*GOPHER_STOPS)))
+    nln = F.nullif(F.size("lines").cast("double"), F.lit(0.0))
+    bullet = (
+        F.size(
+            F.filter(
+                "lines",
+                lambda l: l.startswith("-") | l.startswith("*"),
+            )
+        ).cast("double")
+        / nln
+    )
+    ellipsis = (
+        F.size(F.filter("lines", lambda l: l.endswith("..."))).cast("double")
+        / nln
+    )
+    gate = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+        & (sym <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+        & (bullet <= GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis <= GOPHER_MAX_ELLIPSIS_FRAC)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(sym, 4).alias("symbol_ratio"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.cast("bigint").alias("n_stop_hits"),
+        F.round(bullet, 4).alias("bullet_frac"),
+        F.round(ellipsis, 4).alias("ellipsis_frac"),
+        F.coalesce(gate, F.lit(False)).alias("passes_gopher"),
+    )
