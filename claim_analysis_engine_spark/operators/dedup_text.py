@@ -1680,12 +1680,20 @@ def _containment_best(
       SELECT DISTINCT p.doc_id AS doc_a, t.doc_id AS doc_b
       FROM probes p JOIN tok t ON t.s = p.s AND t.doc_id <> p.doc_id
     ),
+    -- inverted-index scoring (the _HIGH_TRUTH_ORACLE_CTES lesson):
+    -- every candidate shares >= 1 shingle by construction, so the
+    -- co-shingle count join is exact and avoids the per-pair
+    -- list_intersect scans (~20 s -> ~2 s on the dense corpus)
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
     scored AS (
-      SELECT c.doc_a, c.doc_b,
-             len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) AS containment
-      FROM cand c
-      JOIN sh0 a ON a.doc_id = c.doc_a
-      JOIN sh0 b ON b.doc_id = c.doc_b
+      SELECT i.doc_a, i.doc_b, i.i * 1.0 / z.a_n AS containment
+      FROM inter i
+      JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+      JOIN sized z ON z.doc_id = i.doc_a
     ),
     best AS (
       SELECT doc_a, doc_b, containment,
@@ -1743,18 +1751,63 @@ def txt_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_HIGH_T = 0.9          # "must-catch" Jaccard band for the recall claim
 LSH_RECALL_FLOOR_BP = 9000
 
+# exact all-pairs string-shingle J >= LSH_HIGH_T truth rows per
+# (session, sf_dir): THREE contracts certify against the identical
+# truth (dedup_lsh_fast_contract, dedup_minhash_mllib_contract, and
+# similarity.dedup_semantic_contract), so the gate-scale broadcast-NLJ
+# instrument runs once per session instead of three times (~13 s/run
+# at sf0.01 saved twice, at the suite, the driver window, and the
+# bench alike). Pair-count-sized rows (25 at sf0.01, 256 at sf0.1) —
+# the rows-memo class, never cached frames.
+_HIGH_TRUTH_MEMO: dict[tuple, tuple] = {}
+_HIGH_TRUTH_MEMO_MAX = 2
+
+# The truth-pair CTE all three contract ORACLES share, in INVERTED-
+# INDEX form: the naive all-pairs list_intersect costs ~18 s at sf0.01
+# in DuckDB (125k pairs x O(|s|) list scans); unnesting shingles and
+# counting per-pair matches through a hash join computes the IDENTICAL
+# Jaccard (J = i / (|a| + |b| - i); pairs sharing zero shingles have
+# J = 0 and can never reach the 0.9 band, so the co-shingle join is
+# lossless) in ~1.3 s — verified equal (25 pairs) before the swap.
+# The driver's gate, the parity suite, and the rehearsal all pay this
+# oracle per contract, so the form matters.
+_HIGH_TRUTH_ORACLE_CTES = f"""
+    sh AS (SELECT doc_id, {{shingles}} AS s FROM documents),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT da AS doc_id FROM inter
+              JOIN sh sa ON sa.doc_id = da
+              JOIN sh sb ON sb.doc_id = db
+              WHERE i * 1.0 / (len(sa.s) + len(sb.s) - i) >= {LSH_HIGH_T})
+"""
+
+
+def _high_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    memo_key = session_memo_key(spark, sf_dir)
+    if memo_key not in _HIGH_TRUTH_MEMO:
+        sh = _shingles(spark, sf_dir)
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+        truth = (
+            F.broadcast(a)
+            .join(b, F.col("doc_a") < F.col("doc_b"))
+            .where(_jaccard("sa", "sb") >= LSH_HIGH_T)
+            .select("doc_a", "doc_b")
+        )
+        rows, schema = truth.collect(), truth.schema
+        if len(_HIGH_TRUTH_MEMO) >= _HIGH_TRUTH_MEMO_MAX:
+            _HIGH_TRUTH_MEMO.pop(next(iter(_HIGH_TRUTH_MEMO)))
+        _HIGH_TRUTH_MEMO[memo_key] = (rows, schema)
+    rows, schema = _HIGH_TRUTH_MEMO[memo_key]
+    return spark.createDataFrame(rows, schema)
+
 
 @REG.op(
     "dedup_lsh_fast_contract",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents),
-    pairs AS (
-      SELECT a.doc_id
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s)) * 1.0
-            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-            >= {LSH_HIGH_T}
-    )
+    WITH {_HIGH_TRUTH_ORACLE_CTES.format(shingles=_SHINGLES_SQL)}
     SELECT CAST(count(*) AS BIGINT) AS n_true_high_pairs,
            {LSH_RECALL_FLOOR_BP} AS recall_floor_bp,
            TRUE AS recall_ok,
@@ -1791,12 +1844,7 @@ def dedup_lsh_fast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     jac = _jaccard("sa", "sb")
-    truth = (
-        F.broadcast(a)
-        .join(b, F.col("doc_a") < F.col("doc_b"))
-        .where(jac >= LSH_HIGH_T)
-        .select("doc_a", "doc_b")
-    )
+    truth = _high_truth_pairs(spark, sf_dir)  # session-shared instrument
     t_agg = truth.agg(F.count(F.lit(1)).alias("n_true_high_pairs"))
     hits = truth.join(found, ["doc_a", "doc_b"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_hits")
@@ -1892,14 +1940,7 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.op(
     "dedup_minhash_mllib_contract",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM documents),
-    pairs AS (
-      SELECT a.doc_id
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s)) * 1.0
-            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-            >= {LSH_HIGH_T}
-    )
+    WITH {_HIGH_TRUTH_ORACLE_CTES.format(shingles=_SHINGLES_SQL)}
     SELECT CAST(count(*) AS BIGINT) AS n_true_high_pairs,
            {LSH_RECALL_FLOOR_BP} AS recall_floor_bp,
            TRUE AS recall_ok,
@@ -1928,12 +1969,7 @@ def dedup_minhash_mllib_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     jac = _jaccard("sa", "sb")
-    truth = (
-        F.broadcast(a)
-        .join(b, F.col("doc_a") < F.col("doc_b"))
-        .where(jac >= LSH_HIGH_T)
-        .select("doc_a", "doc_b")
-    )
+    truth = _high_truth_pairs(spark, sf_dir)  # session-shared instrument
     t_agg = truth.agg(F.count(F.lit(1)).alias("n_true_high_pairs"))
     hits = truth.join(found, ["doc_a", "doc_b"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_hits")

@@ -30,10 +30,18 @@ from claim_analysis_engine_spark.operators.dedup_text import (
     EMB_DIM,
     LSH_HIGH_T,
     _EMB_BANDS_SQL,
+    _HIGH_TRUTH_ORACLE_CTES,
+    _SHINGLES_SQL,
     _dot,
 )
 from claim_analysis_engine_spark.registry import OpRegistry
 from claim_analysis_engine_spark.tables import load, session_memo_key, spread_scan
+
+# the lexical truth-pair CTE the semantic contract's oracle shares
+# with the two lexical contracts (inverted-index form — see dedup_text)
+_DEDUP_HIGH_TRUTH_CTES = _HIGH_TRUTH_ORACLE_CTES.format(
+    shingles=_SHINGLES_SQL
+)
 
 REG = OpRegistry()
 
@@ -2332,18 +2340,7 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.op(
     "dedup_semantic_contract",
     oracle=f"""
-    WITH sh AS (
-      SELECT doc_id, list_distinct(list_transform(
-               generate_series(1, greatest(1, length(text) - 4)),
-               i -> substr(text, i, 5))) AS s
-      FROM documents),
-    pairs AS (
-      SELECT a.doc_id
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s)) * 1.0
-            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-            >= {LSH_HIGH_T}
-    )
+    WITH {_DEDUP_HIGH_TRUTH_CTES}
     SELECT CAST(count(*) AS BIGINT) AS n_true_high_pairs,
            {SEM_RECALL_FLOOR_BP} AS recall_floor_bp,
            TRUE AS recall_ok
@@ -2372,21 +2369,11 @@ def dedup_semantic_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     an embedding-capacity property of tiny corpora, not a pipeline
     bug; tests pin the contract at the gate's sf accordingly."""
     from claim_analysis_engine_spark.operators.dedup_text import (
-        _jaccard,
-        _shingles,
+        _high_truth_pairs,
     )
 
     found = dedup_semantic_trained(spark, sf_dir).select("doc_a", "doc_b")
-    sh = _shingles(spark, sf_dir)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
-    jac = _jaccard("sa", "sb")
-    truth = (
-        F.broadcast(a)
-        .join(b, F.col("doc_a") < F.col("doc_b"))
-        .where(jac >= LSH_HIGH_T)
-        .select("doc_a", "doc_b")
-    )
+    truth = _high_truth_pairs(spark, sf_dir)  # session-shared instrument
     t_agg = truth.agg(F.count(F.lit(1)).alias("n_true_high_pairs"))
     hits = truth.join(found, ["doc_a", "doc_b"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_hits")

@@ -25,23 +25,37 @@ def duck():
     con.close()
 
 
-def test_minhash_lsh_recall_at_high_jaccard(spark, duck):
-    truth = {
-        (a, b)
-        for a, b in duck.execute(
-            """
-            WITH sh AS (
-              SELECT doc_id, list_distinct(list_transform(
-                       generate_series(1, greatest(1, length(text) - 4)),
-                       i -> substr(text, i, 5))) AS s
-              FROM documents)
-            SELECT a.doc_id, b.doc_id
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.s, b.s)) * 1.0
-                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
-            """
-        ).fetchall()
-    }
+@pytest.fixture(scope="module")
+def exact_jaccard(duck):
+    """(doc_a, doc_b) -> exact string-shingle Jaccard for every
+    CO-SHINGLED pair at SF_ORACLE, shared by the three recall/precision
+    tests (each used to recompute it: ~18 s per test with the naive
+    all-pairs list_intersect; the inverted-index form runs ~1.5 s once
+    — J = i / (|a| + |b| - i), and pairs sharing zero shingles have
+    J = 0, which no consumer's threshold can reach)."""
+    rows = duck.execute(
+        """
+        WITH sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, greatest(1, length(text) - 4)),
+                   i -> substr(text, i, 5))) AS s
+          FROM documents),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        inter AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT da, db, i * 1.0 / (len(sa.s) + len(sb.s) - i)
+        FROM inter
+        JOIN sh sa ON sa.doc_id = da
+        JOIN sh sb ON sb.doc_id = db
+        """
+    ).fetchall()
+    return {(a, b): j for a, b, j in rows}
+
+
+def test_minhash_lsh_recall_at_high_jaccard(spark, exact_jaccard):
+    truth = {p for p, j in exact_jaccard.items() if j >= 0.9}
     assert truth, "testdata should contain planted near-duplicates"
     found = {
         (r.doc_a, r.doc_b)
@@ -123,7 +137,7 @@ def test_simhash_pigeonhole_recall_is_exact(spark, duck):
     )
 
 
-def test_minhash_lsh_fast_recall_and_precision(spark, duck):
+def test_minhash_lsh_fast_recall_and_precision(spark, exact_jaccard):
     """The xxhash64 production variant has no DuckDB oracle (the hash
     is JVM-only), so assert correctness directly: every emitted pair's
     Jaccard equals the exact value and clears the threshold (precision
@@ -135,22 +149,7 @@ def test_minhash_lsh_fast_recall_and_precision(spark, duck):
     )
 
     exact = {
-        (a, b): j
-        for a, b, j in duck.execute(
-            """
-            WITH sh AS (
-              SELECT doc_id, list_distinct(list_transform(
-                       generate_series(1, greatest(1, length(text) - 4)),
-                       i -> substr(text, i, 5))) AS s
-              FROM documents)
-            SELECT a.doc_id, b.doc_id,
-                   round(len(list_intersect(a.s, b.s)) * 1.0
-                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.s, b.s)) * 1.0
-                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
-            """
-        ).fetchall()
+        p: round(j, 4) for p, j in exact_jaccard.items() if j >= 0.8
     }
     found = {
         (r.doc_a, r.doc_b): r.jaccard
@@ -166,7 +165,9 @@ def test_minhash_lsh_fast_recall_and_precision(spark, duck):
     assert recall >= 0.9, f"fast-LSH recall {recall:.2f} over {len(high)} true pairs"
 
 
-def test_mllib_hashed_jaccard_divergence_anchors_contract_slack(spark, duck):
+def test_mllib_hashed_jaccard_divergence_anchors_contract_slack(
+    spark, exact_jaccard
+):
     """The r11 ADVICE ask: dedup_lsh_fast_contract /
     dedup_minhash_mllib_contract relaxed their precision threshold by
     1e-3 to absorb hashed-shingle divergence — anchor that slack to the
@@ -180,25 +181,12 @@ def test_mllib_hashed_jaccard_divergence_anchors_contract_slack(spark, duck):
         dedup_minhash_mllib,
     )
 
-    exact = {
-        (a, b): j
-        for a, b, j in duck.execute(
-            """
-            WITH sh AS (
-              SELECT doc_id, list_distinct(list_transform(
-                       generate_series(1, greatest(1, length(text) - 4)),
-                       i -> substr(text, i, 5))) AS s
-              FROM documents)
-            SELECT a.doc_id, b.doc_id,
-                   len(list_intersect(a.s, b.s)) * 1.0
-                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            """
-        ).fetchall()
-    }
     found = dedup_minhash_mllib(spark, SF_ORACLE).collect()
     assert found
-    worst = max(abs(r.jaccard - exact[(r.doc_a, r.doc_b)]) for r in found)
+    # every emitted pair shares shingles, so it is in the co-shingled map
+    worst = max(
+        abs(r.jaccard - exact_jaccard[(r.doc_a, r.doc_b)]) for r in found
+    )
     # the contracts' slack constant, and the measured anchor under it
     assert worst < 1e-3, f"divergence {worst:.2e} breaches the 1e-3 slack"
     assert worst < 1e-4, (
@@ -376,6 +364,9 @@ def test_containment_prefix_filter_recall_is_exact(spark, duck):
         txt_containment_prefix,
     )
 
+    # inverted-index form of the directional-containment truth
+    # (c = |a ∩ b| / |a|; non-co-shingled pairs have c = 0, below any
+    # 0.9 band) — the naive all-pairs list_intersect took ~20 s here
     truth = {
         r[0]: (r[1], r[2])
         for r in duck.execute(
@@ -385,10 +376,14 @@ def test_containment_prefix_filter_recall_is_exact(spark, duck):
                        generate_series(1, greatest(1, length(text) - 4)),
                        i -> substr(text, i, 5))) AS s
               FROM documents),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2),
             pairs AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) AS c
-              FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+              SELECT i.doc_a, i.doc_b, i.i * 1.0 / len(sa.s) AS c
+              FROM inter i JOIN sh sa ON sa.doc_id = i.doc_a
             ),
             best AS (
               SELECT doc_a, doc_b, c,
@@ -457,6 +452,9 @@ def test_containment_sparse_filter_lossless_on_zipf_subset(spark):
     docs, planted = _zipf_corpus()
     subset = docs[:400]
     pdf = pd.DataFrame(subset, columns=["doc_id", "text"])
+    # inverted-index truth (see test_containment_prefix_filter_recall):
+    # the naive all-pairs list_intersect form ran 66 s on this slice,
+    # this form 1.7 s — identical 20 rows verified before the swap
     truth = {
         r[0]: (r[1], r[2])
         for r in duckdb.connect().execute(
@@ -466,10 +464,14 @@ def test_containment_sparse_filter_lossless_on_zipf_subset(spark):
                        generate_series(1, greatest(1, length(text) - 4)),
                        i -> substr(text, i, 5))) AS s
               FROM pdf),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2),
             pairs AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) AS c
-              FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+              SELECT i.doc_a, i.doc_b, i.i * 1.0 / len(sa.s) AS c
+              FROM inter i JOIN sh sa ON sa.doc_id = i.doc_a
             ),
             best AS (
               SELECT doc_a, doc_b, c,

@@ -13,6 +13,17 @@ from claim_analysis_engine_spark.operators.similarity import (
 )
 
 
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_sf(spark, tmp_path_factory) -> str:
+    """ONE planted corpus dir for the module: the LDA fit memo is
+    keyed by (session, sf_dir), so the separation and report-shape
+    tests share a single EM fit instead of paying it twice."""
+    return _planted_corpus(spark, tmp_path_factory.mktemp("lda_corpus"))
+
+
 def _planted_corpus(spark, tmp_path, with_empty_docs: bool = False) -> str:
     # 3 pools of 12 disjoint words; 30 docs of 24 words cycling their
     # pool (deterministic index arithmetic — no RNG)
@@ -34,8 +45,8 @@ def _planted_corpus(spark, tmp_path, with_empty_docs: bool = False) -> str:
     return str(tmp_path)
 
 
-def test_lda_separates_planted_disjoint_pools(spark, tmp_path):
-    sf = _planted_corpus(spark, tmp_path)
+def test_lda_separates_planted_disjoint_pools(spark, planted_sf):
+    sf = planted_sf
     _vocab, lda, tf = _lda_fit(spark, sf)
     from pyspark.ml.functions import vector_to_array
 
@@ -100,9 +111,8 @@ def test_lda_contract_survives_empty_and_whitespace_docs(spark, tmp_path):
         con.close()
 
 
-def test_lda_topics_report_shape(spark, tmp_path):
-    sf = _planted_corpus(spark, tmp_path)
-    rows = ml_lda_topics(spark, sf).collect()
+def test_lda_topics_report_shape(spark, planted_sf):
+    rows = ml_lda_topics(spark, planted_sf).collect()
     assert len(rows) == LDA_K * 5
     for r in rows:
         assert 0 <= r["topic"] < LDA_K and 1 <= r["term_rank"] <= 5
