@@ -153,6 +153,12 @@ SINK_OPS = [
     # round-9 Python DataSource (generates its own data — the gate
     # proves registration + scan work on a default-conf session)
     "src_pydatasource_corpus",
+    # round-12: the span-dedup gate stages waves + maintains a gram
+    # index through foreachBatch parquet writes — exactly the
+    # conf-sensitive sink surface this file exists for (the newer
+    # r10-r11 gates earned their default-session evidence as driver
+    # rows; this one gets it here before its first driver window)
+    "evt_span_dedup_stream",
 ]
 
 
