@@ -53,7 +53,7 @@ def main() -> int:
         if not ok:
             bad.append((op_id, str(msg)))
     print(
-        f"\n{len(ROUND11_FRONT)} ops rehearsed in {round(time.time() - t_all)}s; "
+        f"\n{len(CURRENT_FRONT)} ops rehearsed in {round(time.time() - t_all)}s; "
         f"failures: {bad or 'NONE'}"
     )
     spark.stop()
