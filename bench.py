@@ -248,6 +248,7 @@ EXTRA = [
     "ml_als_recs",
     "ml_als_contract",
     "txt_quality_gopher",
+    "snk_pydatasource_jsonl",
 ]
 
 # Machine-readable exclusion ledger (r11 verdict ask): every op that is

@@ -1298,3 +1298,81 @@ def src_pydatasource_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_words))
         .select("n_docs", "total_chars", "n_distinct_words", "text_hash_xor")
     )
+
+
+# ---------------------------------------------- snk_pydatasource_jsonl
+
+SNK_PYDS_SHARDS = 4  # write-side partitions -> one JSONL shard each
+
+
+@REG.op(
+    "snk_pydatasource_jsonl",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(md5(text)) AS min_md5,
+           max(md5(text)) AS max_md5,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_md5
+    FROM documents GROUP BY lang
+    """,
+)
+def snk_pydatasource_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the Python DataSource surface (the engine
+    already gates the batch reader and the streaming reader): the
+    documents table flows through the registered 'jsonlshards' SINK —
+    per-task `write` runs on the executors (one JSONL shard per
+    partition), each task returns a commit message, and the
+    driver-side `commit` publishes a manifest only after every task
+    succeeded (two-phase commit: the protocol any external sink —
+    feature store, search index, vendor API — needs; `abort` removes
+    partial shards so a failed job is invisible to readers). The op
+    then READS THE SHARDS BACK, checks the manifest row count against
+    the read, and reduces to per-lang accounting the oracle recomputes
+    from the source table directly — a dropped task, a torn shard, a
+    JSON escaping bug, or a manifest drift flips the VALUES (content
+    fidelity is carried by md5(text) computed BEFORE the sink and
+    re-aggregated after the round trip).
+
+    Scale: write parallelism is the input partitioning (shards ==
+    tasks); the manifest is shard-count-sized; read-back is a plain
+    distributed JSON scan with an explicit schema."""
+    import json as _json
+    import os
+
+    from claim_analysis_engine_spark.pydatasource import (
+        _MANIFEST,
+        register_jsonlshards,
+    )
+    from claim_analysis_engine_spark.tmputil import fresh_dir
+
+    register_jsonlshards(spark)
+    out = fresh_dir("cae_spark_jsonlsink_")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("content_md5")
+    )
+    (
+        docs.repartition(SNK_PYDS_SHARDS)
+        .write.format("jsonlshards")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    with open(os.path.join(out, _MANIFEST)) as fh:
+        manifest = _json.load(fh)
+    back = spark.read.schema(
+        "doc_id bigint, lang string, n_chars bigint, content_md5 string"
+    ).json(os.path.join(out, "shard-*.jsonl"))
+    n_back = back.count()
+    if n_back != manifest["n_rows"]:
+        raise RuntimeError(
+            f"jsonl sink round-trip lost rows: manifest {manifest['n_rows']}"
+            f" vs read-back {n_back}"
+        )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("content_md5").alias("min_md5"),
+        F.max("content_md5").alias("max_md5"),
+        F.countDistinct("content_md5").cast("bigint").alias("n_distinct_md5"),
+    )

@@ -22,8 +22,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SYNTH_VOCAB = 20000     # distinct words (shared with the Zipf fixture)
@@ -201,3 +203,89 @@ class EventsReplayDataSource(DataSource):
 
 def register_eventsreplay(spark) -> None:
     spark.dataSource.register(EventsReplayDataSource)
+
+
+# --------------------------------------- batch SINK (JSONL shards)
+
+# The WRITE half of the Spark 4 Python DataSource API (the engine
+# already ships the batch reader and the streaming reader): a custom
+# sink whose per-task `write` runs ON THE EXECUTORS, returns a commit
+# message per partition, and whose driver-side `commit` publishes a
+# manifest only after every task succeeded — the two-phase commit
+# protocol a real external sink (feature store, search index, vendor
+# API) needs, demonstrated end-to-end with files so the result is
+# value-certifiable. `abort` removes the partial shards, so a failed
+# job leaves no torn output visible to readers (the manifest IS the
+# visibility gate).
+
+_MANIFEST = "_MANIFEST.json"
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, shard: str, n_rows: int):
+        self.shard = shard
+        self.n_rows = n_rows
+
+
+class JsonlShardWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json as _json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        shard = os.path.join(
+            self.path, f"shard-{ctx.partitionId():05d}.jsonl"
+        )
+        n = 0
+        with open(shard, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return _ShardCommit(shard, n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+
+        manifest = {
+            "shards": sorted(
+                (
+                    {"shard": os.path.basename(m.shard), "n_rows": m.n_rows}
+                    for m in messages
+                    if m is not None
+                ),
+                key=lambda s: s["shard"],
+            ),
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, _MANIFEST), "w") as fh:
+            _json.dump(manifest, fh, sort_keys=True)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.shard):
+                os.remove(m.shard)
+
+
+class JsonlShardsDataSource(DataSource):
+    """df.write.format("jsonlshards").option("path", dir).save() —
+    one JSONL shard per partition + a driver-committed manifest."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlshards"
+
+    def writer(self, schema, overwrite: bool) -> JsonlShardWriter:
+        return JsonlShardWriter(self.options, overwrite)
+
+
+def register_jsonlshards(spark) -> None:
+    spark.dataSource.register(JsonlShardsDataSource)

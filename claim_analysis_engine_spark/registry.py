@@ -542,6 +542,7 @@ ROUND12_FRONT: tuple[str, ...] = (
     "txt_collocations",
     "ml_als_contract",
     "txt_quality_gopher",
+    "snk_pydatasource_jsonl",
     "ep14_champion_forecast_e2e",
     "ml_als_recs",
     # --- recycled: next-oldest r5 certifications, registry order ---
@@ -558,12 +559,11 @@ ROUND12_FRONT: tuple[str, ...] = (
     "rs_grade_thresholds",
     "f_month_end_pred",
     "rs_tree_relational",
-    "p6_rule_engine",
     # DISPLACED by the late-round-12 additions (txt_collocations,
-    # ml_als_contract, ml_als_recs, txt_quality_gopher):
-    # ep5_p2_summary, ep5_alerts_incremental, ml_split, ml_ci —
-    # recycle them FIRST in ROUND13_FRONT (see the plan comment
-    # above).
+    # ml_als_contract, ml_als_recs, txt_quality_gopher,
+    # snk_pydatasource_jsonl): p6_rule_engine, ep5_p2_summary,
+    # ep5_alerts_incremental, ml_split, ml_ci — recycle them FIRST in
+    # ROUND13_FRONT (see the plan comment above).
 )
 
 # The front the driver samples THIS round — rehearsal script and the

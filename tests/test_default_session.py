@@ -159,6 +159,8 @@ SINK_OPS = [
     # r10-r11 gates earned their default-session evidence as driver
     # rows; this one gets it here before its first driver window)
     "evt_span_dedup_stream",
+    # round-12: the Python DataSource WRITE path (two-phase commit)
+    "snk_pydatasource_jsonl",
 ]
 
 

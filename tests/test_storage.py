@@ -291,3 +291,40 @@ def test_pydatasource_corpus_golden_and_partition_invariant(spark):
         row["total_chars"],
         row["text_hash_xor"],
     )
+
+
+def test_jsonl_shard_sink_abort_removes_partial_output(spark, tmp_path):
+    """The two-phase-commit claim the jsonlshards sink exists to
+    demonstrate: a task failure mid-job must leave NO shards and NO
+    manifest — the abort path removes what partial tasks wrote, so a
+    reader keyed on the manifest can never observe torn output."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.pydatasource import (
+        _MANIFEST,
+        register_jsonlshards,
+    )
+
+    register_jsonlshards(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    # partition 0 writes fine; a later partition throws mid-write
+    df = spark.range(100).withColumn(
+        "boom",
+        F.when(F.col("id") == 77, F.lit(1) / F.lit(0)).otherwise(F.lit(0.0)),
+    ).repartition(4)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        with __import__("pytest").raises(Exception):
+            df.write.format("jsonlshards").option("path", out).mode(
+                "append"
+            ).save()
+    finally:
+        spark.conf.unset("spark.sql.ansi.enabled")
+    assert not os.path.exists(os.path.join(out, _MANIFEST)), (
+        "manifest published despite a failed task"
+    )
+    leftover = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert not leftover, f"partial shards survived abort: {leftover}"
