@@ -6,11 +6,21 @@ these tests pin the claims the driver hash cannot."""
 
 from __future__ import annotations
 
+import pytest
+
 from claim_analysis_engine_spark.operators.recommend import (
     ALS_K,
     _ALS_MEMO,
     ml_als_recs,
 )
+
+
+@pytest.fixture(scope="module")
+def planted_sf(spark, tmp_path_factory) -> str:
+    """ONE planted purchase graph for the module: the recommendation
+    memo is keyed by (session, sf_dir), so all three tests share a
+    single ALS fit instead of paying it per test."""
+    return _planted_purchases(spark, tmp_path_factory.mktemp("als"))
 
 
 def _planted_purchases(spark, tmp_path) -> str:
@@ -38,9 +48,8 @@ def _planted_purchases(spark, tmp_path) -> str:
     return str(tmp_path)
 
 
-def test_als_recommendations_respect_planted_taste_blocks(spark, tmp_path):
-    sf = _planted_purchases(spark, tmp_path)
-    rows = ml_als_recs(spark, sf).collect()
+def test_als_recommendations_respect_planted_taste_blocks(spark, planted_sf):
+    rows = ml_als_recs(spark, planted_sf).collect()
     assert rows, "no recommendations emitted"
     per_user: dict[int, list] = {}
     for r in rows:
@@ -61,7 +70,7 @@ def test_als_recommendations_respect_planted_taste_blocks(spark, tmp_path):
     assert in_block / total >= 0.9, f"{in_block}/{total} in-block"
 
 
-def test_als_contract_accounting_is_population_exact(spark, tmp_path):
+def test_als_contract_accounting_is_population_exact(spark, planted_sf):
     """Oracle replay on the planted corpus: the modeled-population
     VALUES (users, items, interaction rows) come from the same
     two-fact join both engines state."""
@@ -70,7 +79,7 @@ def test_als_contract_accounting_is_population_exact(spark, tmp_path):
     from claim_analysis_engine_spark.registry import registry
     from tests.oracle_harness import compare
 
-    sf = _planted_purchases(spark, tmp_path)
+    sf = planted_sf
     op = registry()["ml_als_contract"]
     con = duckdb.connect()
     for t in ("orders", "lineitem"):
@@ -87,12 +96,12 @@ def test_als_contract_accounting_is_population_exact(spark, tmp_path):
         con.close()
 
 
-def test_als_memo_serves_identical_rows_per_session(spark, tmp_path):
+def test_als_memo_serves_identical_rows_per_session(spark, planted_sf):
     """The parquet-path memo (the _DOCVEC_MEMO pattern): two reads in
     one session return byte-identical recommendations — the
     gate-stability property that lets the e2e op and its contract
     share one fit."""
-    sf = _planted_purchases(spark, tmp_path)
+    sf = planted_sf
     a = sorted(
         map(tuple, ml_als_recs(spark, sf).collect()),
     )
