@@ -1986,7 +1986,12 @@ def _doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = fresh_dir("cae_spark_docvec_")
-        pooled.write.mode("overwrite").parquet(out)
+        # write MULTIPLE files: a single-file parquet of this frame
+        # serializes every downstream consumer's compute onto one task
+        # (the spread_scan single-row-group trap — measured: the ep12
+        # e2e's warm pass went 2.8 -> 11.2 s when this memo landed as
+        # one file; 32 files — one per core — restore the parallel scan)
+        pooled.repartition(32).write.mode("overwrite").parquet(out)
         if len(_DOCVEC_MEMO) >= _DOCVEC_MEMO_MAX:
             import shutil
 
