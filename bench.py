@@ -558,6 +558,10 @@ def main() -> None:
         "runs_per_query": {"headline": N_RUNS_HEADLINE, "extra": N_RUNS_EXTRA},
         "cold": cold,
         "excluded": EXCLUDED,
+        # the heap the run actually used (r12 finding: 12g default GC
+        # pressure inflated late extras up to 6x once the surface grew
+        # past ~110 timed ops; official runs use 24g via the env knob)
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
         "methodology": methodology,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "metric": "headline_total_runtime",
