@@ -1997,10 +1997,11 @@ def _doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one file; 32 files — one per core — restore the parallel scan)
         pooled.repartition(32).write.mode("overwrite").parquet(out)
         if len(_DOCVEC_MEMO) >= _DOCVEC_MEMO_MAX:
-            import shutil
-
-            evicted = _DOCVEC_MEMO.pop(next(iter(_DOCVEC_MEMO)))
-            shutil.rmtree(evicted, ignore_errors=True)
+            # evict the memo entry only — the files stay for the
+            # tmputil exit sweep, because a DataFrame handed out
+            # before the eviction still lazily reads that path
+            # (r12 advice: eager rmtree here poisons such consumers)
+            _DOCVEC_MEMO.pop(next(iter(_DOCVEC_MEMO)))
         _DOCVEC_MEMO[memo_key] = out
     return spark.read.parquet(_DOCVEC_MEMO[memo_key])
 

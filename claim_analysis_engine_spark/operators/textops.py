@@ -1449,11 +1449,16 @@ def txt_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = bg.agg(F.count(F.lit(1)).alias("n_big"))
     u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    # double from the FIRST factor, mirroring the oracle's
+    # (c_pair * 1.0) * n_tok * n_tok left-assoc evaluation order: a
+    # bigint product would silently wrap past 2^63 on a large corpus,
+    # and a double conversion at any OTHER point in the chain can
+    # differ by 1 ulp from DuckDB's once products exceed 2^53
     pmi = F.log(
-        F.col("c_pair")
+        F.col("c_pair").cast("double")
         * F.col("n_tok")
         * F.col("n_tok")
-        / (F.col("n_big") * F.col("c1") * F.col("c2"))
+        / (F.col("n_big").cast("double") * F.col("c1") * F.col("c2"))
     )
     return (
         bcnt.join(F.broadcast(u1), "w1")

@@ -229,8 +229,18 @@ class _ShardCommit(WriterCommitMessage):
 
 class JsonlShardWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
         self.path = options["path"]
         self.overwrite = overwrite
+        # job-unique token baked into every shard name (r12 advice):
+        # without it, a second save() into the same path with FEWER
+        # partitions would overwrite some shards and leave the rest
+        # stale — orphaned bytes that a manifest-ignoring reader could
+        # see. Minted once on the driver, pickled to every task, so
+        # one job's shards share it and no two jobs ever collide; the
+        # manifest remains the visibility gate either way.
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         import json as _json
@@ -240,7 +250,8 @@ class JsonlShardWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         shard = os.path.join(
-            self.path, f"shard-{ctx.partitionId():05d}.jsonl"
+            self.path,
+            f"shard-{self.job_token}-{ctx.partitionId():05d}.jsonl",
         )
         n = 0
         with open(shard, "w", encoding="utf-8") as fh:

@@ -27,21 +27,41 @@ def _suite_tmp_root():
     import time
 
     # Stale-parent sweep (r11 verdict): a KILLED suite never reaches
-    # the teardown rmtree, orphaning its parent. Any cae_suite_tmp_*
-    # older than 2h cannot belong to a live run (full suite ~25 min),
-    # so reap it at the next session start. Age-gating keeps a
-    # concurrent fresh run's staging safe.
+    # the teardown rmtree, orphaning its parent. The parent name
+    # encodes the owning pid (r12 advice: age alone could reap a
+    # legitimately >2h run whose parent mtime never updates), so the
+    # sweep is liveness-gated: a dead owner's tree is reaped at once,
+    # a live owner's tree is never touched, and the 2h age gate only
+    # covers pre-pid-format leftovers where ownership is unknowable.
+    def _owner_alive(name: str) -> bool | None:
+        # cae_suite_tmp_p<pid>_<rand> -> True/False; None if unparsable
+        if not name.startswith("cae_suite_tmp_p"):
+            return None
+        pid_s = name[len("cae_suite_tmp_p"):].split("_", 1)[0]
+        if not pid_s.isdigit():
+            return None
+        try:
+            os.kill(int(pid_s), 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, other uid — treat as live
+
     cutoff = time.time() - 2 * 3600
     for stale in glob.glob(
         os.path.join(tempfile.gettempdir(), "cae_suite_tmp_*")
     ):
         try:
-            if os.path.getmtime(stale) < cutoff:
+            alive = _owner_alive(os.path.basename(stale))
+            if alive is True:
+                continue
+            if alive is False or os.path.getmtime(stale) < cutoff:
                 shutil.rmtree(stale, ignore_errors=True)
         except OSError:
             pass  # vanished mid-scan — someone else's teardown won
 
-    parent = tempfile.mkdtemp(prefix="cae_suite_tmp_")
+    parent = tempfile.mkdtemp(prefix=f"cae_suite_tmp_p{os.getpid()}_")
     old = tempfile.tempdir
     tempfile.tempdir = parent
     yield
