@@ -1109,3 +1109,348 @@ def ep11_rag_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(RAG_TOP_K)
     )
+
+
+# ------------------------------------------------- ep15_plant_analysis
+
+# The plant-analysis page capstone (reference pages/3_플랜트_분석.py, the
+# heaviest page at 645 LoC): filter funnel → month pivot with subtotal
+# rows → hybrid old-year/recent-month view → per-row risk diagnosis →
+# lag tab, ALL under one hash. Fixed funnel parameters (the page's
+# interactive widgets, pinned so both engines agree):
+_EP15_PLANT = "F"  # Step 1 plant select (pages/3:82-86)
+_EP15_MODE_EXCL = "AUTOMOBILE"  # Step 2 mode filter (pages/3:117-155),
+# expressed as a segment exclusion KEPT IN SYNC with the history frame
+# — the page's "[Sync] History Data" blocks are the semantic to pin
+_EP15_START = "1997-01-01"  # Step 1 date window
+_EP15_END_EXCL = "1999-07-01"  # exclusive: window end month = 1999-06
+# hybrid cutoff = end - 23 months (pages/3:336-338): recent months are
+# raw columns, older months collapse to per-year 'sum(avg)' text
+_EP15_RECENT = (
+    [(1997, m) for m in range(7, 13)]
+    + [(1998, m) for m in range(1, 13)]
+    + [(1999, m) for m in range(1, 7)]
+)
+_EP15_MONTH_NAMES = [f"m{y}_{m:02d}" for y, m in _EP15_RECENT]
+# sum(avg) denominators — reference semantics (pages/3:355-383): the
+# OLD-year column sums only that year's PRE-CUTOFF months (1997 Jan-
+# Jun; Jul+ appear as raw columns, never double-counted), while the
+# ly/ty SUMMARY columns sum ALL of that year's months in the window;
+# averages divide by the month-COLUMN count, so empty months count
+_EP15_DENOM = {1997: 6, 1998: 12, 1999: 6}
+
+
+def _ep15_sumavg_sql(s: str, denom: int) -> str:
+    """'<sum>(<avg to 1 dp>)' in PURE integer arithmetic (tenths via
+    floor division) — the ep9 discipline: no float can round-tie."""
+    t = f"(({s}) * 10 // {denom})"
+    return (
+        f"CAST({s} AS VARCHAR) || '(' || CAST({t} // 10 AS VARCHAR)"
+        f" || '.' || CAST({t} % 10 AS VARCHAR) || ')'"
+    )
+
+
+def _ep15_oracle() -> str:
+    month_filters = ",\n             ".join(
+        f"count(*) FILTER (y = {y} AND m = {m}) AS m{y}_{m:02d}"
+        for y, m in _EP15_RECENT
+    )
+    month_cols = ",\n           ".join(f"p.{n}" for n in _EP15_MONTH_NAMES)
+    return (
+        f"""
+    WITH orders AS (
+      SELECT c.c_mktsegment AS o_orderstatus,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN '1-URGENT' ELSE '3-MEDIUM' END AS o_orderpriority,
+             o.o_orderdate
+      FROM main.orders o JOIN main.customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderstatus = '{_EP15_PLANT}'
+        AND c.c_mktsegment <> '{_EP15_MODE_EXCL}'
+        AND o.o_orderdate < DATE '{_EP15_END_EXCL}'
+    ),"""
+        + _TREE_CTES.lstrip().removeprefix("WITH")
+        + f""",
+    risk AS ({_TREE_SELECT}),
+    win AS (
+      SELECT o.o_orderkey, o.o_orderdate,
+             c.c_mktsegment AS segment,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN '중대' ELSE '일반' END AS grade,
+             year(o.o_orderdate) AS y, month(o.o_orderdate) AS m
+      FROM main.orders o JOIN main.customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderstatus = '{_EP15_PLANT}'
+        AND c.c_mktsegment <> '{_EP15_MODE_EXCL}'
+        AND o.o_orderdate >= DATE '{_EP15_START}'
+        AND o.o_orderdate < DATE '{_EP15_END_EXCL}'
+    ),
+    pvt AS (
+      SELECT coalesce(grade, 'Total') AS grade,
+             CASE WHEN GROUPING(segment) = 1 AND GROUPING(grade) = 0
+                  THEN '전체 합계'
+                  WHEN GROUPING(grade) = 1 THEN '' ELSE segment END AS segment,
+             GROUPING(grade) AS gg, GROUPING(segment) AS gs,
+             count(*) FILTER (y = 1997 AND m <= 6) AS s1997,
+             count(*) FILTER (y = 1998) AS s1998,
+             count(*) FILTER (y = 1999) AS s1999,
+             {month_filters},
+             count(*) AS total
+      FROM win GROUP BY ROLLUP (grade, segment)
+    ),
+    lagv AS (
+      SELECT date_diff('day', w.o_orderdate, l.l_shipdate) AS lag_days
+      FROM win w JOIN main.lineitem l ON l.l_orderkey = w.o_orderkey
+      WHERE date_diff('day', w.o_orderdate, l.l_shipdate) >= 0
+    ),
+    lagstat AS (
+      SELECT count(*) AS lag_n,
+             round(avg(lag_days), 4) AS lag_mean,
+             round(median(lag_days), 1) AS lag_p50
+      FROM lagv
+    ),
+    laghist AS (
+      SELECT string_agg(CAST(b AS VARCHAR) || ':' || CAST(n AS VARCHAR),
+                        ',' ORDER BY b) AS lag_hist
+      FROM (SELECT lag_days // 10 AS b, count(*) AS n FROM lagv GROUP BY 1)
+    )
+    SELECT p.grade, p.segment,
+           {_ep15_sumavg_sql('p.s1997', _EP15_DENOM[1997])} AS y1997,
+           {month_cols},
+           {_ep15_sumavg_sql('p.s1998', _EP15_DENOM[1998])} AS ly_1998,
+           {_ep15_sumavg_sql('p.s1999', _EP15_DENOM[1999])} AS ty_1999,
+           CAST(p.total AS BIGINT) AS total,
+           CASE WHEN p.gg = 0 AND p.gs = 0
+                THEN coalesce(r.risk_status, '⚪') ELSE '' END AS risk_status,
+           CASE WHEN p.gg = 0 AND p.gs = 0
+                THEN coalesce(r.score, 0) END AS score,
+           CASE WHEN p.gg = 0 AND p.gs = 0
+                THEN coalesce('[' || CAST(r.score AS VARCHAR) || '점] '
+                              || r.reason, '데이터 없음')
+                ELSE '' END AS reason,
+           CASE WHEN p.gg = 1 THEN s.lag_n END AS lag_n,
+           CASE WHEN p.gg = 1 THEN s.lag_mean END AS lag_mean,
+           CASE WHEN p.gg = 1 THEN s.lag_p50 END AS lag_p50,
+           CASE WHEN p.gg = 1 THEN h.lag_hist END AS lag_hist
+    FROM pvt p
+    LEFT JOIN risk r ON p.gg = 0 AND p.gs = 0
+                    AND r.status = p.segment AND r.grade = p.grade
+    CROSS JOIN lagstat s CROSS JOIN laghist h
+    """
+    )
+
+
+def _ep15_crit() -> F.Column:
+    return F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+
+
+def _ep15_claims(spark: SparkSession, sf_dir: str, *, window: bool) -> DataFrame:
+    """The page's filter funnel (pages/3:82-195). ``window=False`` is
+    the '[Sync] History Data' frame: SAME plant + mode + dimension
+    filters, NO window-start bound (whole plant history up to the
+    window end — calculate_advanced_risk_score truncates the series at
+    the target month, core/analytics.py:411-419)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    df = (
+        o.where(
+            (F.col("o_orderstatus") == _EP15_PLANT)
+            & (F.col("o_orderdate") < F.lit(_EP15_END_EXCL).cast("date"))
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_mktsegment") != _EP15_MODE_EXCL)
+    )
+    if window:
+        df = df.where(F.col("o_orderdate") >= F.lit(_EP15_START).cast("date"))
+    return df
+
+
+def _ep15_sumavg_col(s: str, denom: int) -> F.Column:
+    t = f"(({s}) * 10) div {denom}"
+    return F.concat(
+        F.col(s).cast("string"),
+        F.lit("("),
+        F.expr(f"({t}) div 10").cast("string"),
+        F.lit("."),
+        F.expr(f"({t}) % 10").cast("string"),
+        F.lit(")"),
+    )
+
+
+@REG.op("ep15_plant_analysis", oracle=_ep15_oracle())
+def ep15_plant_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP15 — the plant-analysis page (reference pages/3_플랜트_분석.py,
+    SURVEY §3 'EP4 honorable mention') composed end-to-end under one
+    hash, the ep9/ep10 panel pattern over already-certified parts:
+
+    * filter funnel (pages/3:82-195): plant + date window + mode
+      filter, with the mode/dimension filters KEPT IN SYNC between the
+      display frame and the risk-history frame ([Sync] blocks);
+    * month pivot with 소계/전체 합계 subtotal rows (pages/3:270-326 →
+      pvt_subtotals' ROLLUP machinery) over (grade, segment) — grade
+      forced first, the page's '등급기준 is always pivot_indices[0]';
+    * hybrid view (pages/3:335-371 → pvt_hybrid): months ≥ end-23mo as
+      raw columns, older months collapsed to per-year 'sum(avg)' text
+      (integer-tenths arithmetic — no float rounding anywhere), plus
+      the ly/ty summary columns and window Total;
+    * per-row risk diagnosis AGAINST WHOLE-PLANT HISTORY, not the
+      filtered window (pages/3:115-195 whole_history_df — THE subtle
+      semantic: stats/mu/sd come from all months up to the target even
+      when the display window starts later; rs_tree_relational runs on
+      the history frame with segment/grade as the series key), with
+      subtotal rows skipped exactly as the page skips them
+      (pages/3:385-394) and the page's '[{score}점] {reason}' string;
+    * lag tab (pages/3:629-643 → agg_lag_stats + agg_hist): count /
+      mean / exact median plus a 10-day-bucket histogram string, on
+      the grand-total row only.
+
+    Scale: the tree input is ONE hash-aggregate of the filtered fact
+    table (map-side combine to |keys|×|months|); the pivot is one
+    ROLLUP over the same scan; risk results are segment×grade-sized
+    and broadcast back; lag reuses the bounded-domain exact-median
+    histogram (the agg_lag_stats plan). Planted divergence tests:
+    tests/test_ep15.py."""
+    from claim_analysis_engine_spark.operators.risk_tree import rs_tree_relational
+
+    hist = _ep15_claims(spark, sf_dir, window=False).select(
+        F.col("c_mktsegment").alias("o_orderstatus"),
+        F.when(_ep15_crit(), F.lit("1-URGENT"))
+        .otherwise(F.lit("3-MEDIUM"))
+        .alias("o_orderpriority"),
+        "o_orderdate",
+    )
+    risk = rs_tree_relational(spark, sf_dir, orders=hist).select(
+        F.col("status").alias("r_segment"),
+        F.col("grade").alias("r_grade"),
+        F.col("risk_status").alias("r_status"),
+        F.col("score").alias("r_score"),
+        F.col("reason").alias("r_reason"),
+    )
+
+    win = _ep15_claims(spark, sf_dir, window=True).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("c_mktsegment").alias("segment"),
+        F.when(_ep15_crit(), F.lit("중대")).otherwise(F.lit("일반")).alias("grade"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+    )
+
+    def cnt(cond: F.Column) -> F.Column:
+        return F.count(F.when(cond, 1))
+
+    month_aggs = [
+        cnt((F.col("y") == y) & (F.col("m") == m)).alias(f"m{y}_{m:02d}")
+        for y, m in _EP15_RECENT
+    ]
+    pvt = (
+        win.rollup("grade", "segment")
+        .agg(
+            cnt((F.col("y") == 1997) & (F.col("m") <= 6)).alias("s1997"),
+            cnt(F.col("y") == 1998).alias("s1998"),
+            cnt(F.col("y") == 1999).alias("s1999"),
+            *month_aggs,
+            F.count(F.lit(1)).alias("total"),
+            F.grouping("grade").alias("gg"),
+            F.grouping("segment").alias("gs"),
+        )
+        .select(
+            F.coalesce("grade", F.lit("Total")).alias("grade"),
+            F.when((F.col("gs") == 1) & (F.col("gg") == 0), F.lit("전체 합계"))
+            .when(F.col("gg") == 1, F.lit(""))
+            .otherwise(F.col("segment"))
+            .alias("segment"),
+            "gg",
+            "gs",
+            "s1997",
+            "s1998",
+            "s1999",
+            *_EP15_MONTH_NAMES,
+            "total",
+        )
+    )
+
+    # lag tab: exact stats over the bounded integer lag domain (the
+    # agg_lag_stats plan: per-value histogram, cumulative-rank median)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = (
+        win.select("o_orderkey", "o_orderdate")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lag_days")
+        )
+        .where(F.col("lag_days") >= 0)
+    )
+    hist_l = lag.groupBy("lag_days").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = W.orderBy("lag_days").rowsBetween(W.unboundedPreceding, 0)
+    h = hist_l.withColumn("cum", F.sum("cnt").over(wcum))
+    h2 = h.crossJoin(F.broadcast(h.agg(F.sum("cnt").alias("n_all"))))
+    m1 = F.min(
+        F.when(F.col("cum") >= F.floor((F.col("n_all") + 1) / 2), F.col("lag_days"))
+    )
+    m2 = F.min(
+        F.when(F.col("cum") >= F.floor(F.col("n_all") / 2) + 1, F.col("lag_days"))
+    )
+    sum1 = F.sum(F.col("cnt") * F.col("lag_days"))
+    lagstat = h2.agg(
+        F.max("n_all").alias("lag_n_v"),
+        F.round(sum1.cast("double") / F.max("n_all"), 4).alias("lag_mean_v"),
+        F.round((m1 + m2) / 2.0, 1).alias("lag_p50_v"),
+    )
+    laghist = (
+        lag.groupBy(F.expr("lag_days div 10").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(b, n))),"
+                " s -> concat(cast(s.b as string), ':', cast(s.n as string))), ',')"
+            ).alias("lag_hist_v")
+        )
+    )
+
+    leaf = (F.col("gg") == 0) & (F.col("gs") == 0)
+    grand = F.col("gg") == 1
+    return (
+        pvt.join(
+            F.broadcast(risk),
+            leaf
+            & (F.col("r_segment") == F.col("segment"))
+            & (F.col("r_grade") == F.col("grade")),
+            "left",
+        )
+        .crossJoin(F.broadcast(lagstat))
+        .crossJoin(F.broadcast(laghist))
+        .select(
+            "grade",
+            "segment",
+            _ep15_sumavg_col("s1997", _EP15_DENOM[1997]).alias("y1997"),
+            *_EP15_MONTH_NAMES,
+            _ep15_sumavg_col("s1998", _EP15_DENOM[1998]).alias("ly_1998"),
+            _ep15_sumavg_col("s1999", _EP15_DENOM[1999]).alias("ty_1999"),
+            F.col("total").cast("bigint").alias("total"),
+            F.when(leaf, F.coalesce("r_status", F.lit("⚪")))
+            .otherwise(F.lit(""))
+            .alias("risk_status"),
+            F.when(leaf, F.coalesce(F.col("r_score"), F.lit(0)))
+            .cast("int")
+            .alias("score"),
+            F.when(
+                leaf,
+                F.coalesce(
+                    F.concat(
+                        F.lit("["),
+                        F.col("r_score").cast("string"),
+                        F.lit("점] "),
+                        F.col("r_reason"),
+                    ),
+                    F.lit("데이터 없음"),
+                ),
+            )
+            .otherwise(F.lit(""))
+            .alias("reason"),
+            F.when(grand, F.col("lag_n_v")).alias("lag_n"),
+            F.when(grand, F.col("lag_mean_v")).alias("lag_mean"),
+            F.when(grand, F.col("lag_p50_v")).alias("lag_p50"),
+            F.when(grand, F.col("lag_hist_v")).alias("lag_hist"),
+        )
+    )

@@ -483,3 +483,77 @@ def ml_warning_marking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status string, priority string, champion string, fcst_slope double, "
         "peak_ratio double, warning_level int",
     )
+
+
+@REG.op(
+    "ml_warning_contract",
+    oracle=_SERIES_CTE
+    + """
+    SELECT k.status, k.priority,
+           CAST(1 AS BIGINT) AS n_rows,
+           true AS level_consistent,
+           true AS champion_known,
+           true AS values_rounded,
+           true AS level_in_range
+    FROM keys k
+    """,
+)
+def ml_warning_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified contract for the P4 warning scanner
+    (ml_warning_marking stays rows-only: the champion forecast is
+    fitted model state no static SQL can reproduce). What IS
+    SQL-checkable per series, and what this op certifies:
+
+    * eligibility — EXACTLY one warning row per (status, priority) key
+      of the shared zero-filled series CTE (the same key set the risk
+      family certifies);
+    * threshold faithfulness — the reported level re-derives from the
+      REPORTED 4-dp-rounded slope/ratio through the frozen rulebook
+      (level 2: ratio >= 1.0 and slope > 0; level 1: ratio >=
+      0.7 or slope > 0; else 0). Grading the rounded values is
+      the r6 ulp lesson: warning_from_forecast itself decides on the
+      rounded pair for exactly this reason, so the re-derivation is
+      EXACT boolean logic, no tolerance needed;
+    * champion is one of the three deployed families;
+    * the reported floats are already 4-dp (re-rounding is identity);
+    * the level is in the 0..2 range.
+
+    Every invariant folds to `true`, so any violation — a dropped or
+    duplicated series, a threshold drift, a family rename, an
+    unrounded emission — hash-mismatches against the key grid."""
+    out = ml_warning_marking(spark, sf_dir)
+    slope, ratio = F.col("fcst_slope"), F.col("peak_ratio")
+    expected = (
+        F.when((ratio >= WARN_RATIO_RED) & (slope > 0), 2)
+        .when((ratio >= WARN_RATIO_YELLOW) | (slope > 0), 1)
+        .otherwise(0)
+    )
+    per = out.groupBy("status", "priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            F.min((F.col("warning_level") == expected).cast("int")) == 1
+        ).alias("level_consistent"),
+        (
+            F.min(F.col("champion").isin("hw", "laglin", "snaive").cast("int")) == 1
+        ).alias("champion_known"),
+        (
+            F.min(
+                (
+                    (F.round(slope, 4) == slope) & (F.round(ratio, 4) == ratio)
+                ).cast("int")
+            )
+            == 1
+        ).alias("values_rounded"),
+        (
+            F.min(F.col("warning_level").between(0, 2).cast("int")) == 1
+        ).alias("level_in_range"),
+    )
+    return per.select(
+        "status",
+        "priority",
+        "n_rows",
+        "level_consistent",
+        "champion_known",
+        "values_rounded",
+        "level_in_range",
+    )
