@@ -249,6 +249,14 @@ EXTRA = [
     "ml_als_contract",
     "txt_quality_gopher",
     "snk_pydatasource_jsonl",
+    # round-13: the plant-analysis page capstone (one tree pass over
+    # the history substrate + one ROLLUP + the lag histogram), the
+    # warning-scanner contract (per-series numpy forecasts — the
+    # warm-up pass carries the fanout), and PQ/ADC over the TRAINED
+    # doc vectors (reuses the session's pooled-embedding parquet memo)
+    "ep15_plant_analysis",
+    "ml_warning_contract",
+    "sim_pq_adc_trained",
 ]
 
 # Machine-readable exclusion ledger (r11 verdict ask): every op that is
@@ -488,6 +496,13 @@ def main() -> None:
         "evt_span_dedup_stream",
         # late round-12: the ALS fit memoizes on first run
         "ml_als_recs",
+        # round-13: ep15 builds the risk-tree substrate for its history
+        # frame on first run; the warning contract pays the per-series
+        # champion-forecast fanout; trained-PQ builds the pooled-
+        # embedding memo when it runs before the ep12 family
+        "ep15_plant_analysis",
+        "ml_warning_contract",
+        "sim_pq_adc_trained",
     ]
     warm_first: dict[str, float] = {}
     for name in (n for n in WARMUP_EXTRA if n in extras_to_run):
@@ -502,30 +517,37 @@ def main() -> None:
     # pays the first-run cost instead. Surface that cold number
     # explicitly: run 1 of the spread is the only run that built the
     # memo, so it IS the cold timing.
-    MEMOIZED = [
-        "rs_wrapper",
-        "p6_rule_engine",
-        "dedup_cluster_cc",
-        "dedup_cluster_cc_star",
-        "corpus_quality_lr",
-        "sim_recall_report",
-        "emb_pca_project",
-        "prune_file_stats",
-        "prune_zorder_2d",
-        "src_partition_evolution",
-        "corpus_bpe_train",
-        "txt_containment_sparse",
-        "ml_gbt_mllib",
-        "emb_word2vec_train",
-        "ep12_embed_retrieval_e2e",
-        "dedup_semantic_trained",
-        "ml_champion4",
-        "ep14_champion_forecast_e2e",
-        "ml_als_recs",
-    ]
+    # name -> WHY the first run is cold-heavy (r12 verdict ask #8:
+    # machine-readable reasons make a future cold-time regression
+    # diffable — "memo" entries rebuild a session memo, "fit" entries
+    # train a model, "stage" entries lay fixture files/layouts down)
+    MEMOIZED = {
+        "rs_wrapper": "memo: risk-tree series CTE build",
+        "p6_rule_engine": "memo: alerts read-back frame + staged settings JSON",
+        "dedup_cluster_cc": "memo: CC label fixpoint (iterative rounds)",
+        "dedup_cluster_cc_star": "memo: large/small-star fixpoint (iterative rounds)",
+        "corpus_quality_lr": "fit: logistic-regression quality model",
+        "sim_recall_report": "memo: exact top-k truth table",
+        "emb_pca_project": "fit: covariance eigendecomposition",
+        "prune_file_stats": "stage: stats-laid-out parquet fixture",
+        "prune_zorder_2d": "stage: z-ordered parquet layout",
+        "src_partition_evolution": "stage: two-generation partition layout",
+        "corpus_bpe_train": "fit: BPE merge-table induction rounds",
+        "txt_containment_sparse": "memo: prefix-filter candidate index",
+        "ml_gbt_mllib": "fit: distributed GBT (pooled lag features)",
+        "emb_word2vec_train": "fit: word2vec negative-sampling epochs",
+        "ep12_embed_retrieval_e2e": "memo: pooled doc-embedding parquet (32 files)",
+        "dedup_semantic_trained": "memo: trained doc vectors reuse + LSH bucketing",
+        "ml_champion4": "fit: 4-family election board (tune + refits)",
+        "ep14_champion_forecast_e2e": "fit: champion refit-forecast memo",
+        "ml_als_recs": "fit: implicit ALS sweeps + recs parquet memo",
+    }
     cold = {
-        name: warm_first.get(name, spread[name][0])
-        for name in MEMOIZED
+        name: {
+            "sec": warm_first.get(name, spread[name][0]),
+            "why": why,
+        }
+        for name, why in MEMOIZED.items()
         if name in spread
     }
 

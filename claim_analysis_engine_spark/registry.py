@@ -43,7 +43,22 @@ class OpRegistry:
 
 
 def registry() -> dict[str, Op]:
-    """Merge all operator modules' registries. Imports happen here (not
+    """Merge all operator modules' registries, then rotate the current
+    sampling front to the head (the driver samples the FIRST 50
+    entries). See merged_registry() for the raw, rotation-independent
+    merge order that scripts/plan_front.py derives fronts from."""
+    merged = merged_registry()
+    missing = [op_id for op_id in CURRENT_FRONT if op_id not in merged]
+    if missing:  # a typo here would silently shrink the sampling window
+        raise ValueError(f"CURRENT_FRONT ids not in registry: {missing}")
+    front = {op_id: merged[op_id] for op_id in CURRENT_FRONT}
+    front.update((op_id, op) for op_id, op in merged.items() if op_id not in front)
+    return front
+
+
+def merged_registry() -> dict[str, Op]:
+    """Merge all operator modules' registries in the STABLE module/
+    declaration order (no front rotation). Imports happen here (not
     at package import) so the module list stays in one place; a failure
     in any module is FATAL by design — the correctness gate must see
     every registered op, and silently dropping a module would shrink
@@ -120,13 +135,7 @@ def registry() -> dict[str, Op]:
             if op_id in merged:
                 raise ValueError(f"duplicate op id across modules: {op_id!r}")
             merged[op_id] = op
-
-    missing = [op_id for op_id in CURRENT_FRONT if op_id not in merged]
-    if missing:  # a typo here would silently shrink the sampling window
-        raise ValueError(f"CURRENT_FRONT ids not in registry: {missing}")
-    front = {op_id: merged[op_id] for op_id in CURRENT_FRONT}
-    front.update((op_id, op) for op_id, op in merged.items() if op_id not in front)
-    return front
+    return merged
 
 
 # Exact driver-sampling order for round 8 (see comment in registry()).
@@ -566,7 +575,68 @@ ROUND12_FRONT: tuple[str, ...] = (
     # ROUND13_FRONT (see the plan comment above).
 )
 
+# Round-13 window, GENERATED by scripts/plan_front.py from the
+# CORRECTNESS_r01..r12 union (no more hand-tracked displacement
+# bookkeeping — the r12 verdict ask): the 5 ops the late-r12 additions
+# displaced lead (still r5-certified, earliest registry positions),
+# then the remaining 32 r5-era certifications oracle-bearing-first,
+# then the 11 oldest r7 certifications, then the round-13 additions.
+# tests/test_etl_invariants.py asserts this tuple EQUALS the derived
+# plan, so a drift between bookkeeping and reality fails the suite.
+ROUND13_FRONT: tuple[str, ...] = (
+    "p6_rule_engine",
+    "ep5_p2_summary",
+    "ep5_alerts_incremental",
+    "ml_split",
+    "ml_ci",
+    "ml_alloc",
+    "snk_parquet_part",
+    "snk_parquet_flat",
+    "snk_json_series",
+    "snk_series_refresh",
+    "src_json_settings",
+    "src_parquet_flat",
+    "src_excel",
+    "snk_excel",
+    "util_clear",
+    "src_orc_roundtrip",
+    "sales_gap_fill",
+    "ppm",
+    "join_exog_align",
+    "dedup_exact",
+    "dedup_minhash_block",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embed_cosine",
+    "dedup_jaccard_anchor",
+    "dedup_cluster_cc",
+    "sim_topk_brute",
+    "rs_wrapper",
+    "ml_sarimax",
+    "ml_catboost",
+    "ml_lstm",
+    "ml_tune",
+    "ml_champion",
+    "ml_persist",
+    "ml_warning_marking",
+    "dedup_minhash_lsh_fast",
+    "dedup_simhash_fast",
+    "dedup_canonical_pick",
+    "dedup_cluster_cc_star",
+    "join_fuzzy_entity",
+    "dedup_cross_snapshot",
+    "sim_ann_lsh",
+    "sim_ivf",
+    "sim_pairs_threshold",
+    "emb_quantize_int8",
+    "sim_ann_int8_rerank",
+    "emb_drift_monitor",
+    "ml_warning_contract",
+    "ep15_plant_analysis",
+    "sim_pq_adc_trained",
+)
+
 # The front the driver samples THIS round — rehearsal script and the
 # front-invariants test both read this alias, so a rotation is one
 # tuple + one alias change.
-CURRENT_FRONT: tuple[str, ...] = ROUND12_FRONT
+CURRENT_FRONT: tuple[str, ...] = ROUND13_FRONT

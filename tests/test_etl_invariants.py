@@ -115,6 +115,32 @@ def test_sampling_front_is_duplicate_free_and_leads_the_registry():
     assert list(registry())[: len(CURRENT_FRONT)] == list(CURRENT_FRONT)
 
 
+def test_sampling_front_equals_the_derived_plan():
+    """The front is GENERATED, not transcribed bookkeeping (r12 verdict
+    ask #6): scripts/plan_front.py derives the window from the
+    CORRECTNESS_r* union — never-sampled additions guaranteed a slot,
+    remaining slots recycle oldest-certification-first, oracle-bearing
+    before rows-only within a cohort. This pins CURRENT_FRONT to that
+    derivation, so adding an op without re-running the generator (or
+    hand-editing the tuple into a stale order) fails loudly."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    from plan_front import generate_front, latest_certs
+
+    from claim_analysis_engine_spark.registry import CURRENT_FRONT, merged_registry
+
+    plan = generate_front(merged_registry(), latest_certs())
+    assert list(CURRENT_FRONT) == plan, (
+        "CURRENT_FRONT drifted from the derived plan — re-run "
+        "scripts/plan_front.py and transcribe its output"
+    )
+
+
 def test_bench_exclusion_ledger_is_consistent_with_the_registry():
     """The BENCH_DETAIL `excluded` map (r11 verdict ask) must stay
     honest: every excluded id is a real registered op, no excluded op

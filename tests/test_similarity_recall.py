@@ -137,6 +137,47 @@ def test_pq_adc_determinism_and_recall(spark):
     assert hits / len(exact) >= 0.6
 
 
+def test_pq_adc_trained_recall_is_near_lossless(spark):
+    """The r12 verdict's sim_pq_adc accuracy ask, resolved by
+    measurement: on vectors WITH cosine structure (the ep12 pooled
+    trained doc embeddings) the same 16-code books + 50-pool re-rank
+    are near-lossless — measured top-1 1.000 / top-3 set recall 0.995
+    at sf0.01 (r13). Pin floors with margin for w2v fit drift, and
+    exact top-k truth recomputed independently in numpy over the SAME
+    vectors (lexsort tie-breaks mirror the op's round-6/low-id
+    ordering)."""
+    import numpy as np
+
+    from claim_analysis_engine_spark.operators.similarity import (
+        _doc_embeddings,
+        sim_pq_adc_trained,
+    )
+
+    rows = _doc_embeddings(spark, SF_ORACLE).collect()
+    ids = np.array([r.doc_id for r in rows])
+    X = np.array([r.emb for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -np.inf)
+    by_row = {ids[i]: i for i in range(len(ids))}
+
+    got: dict[int, list[int]] = {}
+    for r in sim_pq_adc_trained(spark, SF_ORACLE).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    assert got, "no queries returned"
+    t1 = t3 = n3 = 0
+    for q, ranked in got.items():
+        ranked.sort()
+        sims = S[by_row[q]]
+        order = np.lexsort((ids, -np.round(sims, 6)))
+        ex = ids[order[:3]]
+        t1 += ranked[0][1] == ex[0]
+        t3 += len({nb for _, nb in ranked[:3]} & set(ex))
+        n3 += 3
+    assert t1 / len(got) >= 0.9, f"top-1 recall {t1}/{len(got)}"
+    assert t3 / n3 >= 0.85, f"top-3 set recall {t3}/{n3}"
+
+
 def test_ivf_trained_search_ranked_and_recalls(spark, truth):
     """The trained IVF search must return a well-formed ranked top-k
     per query and recall a meaningful share of the exact top-k. The
