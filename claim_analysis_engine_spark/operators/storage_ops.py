@@ -1360,9 +1360,18 @@ def snk_pydatasource_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with open(os.path.join(out, _MANIFEST)) as fh:
         manifest = _json.load(fh)
-    back = spark.read.schema(
-        "doc_id bigint, lang string, n_chars bigint, content_md5 string"
-    ).json(os.path.join(out, "shard-*.jsonl"))
+    # read the DIRECTORY with a glob FILTER, not a glob PATH: Spark
+    # status-probes a literal path for _spark_metadata before globbing
+    # (FileStreamSink.hasMetadata), and a glob path makes that probe
+    # log a swallowed FileNotFoundException stack trace on every read
+    # — the unattributed py4j tail in the r12 bench artifact
+    back = (
+        spark.read.schema(
+            "doc_id bigint, lang string, n_chars bigint, content_md5 string"
+        )
+        .option("pathGlobFilter", "shard-*.jsonl")
+        .json(out)
+    )
     n_back = back.count()
     if n_back != manifest["n_rows"]:
         raise RuntimeError(
