@@ -350,8 +350,54 @@ def _install_staging() -> None:
     signal.signal(signal.SIGTERM, _graceful_term)
 
 
+def _install_stderr_tee() -> str | None:
+    """OFFICIAL runs only: redirect fd 2 (Python AND the embedded JVM
+    — the JVM inherits the fd at launch, so this must run before the
+    session exists) into a file. Two effects, both r12 verdict asks:
+    the driver's captured tail becomes pure stdout (no progress bars,
+    no JVM log noise — BENCH_r12's tail was an unattributed swallowed
+    stack trace), and the run can ASSERT on its own stderr afterwards
+    (stack-frame count recorded machine-readably in the detail
+    artifact). Python-side crashes stay visible: sys.excepthook is
+    chained to ALSO print the traceback to stdout."""
+    if os.environ.get("SPARK_GRAFT_BENCH_OFFICIAL") != "1":
+        return None
+    import sys
+    import traceback
+
+    path = os.path.join(_BENCH_TMP_PARENT or ".", "bench_stderr.log")
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC)
+    os.dup2(fd, 2)
+    os.close(fd)
+    prev_hook = sys.excepthook
+
+    def hook(tp, val, tb):
+        traceback.print_exception(tp, val, tb, file=sys.stdout)
+        prev_hook(tp, val, tb)
+
+    sys.excepthook = hook
+    return path
+
+
+def _stderr_stack_frames(path: str | None) -> int | None:
+    """Count JVM/py4j stack-trace frames captured by the official-run
+    stderr tee (None on non-official runs). Non-zero means some query
+    logged a swallowed exception — attribute it before it lands as an
+    unreadable artifact tail."""
+    if path is None or not os.path.exists(path):
+        return None
+    n = 0
+    with open(path, errors="replace") as fh:
+        for ln in fh:
+            t = ln.lstrip()
+            if t.startswith("at ") and ("org.apache" in t or "py4j" in t):
+                n += 1
+    return n
+
+
 def main() -> None:
     _install_staging()
+    stderr_log = _install_stderr_tee()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="cae-bench")
@@ -573,6 +619,7 @@ def main() -> None:
     # goes to a committed BENCH_DETAIL.json so extras stay diffable
     # across rounds from the repo itself.
     detail = {
+        "stderr_stack_frames": _stderr_stack_frames(stderr_log),
         "spread": spread,
         "extra_queries": extra,
         "warmup_first_run": warm_first,

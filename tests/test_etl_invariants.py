@@ -156,6 +156,26 @@ def test_bench_exclusion_ledger_is_consistent_with_the_registry():
         assert reason.strip(), f"{op_id!r} has no exclusion reason"
 
 
+def test_bench_stderr_frame_counter_detects_jvm_traces(tmp_path):
+    """The official-run stderr tee's frame counter (r13: the tail-
+    hygiene guard) must count JVM/py4j stack frames and ignore plain
+    log lines, and must return None when no tee ran."""
+    import bench
+
+    log = tmp_path / "bench_stderr.log"
+    log.write_text(
+        "26/08/16 INFO SparkContext: Running Spark\n"
+        "java.io.FileNotFoundException: File /x/shard-*.jsonl does not exist\n"
+        "\tat org.apache.hadoop.fs.RawLocalFileSystem.x(R.java:980)\n"
+        "\tat py4j.Gateway.invoke(Gateway.java:282)\n"
+        "\tat java.base/java.lang.Thread.run(Thread.java:840)\n"
+        "[Stage 3:> (0 + 8) / 32]\n"
+    )
+    assert bench._stderr_stack_frames(str(log)) == 2
+    assert bench._stderr_stack_frames(None) is None
+    assert bench._stderr_stack_frames(str(tmp_path / "missing")) is None
+
+
 def test_dq_expectations_fire_on_planted_violations(spark):
     """The all-pass oracle result on clean testdata proves agreement,
     not sensitivity — here every violation class is planted once and
