@@ -100,12 +100,28 @@ def _tree_on(spark, sf_dir: str, *, window: bool):
     }
 
 
-def test_ep15_scores_whole_history_not_window(spark, planted_sf):
-    rows = {
-        (r.grade, r.segment): r for r in ep15_plant_analysis(spark, planted_sf).collect()
+@pytest.fixture(scope="module")
+def ep15_rows(spark, planted_sf):
+    """ONE ep15 evaluation for the module (each call rebuilds the full
+    decision-tree plan on the substituted history frame — ~5 s of
+    driver-side Column assembly alone)."""
+    return {
+        (r.grade, r.segment): r
+        for r in ep15_plant_analysis(spark, planted_sf).collect()
     }
+
+
+@pytest.fixture(scope="module")
+def whole_scores(spark, planted_sf):
+    """ONE whole-history tree run shared by the window- and sync-
+    divergence tests."""
+    return _tree_on(spark, planted_sf, window=False)
+
+
+def test_ep15_scores_whole_history_not_window(spark, planted_sf, ep15_rows, whole_scores):
+    rows = ep15_rows
     leaf = rows[("일반", "BUILDING")]
-    whole = _tree_on(spark, planted_sf, window=False)[("BUILDING", "일반")]
+    whole = whole_scores[("BUILDING", "일반")]
     windowed = _tree_on(spark, planted_sf, window=True)[("BUILDING", "일반")]
     assert (leaf.risk_status, leaf.score) == (whole[0], whole[1])
     assert leaf.reason == f"[{whole[1]}점] {whole[2]}"
@@ -118,11 +134,11 @@ def test_ep15_scores_whole_history_not_window(spark, planted_sf):
     )
 
 
-def test_ep15_history_stays_in_sync_with_mode_filter(spark, planted_sf):
+def test_ep15_history_stays_in_sync_with_mode_filter(spark, planted_sf, whole_scores):
     """An UNSYNCED history (mode filter dropped from the history frame)
     pulls the excluded segment's 1993 claims into the spine bounds,
     stretching every series 24 months left — scores must move."""
-    synced = _tree_on(spark, planted_sf, window=False)
+    synced = whole_scores
     o = spark.read.parquet(f"{planted_sf}/orders.parquet")
     c = spark.read.parquet(f"{planted_sf}/customer.parquet")
     unsynced_hist = (
@@ -150,9 +166,9 @@ def test_ep15_history_stays_in_sync_with_mode_filter(spark, planted_sf):
     )
 
 
-def test_ep15_panel_structure(spark, planted_sf):
-    rows = ep15_plant_analysis(spark, planted_sf).collect()
-    by_key = {(r.grade, r.segment): r for r in rows}
+def test_ep15_panel_structure(spark, planted_sf, ep15_rows):
+    rows = list(ep15_rows.values())
+    by_key = ep15_rows
     # excluded segment and wrong-plant claims appear nowhere
     assert all(r.segment != _EP15_MODE_EXCL for r in rows)
     leaf = by_key[("일반", "BUILDING")]
