@@ -587,6 +587,9 @@ def main() -> None:
         "ml_champion4": "fit: 4-family election board (tune + refits)",
         "ep14_champion_forecast_e2e": "fit: champion refit-forecast memo",
         "ml_als_recs": "fit: implicit ALS sweeps + recs parquet memo",
+        "ep15_plant_analysis": "memo: decision-tree pass over the "
+        "plant-history substrate + panel assembly (result rows "
+        "session-memoized)",
     }
     cold = {
         name: {
