@@ -590,6 +590,8 @@ def main() -> None:
         "ep15_plant_analysis": "memo: decision-tree pass over the "
         "plant-history substrate + panel assembly (result rows "
         "session-memoized)",
+        "sim_pq_adc_trained": "memo: PQ codebook train + encode + ADC "
+        "over the trained doc vectors (result rows session-memoized)",
     }
     cold = {
         name: {
