@@ -40,12 +40,23 @@ sys.path.insert(0, REPO)
 WINDOW = 50  # the driver samples exactly the first 50 registry entries
 
 
-def latest_certs(repo: str = REPO) -> dict[str, int]:
-    """op id -> latest round with a driver correctness row."""
-    latest: dict[str, int] = {}
+def latest_certs(repo: str = REPO, exclude_max_round: bool = False) -> dict[str, int]:
+    """op id -> latest round with a driver correctness row.
+
+    ``exclude_max_round`` drops the NEWEST artifact: a front is derived
+    BEFORE its round's correctness file exists, so once the driver
+    writes CORRECTNESS_r{N}.json mid/end-round, re-deriving from the
+    full union describes round N+1's window, not the current one — the
+    pinning test accepts either reading (see test_etl_invariants)."""
+    by_round: dict[int, list[str]] = {}
     for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
-        for op_id in json.load(open(f)):
+        by_round[rnd] = list(json.load(open(f)))
+    if exclude_max_round and by_round:
+        by_round.pop(max(by_round))
+    latest: dict[str, int] = {}
+    for rnd, ops in by_round.items():
+        for op_id in ops:
             latest[op_id] = max(rnd, latest.get(op_id, 0))
     return latest
 

@@ -134,8 +134,16 @@ def test_sampling_front_equals_the_derived_plan():
 
     from claim_analysis_engine_spark.registry import CURRENT_FRONT, merged_registry
 
-    plan = generate_front(merged_registry(), latest_certs())
-    assert list(CURRENT_FRONT) == plan, (
+    ops = merged_registry()
+    # a front is derived BEFORE its own round's correctness artifact
+    # exists; once the driver writes it (end of round / judge's tree),
+    # the full-union derivation describes the NEXT round's window — so
+    # the current front must equal the plan from the full union (fresh
+    # rotation) OR from the union minus its newest artifact (the
+    # rotation this round shipped)
+    plan_next = generate_front(ops, latest_certs())
+    plan_shipped = generate_front(ops, latest_certs(exclude_max_round=True))
+    assert list(CURRENT_FRONT) in (plan_next, plan_shipped), (
         "CURRENT_FRONT drifted from the derived plan — re-run "
         "scripts/plan_front.py and transcribe its output"
     )
