@@ -623,8 +623,22 @@ def main() -> None:
     # full per-op detail (spreads, extras, cold map, warm-up timings)
     # goes to a committed BENCH_DETAIL.json so extras stay diffable
     # across rounds from the repo itself.
+    stderr_frames = _stderr_stack_frames(stderr_log)
+    if stderr_frames:
+        # preserve the evidence: the tee file lives in the run-private
+        # tmp parent that the atexit sweep deletes — a non-zero count
+        # without the log would force a full re-run to attribute it
+        import shutil as _sh
+
+        _sh.copyfile(
+            stderr_log,
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_stderr_flagged.log",
+            ),
+        )
     detail = {
-        "stderr_stack_frames": _stderr_stack_frames(stderr_log),
+        "stderr_stack_frames": stderr_frames,
         "spread": spread,
         "extra_queries": extra,
         "warmup_first_run": warm_first,

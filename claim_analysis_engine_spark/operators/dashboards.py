@@ -1319,13 +1319,15 @@ def ep15_plant_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     and broadcast back; lag reuses the bounded-domain exact-median
     histogram (the agg_lag_stats plan). Planted divergence tests:
     tests/test_ep15.py."""
-    from claim_analysis_engine_spark.operators.risk_tree import rs_tree_relational
-    from claim_analysis_engine_spark.tables import session_memo_key
+    from claim_analysis_engine_spark.tables import rows_replay_memo
 
-    memo_key = session_memo_key(spark, sf_dir)
-    if memo_key in _EP15_ROWS_MEMO:
-        rows, schema = _EP15_ROWS_MEMO[memo_key]
-        return spark.createDataFrame(rows, schema)
+    return rows_replay_memo(
+        _EP15_ROWS_MEMO, spark, sf_dir, lambda: _ep15_build(spark, sf_dir)
+    )
+
+
+def _ep15_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from claim_analysis_engine_spark.operators.risk_tree import rs_tree_relational
 
     hist = _ep15_claims(spark, sf_dir, window=False).select(
         F.col("c_mktsegment").alias("o_orderstatus"),
@@ -1407,8 +1409,11 @@ def ep15_plant_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("cum") >= F.floor(F.col("n_all") / 2) + 1, F.col("lag_days"))
     )
     sum1 = F.sum(F.col("cnt") * F.col("lag_days"))
+    # empty-lag alignment: DuckDB count(*) over zero rows is 0, a max
+    # over an empty Spark frame is NULL — coalesce so the engines agree
+    # even on a corpus with no valid lag pairs
     lagstat = h2.agg(
-        F.max("n_all").alias("lag_n_v"),
+        F.coalesce(F.max("n_all"), F.lit(0).cast("bigint")).alias("lag_n_v"),
         F.round(sum1.cast("double") / F.max("n_all"), 4).alias("lag_mean_v"),
         F.round((m1 + m2) / 2.0, 1).alias("lag_p50_v"),
     )
@@ -1417,8 +1422,9 @@ def ep15_plant_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
             F.expr(
-                "array_join(transform(array_sort(collect_list(struct(b, n))),"
-                " s -> concat(cast(s.b as string), ':', cast(s.n as string))), ',')"
+                # nullif('') mirrors string_agg-over-zero-rows = NULL
+                "nullif(array_join(transform(array_sort(collect_list(struct(b, n))),"
+                " s -> concat(cast(s.b as string), ':', cast(s.n as string))), ','), '')"
             ).alias("lag_hist_v")
         )
     )
@@ -1469,8 +1475,4 @@ def ep15_plant_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(grand, F.col("lag_hist_v")).alias("lag_hist"),
         )
     )
-    rows, schema = out.collect(), out.schema
-    if len(_EP15_ROWS_MEMO) >= 2:
-        _EP15_ROWS_MEMO.pop(next(iter(_EP15_ROWS_MEMO)))
-    _EP15_ROWS_MEMO[memo_key] = (rows, schema)
-    return spark.createDataFrame(rows, schema)
+    return out

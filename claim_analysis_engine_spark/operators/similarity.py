@@ -993,10 +993,15 @@ def _pq_adc_search(
     subs: int,
     subdim: int,
     query_mod: int,
+    query_rem: int = 0,
 ) -> DataFrame:
     """The PQ/ADC pipeline over any (vec_id, embedding array) frame —
     shared by sim_pq_adc (synthetic 64-dim vectors) and
-    sim_pq_adc_trained (the ep12 pooled trained embeddings)."""
+    sim_pq_adc_trained (the ep12 pooled trained embeddings).
+    ``query_rem`` picks the query residue class — the trained variant
+    uses a NON-ZERO residue so the query set is disjoint from the
+    training sample (vec_id % {PQ_SAMPLE_MOD} == 0) and the measured
+    recall is out-of-sample (r13 review)."""
     sample = [
         r.v
         for r in emb.where(F.col("vec_id") % PQ_SAMPLE_MOD == 0)
@@ -1036,7 +1041,7 @@ def _pq_adc_search(
         .getField("c")
         .alias("code")
     )
-    qtab = scored_cb.where(F.col("vec_id") % query_mod == 0).select(
+    qtab = scored_cb.where(F.col("vec_id") % query_mod == query_rem).select(
         F.col("vec_id").alias("query_id"), "sub", "code", "dist"
     )
 
@@ -1066,6 +1071,9 @@ def _pq_adc_search(
 
 
 PQ_TRAINED_SUBS = 8  # 32-dim trained vectors -> 8 subspaces of 4
+# query residue 3 (mod 10): DISJOINT from the codebook training sample
+# (vec_id % PQ_SAMPLE_MOD == 0), so the pinned recall is out-of-sample
+PQ_TRAINED_QUERY_REM = 3
 
 # result-row memo per (session, sf_dir) — txt_containment_sparse
 # precedent: the search is a pure function of the session-memoized
@@ -1086,31 +1094,32 @@ def sim_pq_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the worst case for PQ — measured set-recall 0.48–0.8 there, which
     is why that op's recall is deliberately uncontracted), while
     vectors with genuine cosine structure quantize almost losslessly.
-    Measured on the trained vectors at sf0.01 (r13): top-1 recall
-    1.000, top-3 set recall 0.995 with the same 16-code books and the
-    same 50-candidate re-rank pool — the floors tests pin are 0.90 /
-    0.85 to leave room for w2v fit drift across environments.
+    Measured OUT-OF-SAMPLE (query residue disjoint from the training
+    sample, r13): top-1 / top-3 set recall 1.000 / 1.000 at sf0.01 and
+    0.932 / 0.898 at sf0.1 with the same 16-code books and the same
+    50-candidate re-rank pool — the floors tests pin at sf0.01 are
+    0.90 / 0.85 to leave room for w2v fit drift across environments.
 
     Same plan as sim_pq_adc (codebook as broadcast DATA, ADC table
     join, exact-cosine re-rank of a bounded pool); the embedding
     source is the session-memoized pooled-vector parquet, so this op
     costs one scan of it, never a re-train."""
-    from claim_analysis_engine_spark.tables import session_memo_key
+    from claim_analysis_engine_spark.tables import rows_replay_memo
 
-    memo_key = session_memo_key(spark, sf_dir)
-    if memo_key not in _PQT_ROWS_MEMO:
+    def build():
         emb = _doc_embeddings(spark, sf_dir).select(
             F.col("doc_id").alias("vec_id"), F.col("emb").alias("embedding")
         )
-        out = _pq_adc_search(
-            spark, emb, PQ_TRAINED_SUBS, W2V_DIM // PQ_TRAINED_SUBS, EP12_QUERY_MOD
+        return _pq_adc_search(
+            spark,
+            emb,
+            PQ_TRAINED_SUBS,
+            W2V_DIM // PQ_TRAINED_SUBS,
+            EP12_QUERY_MOD,
+            query_rem=PQ_TRAINED_QUERY_REM,
         )
-        rows, schema = out.collect(), out.schema
-        if len(_PQT_ROWS_MEMO) >= 2:
-            _PQT_ROWS_MEMO.pop(next(iter(_PQT_ROWS_MEMO)))
-        _PQT_ROWS_MEMO[memo_key] = (rows, schema)
-    rows, schema = _PQT_ROWS_MEMO[memo_key]
-    return spark.createDataFrame(rows, schema)
+
+    return rows_replay_memo(_PQT_ROWS_MEMO, spark, sf_dir, build)
 
 
 # ---------------------------------------------------- emb_drift_monitor
@@ -2176,21 +2185,18 @@ def ep12_embed_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first call pays the ANN pipeline (the bench warm-up carries
     it into the cold map; measured 10 s under late-bench JVM pressure
     vs 2 s isolated, and the replay is ~0.3 s either way)."""
-    memo_key = session_memo_key(spark, sf_dir)
-    if memo_key not in _EP12_ROWS_MEMO:
+    from claim_analysis_engine_spark.tables import rows_replay_memo
+
+    def build():
         pooled = _doc_embeddings(spark, sf_dir)
-        out = _ep12_topk(pooled, exact=False).select(
+        return _ep12_topk(pooled, exact=False).select(
             "query_id",
             "neighbor_id",
             F.round("cos", 4).alias("cosine"),
             "rank",
         )
-        rows, schema = out.collect(), out.schema
-        if len(_EP12_ROWS_MEMO) >= 2:
-            _EP12_ROWS_MEMO.pop(next(iter(_EP12_ROWS_MEMO)))
-        _EP12_ROWS_MEMO[memo_key] = (rows, schema)
-    rows, schema = _EP12_ROWS_MEMO[memo_key]
-    return spark.createDataFrame(rows, schema)
+
+    return rows_replay_memo(_EP12_ROWS_MEMO, spark, sf_dir, build)
 
 
 @REG.op(

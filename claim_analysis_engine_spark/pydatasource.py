@@ -229,6 +229,8 @@ class _ShardCommit(WriterCommitMessage):
 
 class JsonlShardWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
+        import glob as _glob
+        import os
         import uuid
 
         self.path = options["path"]
@@ -241,6 +243,20 @@ class JsonlShardWriter(DataSourceWriter):
         # one job's shards share it and no two jobs ever collide; the
         # manifest remains the visibility gate either way.
         self.job_token = uuid.uuid4().hex[:12]
+        # mode semantics with tokenized names (driver-side, before any
+        # task runs): 'overwrite' clears every prior job's shards and
+        # manifest so the directory holds exactly this job's output;
+        # 'append' leaves them — prior shards stay on disk and the
+        # committed manifest describes the LATEST job only, so
+        # manifest-gated readers stay correct while glob readers see
+        # the accumulation (documented behavior, not a partial
+        # overwrite).
+        if overwrite and os.path.isdir(self.path):
+            for f in _glob.glob(os.path.join(self.path, "shard-*.jsonl")):
+                os.remove(f)
+            m = os.path.join(self.path, _MANIFEST)
+            if os.path.exists(m):
+                os.remove(m)
 
     def write(self, iterator):
         import json as _json

@@ -116,6 +116,26 @@ def fanout_apply(df, keys: list[str], run, schema: str):
     return rep.mapInPandas(process, schema)
 
 
+def rows_replay_memo(memo: dict, spark, sf_dir: str, build, max_entries: int = 2):
+    """Collect-once-and-replay memo for ops whose result is a SMALL
+    pure function of (session, sf_dir) — the ep12/txt_containment
+    idiom, shared so the eviction cap and key discipline live in one
+    place (r13 review: four hand-rolled copies). ``build`` returns the
+    real DataFrame; the first call per key collects its rows (so the
+    expensive plan executes exactly once per session) and later calls
+    replay them as a local frame. Never use for corpus-sized results —
+    those get the parquet-PATH memo pattern instead."""
+    key = session_memo_key(spark, sf_dir)
+    if key not in memo:
+        out = build()
+        rows, schema = out.collect(), out.schema
+        if len(memo) >= max_entries:
+            memo.pop(next(iter(memo)))
+        memo[key] = (rows, schema)
+    rows, schema = memo[key]
+    return spark.createDataFrame(rows, schema)
+
+
 def spread_scan(df):
     """Degenerate-layout guard for compute-heavy scans: the synthetic
     documents/embeddings parquet arrives as ONE row group, so a scan

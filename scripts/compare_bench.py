@@ -18,6 +18,10 @@ ABS_S = 0.5
 
 
 def main() -> int:
+    if len(sys.argv) != 3:
+        # exit 2, not 1 — callers key on 1 meaning "regression flagged"
+        print("usage: python scripts/compare_bench.py OLD.json NEW.json")
+        return 2
     old_p, new_p = sys.argv[1], sys.argv[2]
     old = json.load(open(old_p))
     new = json.load(open(new_p))

@@ -96,7 +96,12 @@ def main() -> int:
         f"+ {len(never)} additions {never}"
     )
     if "--check" in sys.argv:
-        if list(CURRENT_FRONT) == plan:
+        # accept either reading, exactly like the pinning test: the
+        # shipped front was derived before its own round's artifact
+        # existed, so once CORRECTNESS_r{N}.json lands the full-union
+        # plan describes round N+1
+        shipped = generate_front(ops, latest_certs(exclude_max_round=True))
+        if list(CURRENT_FRONT) in (plan, shipped):
             print("CURRENT_FRONT matches the derived plan")
             return 0
         extra = [o for o in CURRENT_FRONT if o not in plan]

@@ -49,12 +49,19 @@ def _suite_tmp_root():
             return True  # exists, other uid — treat as live
 
     cutoff = time.time() - 2 * 3600
+    # a "live" owner pid can be a RECYCLED pid (or another uid's
+    # process, where the probe errs on the live side) — without a
+    # backstop such a tree would leak forever, so live-looking owners
+    # still age out at 24h, far beyond any real suite run
+    cutoff_live = time.time() - 24 * 3600
     for stale in glob.glob(
         os.path.join(tempfile.gettempdir(), "cae_suite_tmp_*")
     ):
         try:
             alive = _owner_alive(os.path.basename(stale))
             if alive is True:
+                if os.path.getmtime(stale) < cutoff_live:
+                    shutil.rmtree(stale, ignore_errors=True)
                 continue
             if alive is False or os.path.getmtime(stale) < cutoff:
                 shutil.rmtree(stale, ignore_errors=True)

@@ -141,8 +141,9 @@ def test_pq_adc_trained_recall_is_near_lossless(spark):
     """The r12 verdict's sim_pq_adc accuracy ask, resolved by
     measurement: on vectors WITH cosine structure (the ep12 pooled
     trained doc embeddings) the same 16-code books + 50-pool re-rank
-    are near-lossless — measured top-1 1.000 / top-3 set recall 0.995
-    at sf0.01 (r13). Pin floors with margin for w2v fit drift, and
+    are near-lossless — measured OUT-OF-SAMPLE (query residue disjoint
+    from the training sample) 1.000/1.000 at sf0.01, 0.932/0.898 at
+    sf0.1 (r13). Pin floors with margin for w2v fit drift, and
     exact top-k truth recomputed independently in numpy over the SAME
     vectors (lexsort tie-breaks mirror the op's round-6/low-id
     ordering)."""

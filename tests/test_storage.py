@@ -328,3 +328,44 @@ def test_jsonl_shard_sink_abort_removes_partial_output(spark, tmp_path):
     )
     leftover = [f for f in os.listdir(out) if f.endswith(".jsonl")]
     assert not leftover, f"partial shards survived abort: {leftover}"
+
+
+def test_jsonl_shard_sink_overwrite_replaces_and_append_accumulates(spark, tmp_path):
+    """Mode semantics with job-tokenized shard names (r13 review): an
+    'overwrite' save into a used directory must leave EXACTLY the new
+    job's shards (a second job with fewer partitions used to strand the
+    surplus), while 'append' leaves prior shards on disk with the
+    manifest describing the latest job only."""
+    import glob
+    import json as _json
+    import os
+
+    from claim_analysis_engine_spark.pydatasource import (
+        _MANIFEST,
+        register_jsonlshards,
+    )
+
+    register_jsonlshards(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+
+    def save(n_rows, n_parts, mode):
+        df = spark.range(n_rows).selectExpr("id AS doc_id").repartition(n_parts)
+        df.write.format("jsonlshards").option("path", out).mode(mode).save()
+
+    save(8, 4, "append")
+    assert len(glob.glob(f"{out}/shard-*.jsonl")) == 4
+    # overwrite with FEWER partitions: the old failure mode stranded 2
+    save(6, 2, "overwrite")
+    shards = glob.glob(f"{out}/shard-*.jsonl")
+    assert len(shards) == 2, f"stale shards survived overwrite: {shards}"
+    manifest = _json.load(open(f"{out}/{_MANIFEST}"))
+    assert manifest["n_rows"] == 6
+    n_lines = sum(1 for p in shards for _ in open(p))
+    assert n_lines == 6
+    # append into the used dir: both jobs' shards on disk, manifest
+    # covers the latest job only
+    save(5, 3, "append")
+    assert len(glob.glob(f"{out}/shard-*.jsonl")) == 5
+    manifest = _json.load(open(f"{out}/{_MANIFEST}"))
+    assert manifest["n_rows"] == 5
