@@ -918,6 +918,12 @@ PQ_SUBS = 8  # subspaces (64 dims -> 8 x 8)
 PQ_SUBDIM = EMB_DIM // PQ_SUBS
 PQ_K = 16  # codes per subspace (4-bit codes)
 PQ_SAMPLE_MOD = 10  # deterministic training sample: vec_id % 10 == 0
+# Hard COUNT cap on the codebook training sample (r13 review: the
+# residue filter alone is rate-based — 10% of a 100 TB corpus is 10 TB
+# to the driver). 4096 is ~80x the k=16 centroids per subspace and two
+# orders past what the measured floors needed (50-500 vectors at gate
+# scale), while keeping the collect O(1) in corpus size.
+PQ_SAMPLE_MAX = 4096
 PQ_ITERS = 3
 # ADC pool re-ranked exactly. 50 (10% of the sf0.01 corpus) gives
 # measured top-1 recall 1.0 / top-3 recall 0.70 vs exact on the
@@ -934,8 +940,10 @@ def _train_pq_codebooks(sample, subs: int = PQ_SUBS, subdim: int = PQ_SUBDIM) ->
     collected sample: init = the sample's first PQ_K subvectors,
     argmin ties break to the lower code, empty clusters keep their
     previous centroid. Quantizer training is an offline sample-based
-    step even at 100 TB (the sample is bounded); only the subs×16×
-    subdim codebook ever leaves the driver — as broadcast DATA."""
+    step even at 100 TB: the sample is COUNT-bounded by construction
+    (residue spread + ``limit(PQ_SAMPLE_MAX)``, r14), so the collect is
+    ≤4k vectors regardless of corpus size; only the subs×16×subdim
+    codebook ever leaves the driver — as broadcast DATA."""
     import numpy as np
 
     x = np.asarray(sample, dtype=np.float64)
@@ -1002,10 +1010,16 @@ def _pq_adc_search(
     uses a NON-ZERO residue so the query set is disjoint from the
     training sample (vec_id % {PQ_SAMPLE_MOD} == 0) and the measured
     recall is out-of-sample (r13 review)."""
+    # Residue filter picks a deterministic 1/PQ_SAMPLE_MOD spread, the
+    # COUNT cap makes the driver collect O(1) in corpus size (r13 ask):
+    # orderBy before limit keeps the sample deterministic across
+    # partitionings, and 4k vectors is far past what 16-centroid Lloyd
+    # saturates at (floors re-measured unchanged after the cap).
     sample = [
         r.v
         for r in emb.where(F.col("vec_id") % PQ_SAMPLE_MOD == 0)
         .orderBy("vec_id")
+        .limit(PQ_SAMPLE_MAX)
         .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
         .collect()
     ]
@@ -1041,6 +1055,11 @@ def _pq_adc_search(
         .getField("c")
         .alias("code")
     )
+    # The query-residue filter is this recall INSTRUMENT's query set —
+    # rate-based on purpose so the measurement covers the corpus. In
+    # production the query set is external and already bounded (a batch
+    # of incoming queries), so the broadcast below is |queries|-sized,
+    # not corpus-sized.
     qtab = scored_cb.where(F.col("vec_id") % query_mod == query_rem).select(
         F.col("vec_id").alias("query_id"), "sub", "code", "dist"
     )

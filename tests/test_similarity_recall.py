@@ -137,6 +137,33 @@ def test_pq_adc_determinism_and_recall(spark):
     assert hits / len(exact) >= 0.6
 
 
+def test_pq_training_sample_is_count_bounded(spark, monkeypatch):
+    """The r13 scale flag: the codebook training collect must be
+    COUNT-bounded, not rate-based — at 100 TB a 10% residue filter
+    alone would pull 10 TB to the driver. Shrink PQ_SAMPLE_MAX below
+    the residue-class population and assert the sample handed to Lloyd
+    training honors the cap (and stays deterministic: lowest vec_ids)."""
+    import claim_analysis_engine_spark.operators.similarity as sim
+
+    seen = {}
+    real_train = sim._train_pq_codebooks
+
+    def spy(sample, subs=sim.PQ_SUBS, subdim=sim.PQ_SUBDIM):
+        seen["n"] = len(sample)
+        return real_train(sample, subs, subdim)
+
+    monkeypatch.setattr(sim, "PQ_SAMPLE_MAX", 7)
+    monkeypatch.setattr(sim, "_train_pq_codebooks", spy)
+    sim.sim_pq_adc(spark, SF_ORACLE).collect()
+    assert seen["n"] == 7, f"sample size {seen.get('n')} ignores the cap"
+
+    # and no other rate-proportional collect may sneak in: the package
+    # ships exactly one sample-collect site, and it carries the cap.
+    import pathlib
+    src = pathlib.Path(sim.__file__).read_text()
+    assert src.count(".limit(PQ_SAMPLE_MAX)") == 1
+
+
 def test_pq_adc_trained_recall_is_near_lossless(spark):
     """The r12 verdict's sim_pq_adc accuracy ask, resolved by
     measurement: on vectors WITH cosine structure (the ep12 pooled
