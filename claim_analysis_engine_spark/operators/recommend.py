@@ -121,12 +121,14 @@ def _als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = fresh_dir("cae_spark_alsrecs_")
         recs.write.mode("overwrite").parquet(out)
         if len(_ALS_MEMO) >= _ALS_MEMO_MAX:
-            # drop the memo entry but leave the files for the tmputil
-            # exit sweep: a DataFrame returned from an earlier call
-            # reads the evicted path lazily, so an eager rmtree here
-            # would FileNotFound a consumer that acts after a third
-            # (session, sf_dir) fill (r12 advice)
-            _ALS_MEMO.pop(next(iter(_ALS_MEMO)))
+            # drop the memo entry and QUEUE the dir for deferred
+            # deletion (r13 advice): an eager rmtree would FileNotFound
+            # a consumer holding a pre-eviction frame, but tmputil's
+            # grace-windowed queue sweeps it after later evictions so
+            # tmp usage stays bounded in long-lived sessions
+            from claim_analysis_engine_spark.tmputil import defer_delete
+
+            defer_delete(_ALS_MEMO.pop(next(iter(_ALS_MEMO))))
         _ALS_MEMO[memo_key] = out
     return spark.read.parquet(_ALS_MEMO[memo_key])
 

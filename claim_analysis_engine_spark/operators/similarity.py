@@ -2084,11 +2084,14 @@ def _doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one file; 32 files — one per core — restore the parallel scan)
         pooled.repartition(32).write.mode("overwrite").parquet(out)
         if len(_DOCVEC_MEMO) >= _DOCVEC_MEMO_MAX:
-            # evict the memo entry only — the files stay for the
-            # tmputil exit sweep, because a DataFrame handed out
-            # before the eviction still lazily reads that path
-            # (r12 advice: eager rmtree here poisons such consumers)
-            _DOCVEC_MEMO.pop(next(iter(_DOCVEC_MEMO)))
+            # evict the memo entry and QUEUE the dir for deferred
+            # deletion (r13 advice): no eager rmtree — a DataFrame
+            # handed out before the eviction still lazily reads the
+            # path — but tmputil sweeps queued dirs after a grace of
+            # later evictions, so disk stays bounded in long sessions
+            from claim_analysis_engine_spark.tmputil import defer_delete
+
+            defer_delete(_DOCVEC_MEMO.pop(next(iter(_DOCVEC_MEMO))))
         _DOCVEC_MEMO[memo_key] = out
     return spark.read.parquet(_DOCVEC_MEMO[memo_key])
 

@@ -229,8 +229,6 @@ class _ShardCommit(WriterCommitMessage):
 
 class JsonlShardWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
-        import glob as _glob
-        import os
         import uuid
 
         self.path = options["path"]
@@ -242,21 +240,15 @@ class JsonlShardWriter(DataSourceWriter):
         # see. Minted once on the driver, pickled to every task, so
         # one job's shards share it and no two jobs ever collide; the
         # manifest remains the visibility gate either way.
+        # Overwrite-mode cleanup happens in commit(), NOT here (r13
+        # advice): deleting prior shards before any task runs opened a
+        # data-loss window — a failed overwrite job left the directory
+        # with neither old nor new output. The new job writes its
+        # token-named shards ALONGSIDE the old ones; only after every
+        # task succeeded does commit() publish the new manifest and
+        # sweep foreign-token shards, so a failure at any point leaves
+        # the prior manifest and its shards fully intact.
         self.job_token = uuid.uuid4().hex[:12]
-        # mode semantics with tokenized names (driver-side, before any
-        # task runs): 'overwrite' clears every prior job's shards and
-        # manifest so the directory holds exactly this job's output;
-        # 'append' leaves them — prior shards stay on disk and the
-        # committed manifest describes the LATEST job only, so
-        # manifest-gated readers stay correct while glob readers see
-        # the accumulation (documented behavior, not a partial
-        # overwrite).
-        if overwrite and os.path.isdir(self.path):
-            for f in _glob.glob(os.path.join(self.path, "shard-*.jsonl")):
-                os.remove(f)
-            m = os.path.join(self.path, _MANIFEST)
-            if os.path.exists(m):
-                os.remove(m)
 
     def write(self, iterator):
         import json as _json
@@ -277,6 +269,7 @@ class JsonlShardWriter(DataSourceWriter):
         return _ShardCommit(shard, n)
 
     def commit(self, messages) -> None:
+        import glob as _glob
         import json as _json
         import os
 
@@ -293,6 +286,17 @@ class JsonlShardWriter(DataSourceWriter):
         }
         with open(os.path.join(self.path, _MANIFEST), "w") as fh:
             _json.dump(manifest, fh, sort_keys=True)
+        # Deferred overwrite cleanup (r13 advice): the new manifest is
+        # already on disk and lists only this job's shards, so a crash
+        # during the sweep can orphan bytes (glob readers see them) but
+        # can never break a manifest-gated reader. 'append' keeps prior
+        # shards — the manifest describes the LATEST job only
+        # (documented behavior).
+        if self.overwrite:
+            keep = f"shard-{self.job_token}-"
+            for f in _glob.glob(os.path.join(self.path, "shard-*.jsonl")):
+                if not os.path.basename(f).startswith(keep):
+                    os.remove(f)
 
     def abort(self, messages) -> None:
         import os

@@ -108,3 +108,33 @@ def test_als_memo_serves_identical_rows_per_session(spark, planted_sf):
     assert any(sf in str(k) for k in _ALS_MEMO), "memo not filled"
     b = sorted(map(tuple, ml_als_recs(spark, sf).collect()))
     assert a == b
+
+
+def test_memo_eviction_defers_then_bounds_disk(tmp_path, monkeypatch):
+    """The r13 advice pair on parquet-path memo eviction: an evicted
+    dir must NOT be removed immediately (a pre-eviction frame may still
+    lazily read it) but must not accumulate unbounded either — the
+    tmputil queue keeps the newest _DEFER_GRACE evictees on disk and
+    sweeps anything older on later evictions."""
+    import os
+
+    from claim_analysis_engine_spark import tmputil
+
+    monkeypatch.setattr(tmputil, "_deferred", [])
+    dirs = []
+    for i in range(5):
+        d = tmp_path / f"memo{i}"
+        d.mkdir()
+        (d / "part-0.parquet").write_bytes(b"x")
+        dirs.append(str(d))
+
+    tmputil.defer_delete(dirs[0])
+    tmputil.defer_delete(dirs[1])
+    # within grace: both evictees still readable
+    assert os.path.isdir(dirs[0]) and os.path.isdir(dirs[1])
+    tmputil.defer_delete(dirs[2])
+    assert not os.path.isdir(dirs[0]), "oldest evictee must be swept"
+    tmputil.defer_delete(dirs[3])
+    tmputil.defer_delete(dirs[4])
+    alive = [d for d in dirs if os.path.isdir(d)]
+    assert alive == dirs[3:], f"queue unbounded or overswept: {alive}"

@@ -369,3 +369,51 @@ def test_jsonl_shard_sink_overwrite_replaces_and_append_accumulates(spark, tmp_p
     assert len(glob.glob(f"{out}/shard-*.jsonl")) == 5
     manifest = _json.load(open(f"{out}/{_MANIFEST}"))
     assert manifest["n_rows"] == 5
+
+
+def test_jsonl_shard_sink_failed_overwrite_keeps_prior_output(spark, tmp_path):
+    """Overwrite must be atomic at the manifest level (r13 advice): the
+    old writer deleted prior shards + manifest at construction, so a
+    failed overwrite job destroyed committed output. Now cleanup is
+    deferred to commit() — a failed overwrite leaves the prior manifest
+    and every shard it names intact."""
+    import glob
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.pydatasource import (
+        _MANIFEST,
+        register_jsonlshards,
+    )
+
+    register_jsonlshards(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    spark.range(8).selectExpr("id AS doc_id").repartition(4).write.format(
+        "jsonlshards"
+    ).option("path", out).mode("overwrite").save()
+    before = _json.load(open(f"{out}/{_MANIFEST}"))
+    assert before["n_rows"] == 8
+
+    bad = spark.range(50).withColumn(
+        "boom",
+        F.when(F.col("id") == 13, F.lit(1) / F.lit(0)).otherwise(F.lit(0.0)),
+    ).repartition(4)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        with __import__("pytest").raises(Exception):
+            bad.write.format("jsonlshards").option("path", out).mode(
+                "overwrite"
+            ).save()
+    finally:
+        spark.conf.unset("spark.sql.ansi.enabled")
+
+    after = _json.load(open(f"{out}/{_MANIFEST}"))
+    assert after == before, "failed overwrite mutated the manifest"
+    on_disk = {os.path.basename(p) for p in glob.glob(f"{out}/shard-*.jsonl")}
+    named = {s["shard"] for s in before["shards"]}
+    assert named <= on_disk, (
+        f"failed overwrite deleted committed shards: {named - on_disk}"
+    )
