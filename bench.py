@@ -257,6 +257,12 @@ EXTRA = [
     "ep15_plant_analysis",
     "ml_warning_contract",
     "sim_pq_adc_trained",
+    # round-14: the sales-management page capstone (grain-sized sync/
+    # upsert/gap-fill/pivot frames + one small parquet save per call)
+    # and the trained-PQ recall contract (reuses the pooled-embedding
+    # memo + the trained-PQ result-row memo)
+    "ep16_sales_management",
+    "sim_pq_trained_recall_contract",
 ]
 
 # Machine-readable exclusion ledger (r11 verdict ask): every op that is

@@ -1476,3 +1476,341 @@ def _ep15_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --------------------------------------------- ep16_sales_management
+
+# The sales-management page capstone (reference pages/2_매출수량_관리.py,
+# 292 LoC — the last reference page without a one-hash composition):
+# Smart Sync of claim keys onto the saved sales file → latest-ID-per-
+# plant mapping → CSV batch upsert → trailing-3-month gap estimation →
+# fixed-column-order save → long↔pivot round trip, ALL under one hash
+# over the already-certified parts (join_claims_sales, join_latest_id,
+# sales_gap_fill, unpvt_melt, union_append, snk_parquet_flat).
+#
+# Stand-in mapping (the sales.py conventions): plant = c_mktsegment via
+# the orders⟕customer broadcast join; the user-maintained sales FILE is
+# the monthly claim-count aggregate restricted to months BEFORE the
+# sales cutoff (the user hasn't entered recent months — the unsynced
+# claims↔sales state Smart Sync exists to resolve), with every 7th
+# serial month NULLed (missing manual entries) and the month's max
+# orderkey as the row's editable ID. Fixed page parameters, pinned so
+# both engines agree:
+_EP16_START = "1997-01-01"  # claim-key window (pages/2:69 get_claim_keys)
+_EP16_END_EXCL = "1998-09-01"  # orders end 1998-08
+_EP16_SALES_LIMIT = 1998 * 12 + 1  # sales file covers serials < 1998-01
+_EP16_MONTHS = [(1997, m) for m in range(1, 13)] + [(1998, m) for m in range(1, 10)]
+_EP16_MONTH_NAMES = [f"m{y}_{m:02d}" for y, m in _EP16_MONTHS]
+# the CSV batch (pages/2:148-204 merge_csv_data): one UPDATE row per
+# plant for 1998-06 (qty = latest_id % 1000 — deterministic, ID-keyed
+# like the reference's ID-first matching) and one NEW row for 1998-09
+# (beyond the claim keys → appended, the union_append half)
+_EP16_CSV_UPD = (1998, 6)
+_EP16_CSV_NEW = (1998, 9)
+_EP16_CSV_NEW_QTY = 77
+# the reference's fixed save schema order (pages/2:53-64 BASE_COLUMNS
+# + is_estimated, reindex-enforced)
+_EP16_SAVED_COLS = "id,plant,y,m,qty,is_estimated"
+
+
+def _ep16_oracle() -> str:
+    month_cells = ",\n             ".join(
+        f"max(qf) FILTER (y = {y} AND m = {m}) AS m{y}_{m:02d}"
+        for y, m in _EP16_MONTHS
+    )
+    month_tot = ",\n           ".join(
+        f"round(sum(CAST(round(qf * 10000) AS BIGINT))"
+        f" FILTER (y = {y} AND m = {m}) / 10000.0, 4) AS m{y}_{m:02d}"
+        for y, m in _EP16_MONTHS
+    )
+    plant_cols = ",\n           ".join(f"g.m{y}_{m:02d}" for y, m in _EP16_MONTHS)
+    return f"""
+    WITH claims AS (
+      SELECT c.c_mktsegment AS plant, o.o_orderkey AS ok,
+             year(o.o_orderdate) AS y, month(o.o_orderdate) AS m
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderdate >= DATE '{_EP16_START}'
+        AND o.o_orderdate < DATE '{_EP16_END_EXCL}'
+    ),
+    sales AS (
+      SELECT plant, y, m, max(ok) AS id,
+             CASE WHEN (y * 12 + m) % 7 = 0 THEN NULL ELSE count(*) END AS qty
+      FROM claims WHERE y * 12 + m < {_EP16_SALES_LIMIT}
+      GROUP BY 1, 2, 3
+    ),
+    latest AS (
+      SELECT plant, id AS latest_id FROM (
+        SELECT plant, id, row_number() OVER (
+          PARTITION BY plant ORDER BY y * 12 + m DESC, id DESC) AS rn
+        FROM sales) WHERE rn = 1
+    ),
+    keys AS (SELECT DISTINCT plant, y, m FROM claims),
+    synced AS (
+      SELECT k.plant, k.y, k.m, l.latest_id, s.qty
+      FROM keys k
+      LEFT JOIN latest l ON l.plant = k.plant
+      LEFT JOIN sales s ON s.plant = k.plant AND s.y = k.y AND s.m = k.m
+    ),
+    csv AS (
+      SELECT plant, latest_id, {_EP16_CSV_UPD[0]} AS y, {_EP16_CSV_UPD[1]} AS m,
+             CAST(latest_id % 1000 AS BIGINT) AS qty
+      FROM latest
+      UNION ALL
+      SELECT plant, latest_id, {_EP16_CSV_NEW[0]}, {_EP16_CSV_NEW[1]},
+             CAST({_EP16_CSV_NEW_QTY} AS BIGINT)
+      FROM latest
+    ),
+    merged AS (
+      SELECT s.plant, s.y, s.m, s.latest_id, coalesce(c.qty, s.qty) AS qty
+      FROM synced s
+      LEFT JOIN csv c ON c.plant = s.plant AND c.y = s.y AND c.m = s.m
+      UNION ALL
+      SELECT c.plant, c.y, c.m, c.latest_id, c.qty FROM csv c
+      WHERE NOT EXISTS (SELECT 1 FROM keys k
+                        WHERE k.plant = c.plant AND k.y = c.y AND k.m = c.m)
+    ),
+    filled AS (
+      SELECT plant, latest_id, y, m,
+             round(coalesce(CAST(qty AS DOUBLE),
+                   avg(CAST(qty AS DOUBLE)) OVER (
+                     PARTITION BY plant ORDER BY y * 12 + m
+                     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)), 4) AS qf,
+             (qty IS NULL AND avg(CAST(qty AS DOUBLE)) OVER (
+                PARTITION BY plant ORDER BY y * 12 + m
+                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) IS NOT NULL) AS est
+      FROM merged
+    ),
+    grid AS (
+      SELECT plant, max(latest_id) AS latest_id,
+             {month_cells},
+             CAST(count(*) FILTER (est) AS BIGINT) AS n_estimated,
+             sum(CAST(round(qf * 10000) AS BIGINT)) AS total_m
+      FROM filled GROUP BY 1
+    ),
+    melted AS (
+      SELECT plant, sum(CAST(round(v * 10000) AS BIGINT)) AS melt_m
+      FROM (SELECT plant, unnest([{", ".join(_EP16_MONTH_NAMES)}]) AS v
+            FROM grid)
+      GROUP BY 1
+    ),
+    plants AS (
+      SELECT g.plant, g.latest_id,
+           {plant_cols},
+           g.n_estimated,
+           round(g.total_m / 10000.0, 4) AS total,
+           (coalesce(m.melt_m, 0) = coalesce(g.total_m, 0)) AS roundtrip_ok,
+           CAST(NULL AS BIGINT) AS saved_rows,
+           CAST(NULL AS VARCHAR) AS saved_cols
+      FROM grid g JOIN melted m ON m.plant = g.plant
+    )
+    SELECT * FROM plants
+    UNION ALL
+    SELECT 'Total', CAST(NULL AS BIGINT),
+           {month_tot},
+           CAST(count(*) FILTER (est) AS BIGINT) AS n_estimated,
+           round(sum(CAST(round(qf * 10000) AS BIGINT)) / 10000.0, 4) AS total,
+           (SELECT coalesce(bool_and(roundtrip_ok), true) FROM plants),
+           (SELECT CAST(count(*) AS BIGINT) FROM merged),
+           '{_EP16_SAVED_COLS}'
+    FROM filled
+    """
+
+
+@REG.op("ep16_sales_management", oracle=_ep16_oracle())
+def ep16_sales_management(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP16 — the sales-management page (reference pages/2_매출수량_관리.py)
+    composed end-to-end under one hash, the ep15 panel pattern over
+    already-certified parts:
+
+    * Smart Sync (pages/2:66-99): the claim-key spine (distinct plant ×
+      year × month from the claims hub, the get_claim_keys contract)
+      LEFT-joins the saved sales file on (plant, y, m) — claim months
+      the user never entered surface with NULL quantity instead of
+      silently missing (the unsynced claims↔sales divergence the page
+      exists to resolve), via join_claims_sales' broadcast-dim funnel;
+    * latest-ID mapping (pages/2:81-85): per plant, the ID of the most
+      recent sales row (row_number DESC — join_latest_id's machinery)
+      stamped onto every synced row;
+    * CSV batch upsert (pages/2:148-204): matching (plant, y, m) rows
+      take the CSV value (ID-keyed update), rows beyond the claim keys
+      APPEND (union_append) — one deterministic update + one new month
+      per plant;
+    * gap estimation (core/storage.py:364-458 → sales_gap_fill): NULL
+      quantities fill with the SAME plant's trailing-3-month mean and
+      flag is_estimated;
+    * fixed-column-order save (pages/2:53-64): the long frame persists
+      through parquet in the reference's exact BASE_COLUMNS order
+      (snk_parquet_flat), and the READ-BACK schema + row count land on
+      the Total row — the engine certifies what it actually wrote;
+    * pivot ↔ long round trip (pages/2:101-142): per-plant month
+      columns (long_to_pivot), then a REAL stack() melt back
+      (unpvt_melt / pivot_to_long) whose integer-milli totals must
+      re-equal the long frame's — emitted as roundtrip_ok.
+
+    Scale: claims aggregate once to (plant, month) grain — everything
+    downstream (sync spine, latest-ID window, upsert, gap fill, pivot,
+    melt) runs on grain-sized frames independent of fact size; the dim
+    join broadcasts; the save is one grain-sized parquet write."""
+    from claim_analysis_engine_spark.tables import load as _load
+    from claim_analysis_engine_spark.tmputil import fresh_dir as _fresh_dir
+
+    o = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = _load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    claims = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit(_EP16_START).cast("date"))
+            & (F.col("o_orderdate") < F.lit(_EP16_END_EXCL).cast("date"))
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("plant"),
+            F.col("o_orderkey").alias("ok"),
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+    )
+    serial = F.col("y") * 12 + F.col("m")
+    sales = (
+        claims.where(serial < _EP16_SALES_LIMIT)
+        .groupBy("plant", "y", "m")
+        .agg(F.max("ok").alias("id"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "plant",
+            "y",
+            "m",
+            "id",
+            F.when(serial % 7 == 0, F.lit(None))
+            .otherwise(F.col("cnt"))
+            .cast("long")
+            .alias("qty"),
+        )
+    )
+    wl = W.partitionBy("plant").orderBy(serial.desc(), F.col("id").desc())
+    latest = (
+        sales.withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") == 1)
+        .select("plant", F.col("id").alias("latest_id"))
+    )
+    keys = claims.select("plant", "y", "m").distinct()
+    synced = keys.join(F.broadcast(latest), "plant", "left").join(
+        F.broadcast(sales.select("plant", "y", "m", "qty")),
+        ["plant", "y", "m"],
+        "left",
+    )
+    csv = latest.select(
+        "plant",
+        "latest_id",
+        F.lit(_EP16_CSV_UPD[0]).alias("y"),
+        F.lit(_EP16_CSV_UPD[1]).alias("m"),
+        (F.col("latest_id") % 1000).cast("long").alias("qty"),
+    ).unionByName(
+        latest.select(
+            "plant",
+            "latest_id",
+            F.lit(_EP16_CSV_NEW[0]).alias("y"),
+            F.lit(_EP16_CSV_NEW[1]).alias("m"),
+            F.lit(_EP16_CSV_NEW_QTY).cast("long").alias("qty"),
+        )
+    )
+    upd = synced.join(
+        F.broadcast(csv.select("plant", "y", "m", F.col("qty").alias("csv_qty"))),
+        ["plant", "y", "m"],
+        "left",
+    ).select(
+        "plant", "y", "m", "latest_id", F.coalesce("csv_qty", "qty").alias("qty")
+    )
+    appended = csv.join(keys, ["plant", "y", "m"], "left_anti").select(
+        "plant", "y", "m", "latest_id", "qty"
+    )
+    merged = upd.unionByName(appended)
+
+    tw = W.partitionBy("plant").orderBy(serial).rowsBetween(-3, -1)
+    trail = F.avg(F.col("qty").cast("double")).over(tw)
+    filled = merged.select(
+        "plant",
+        "latest_id",
+        "y",
+        "m",
+        F.round(F.coalesce(F.col("qty").cast("double"), trail), 4).alias("qf"),
+        (F.col("qty").isNull() & trail.isNotNull()).alias("est"),
+    )
+
+    # fixed-column-order save through parquet, then READ BACK — the
+    # emitted schema/count certify the write, not the intent
+    out_dir = _fresh_dir("cae_spark_ep16_")
+    filled.select(
+        F.coalesce(F.col("latest_id").cast("string"), F.lit("")).alias("id"),
+        "plant",
+        "y",
+        "m",
+        F.col("qf").alias("qty"),
+        F.col("est").alias("is_estimated"),
+    ).write.mode("overwrite").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    saved_rows = back.count()
+    saved_cols = ",".join(back.columns)
+
+    milli = F.round(F.col("qf") * 10000).cast("long")
+    grid = filled.groupBy("plant").agg(
+        F.max("latest_id").alias("latest_id"),
+        *[
+            F.max(
+                F.when((F.col("y") == y) & (F.col("m") == m), F.col("qf"))
+            ).alias(f"m{y}_{m:02d}")
+            for y, m in _EP16_MONTHS
+        ],
+        F.count(F.when(F.col("est"), 1)).alias("n_estimated"),
+        F.sum(milli).alias("total_m"),
+    )
+    stack_expr = "stack({n}, {args}) AS (ym, v)".format(
+        n=len(_EP16_MONTHS),
+        args=", ".join(f"'{nm}', {nm}" for nm in _EP16_MONTH_NAMES),
+    )
+    melted = (
+        grid.select("plant", F.expr(stack_expr))
+        .groupBy("plant")
+        .agg(F.sum(F.round(F.col("v") * 10000).cast("long")).alias("melt_m"))
+    )
+    plants = grid.join(melted, "plant").select(
+        "plant",
+        "latest_id",
+        *_EP16_MONTH_NAMES,
+        "n_estimated",
+        F.round(F.col("total_m") / 10000.0, 4).alias("total"),
+        (
+            F.coalesce("melt_m", F.lit(0)) == F.coalesce("total_m", F.lit(0))
+        ).alias("roundtrip_ok"),
+        F.lit(None).cast("long").alias("saved_rows"),
+        F.lit(None).cast("string").alias("saved_cols"),
+    )
+    rt = plants.agg(
+        F.coalesce(F.bool_and("roundtrip_ok"), F.lit(True)).alias("rt_all")
+    )
+    total_row = (
+        filled.agg(
+            *[
+                F.round(
+                    F.sum(F.when((F.col("y") == y) & (F.col("m") == m), milli))
+                    / 10000.0,
+                    4,
+                ).alias(f"m{y}_{m:02d}")
+                for y, m in _EP16_MONTHS
+            ],
+            F.count(F.when(F.col("est"), 1)).alias("n_estimated"),
+            F.round(F.sum(milli) / 10000.0, 4).alias("total"),
+        )
+        .crossJoin(F.broadcast(rt))
+        .select(
+            F.lit("Total").alias("plant"),
+            F.lit(None).cast("long").alias("latest_id"),
+            *_EP16_MONTH_NAMES,
+            "n_estimated",
+            "total",
+            F.col("rt_all").alias("roundtrip_ok"),
+            F.lit(saved_rows).cast("long").alias("saved_rows"),
+            F.lit(saved_cols).alias("saved_cols"),
+        )
+    )
+    return plants.unionByName(total_row)

@@ -2286,6 +2286,122 @@ def ep12_embed_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------ sim_pq_trained_recall_contract
+
+# Out-of-sample recall floors for the trained-PQ path, pinned from the
+# r13 measurements (top-1/top-3 set recall 1.000/1.000 at sf0.01,
+# 0.932/0.898 at sf0.1) with margin for w2v fit drift — the same
+# numbers tests/test_similarity_recall.py pins, now driver-certified
+PQT_TOP1_FLOOR_BP = 9000
+PQT_TOP3_FLOOR_BP = 8500
+
+
+@REG.op(
+    "sim_pq_trained_recall_contract",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w FROM w GROUP BY w HAVING count(*) >= {W2V_MIN_COUNT}
+    ), embedded AS (
+      SELECT DISTINCT doc_id FROM w JOIN vocab USING (w)
+    ), q AS (
+      SELECT count(*) FILTER (doc_id % {EP12_QUERY_MOD}
+                              = {PQ_TRAINED_QUERY_REM}) AS n_queries,
+             count(*) AS n_docs_embedded
+      FROM embedded
+    )
+    SELECT CAST(n_docs_embedded AS BIGINT) AS n_docs_embedded,
+           CAST(n_queries AS BIGINT) AS n_queries,
+           CAST(n_queries * {ANN_K} AS BIGINT) AS n_truth_pairs,
+           {ANN_K} AS k,
+           {PQT_TOP1_FLOOR_BP} AS top1_floor_bp,
+           {PQT_TOP3_FLOOR_BP} AS top3_floor_bp,
+           TRUE AS top1_floor_met,
+           TRUE AS top3_floor_met
+    FROM q
+    """,
+)
+def sim_pq_trained_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified recall contract for the trained-PQ path (the r13
+    verdict ask: the measured out-of-sample floors lived only in
+    pytest). Spark measures top-1 and top-3 set recall of
+    sim_pq_adc_trained against the EXACT brute-force top-{ANN_K} over
+    the SAME trained-and-pooled vectors (same round-6/low-id ordering
+    discipline) and emits the floor booleans; the oracle independently
+    recomputes the query/truth accounting from the corpus — embedded
+    docs are exactly those with ≥1 word at corpus count ≥
+    {W2V_MIN_COUNT}, queries the residue-{PQ_TRAINED_QUERY_REM} class
+    DISJOINT from the codebook training sample — and asserts the
+    booleans TRUE. Certifies the COUNT-CAPPED training-sample path
+    (PQ_SAMPLE_MAX) end to end: a quantizer regression, a sample-cap
+    bug, or an ADC scoring drift flips a boolean; a lost corpus
+    partition or tokenizer drift flips a value."""
+    emb = _doc_embeddings(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), F.col("emb").alias("embedding")
+    )
+    qs = emb.where(
+        F.col("vec_id") % EP12_QUERY_MOD == PQ_TRAINED_QUERY_REM
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec")
+    )
+    scored = (
+        F.broadcast(qs)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cos("eq", "ec").alias("cos"))
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("neighbor_id")
+    )
+    truth = (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .where(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    found = sim_pq_adc_trained(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    t1 = truth.where(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("tn")
+    )
+    f1 = found.where(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("fn")
+    )
+    top1 = t1.join(f1, "query_id", "left").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.count(F.when(F.col("tn") == F.col("fn"), 1)).alias("n_top1_hits"),
+    )
+    pairs = truth.agg(F.count(F.lit(1)).alias("n_truth_pairs"))
+    hits3 = truth.join(found, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_top3_hits")
+    )
+    n_emb = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_embedded"))
+    return (
+        n_emb.crossJoin(F.broadcast(top1))
+        .crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(hits3))
+        .select(
+            "n_docs_embedded",
+            F.col("n_queries").cast("bigint").alias("n_queries"),
+            F.col("n_truth_pairs").cast("bigint").alias("n_truth_pairs"),
+            F.lit(ANN_K).alias("k"),
+            F.lit(PQT_TOP1_FLOOR_BP).alias("top1_floor_bp"),
+            F.lit(PQT_TOP3_FLOOR_BP).alias("top3_floor_bp"),
+            (
+                F.expr("CAST(n_top1_hits * 10000 AS BIGINT) div n_queries")
+                >= PQT_TOP1_FLOOR_BP
+            ).alias("top1_floor_met"),
+            (
+                F.expr("CAST(n_top3_hits * 10000 AS BIGINT) div n_truth_pairs")
+                >= PQT_TOP3_FLOOR_BP
+            ).alias("top3_floor_met"),
+        )
+    )
+
+
 # ------------------------------------- semantic dedup over TRAINED embeddings
 
 SEM_BANDS = 32    # hyperplane LSH bands over the pooled doc embeddings

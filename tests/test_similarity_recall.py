@@ -206,6 +206,28 @@ def test_pq_adc_trained_recall_is_near_lossless(spark):
     assert t3 / n3 >= 0.85, f"top-3 set recall {t3}/{n3}"
 
 
+def test_pq_trained_contract_flips_on_a_collapsed_quantizer(spark, monkeypatch):
+    """The driver hash only proves the booleans were TRUE on good
+    vectors; this proves they MEASURE: collapse every codebook to
+    identical centroids (all vectors code 0, ADC can't discriminate —
+    the pool degenerates to the lowest vec_ids) and the floor booleans
+    must flip."""
+    import claim_analysis_engine_spark.operators.similarity as sim
+
+    # fresh memo dicts: the trained-PQ rows memo must not replay the
+    # GOOD session's results under the monkeypatched quantizer
+    monkeypatch.setattr(sim, "_PQT_ROWS_MEMO", {})
+
+    def collapsed(sample, subs=sim.PQ_SUBS, subdim=sim.PQ_SUBDIM):
+        return [[[0.0] * subdim for _ in range(sim.PQ_K)] for _ in range(subs)]
+
+    monkeypatch.setattr(sim, "_train_pq_codebooks", collapsed)
+    row = sim.sim_pq_trained_recall_contract(spark, SF_ORACLE).collect()[0]
+    assert not (row.top1_floor_met and row.top3_floor_met), (
+        "recall floors survived a quantizer that cannot rank anything"
+    )
+
+
 def test_ivf_trained_search_ranked_and_recalls(spark, truth):
     """The trained IVF search must return a well-formed ranked top-k
     per query and recall a meaningful share of the exact top-k. The
