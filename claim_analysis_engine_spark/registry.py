@@ -636,7 +636,70 @@ ROUND13_FRONT: tuple[str, ...] = (
     "sim_pq_adc_trained",
 )
 
+# Round-14 window, generated by scripts/plan_front.py from the
+# CORRECTNESS_r01..r13 union: 48 recycled slots — the 39 r7-era
+# certifications FIRST (the txt_* quality family, the corpus pipeline
+# certs, the six early stream gates, the ep2/ep3/ep4/ep6/ep7/ep8
+# compositions, sim_ivf_train, sim_recall_report), then the earliest
+# r8 cohort (src_schema_evolution, snk_mart_diff, txt_containment_prefix,
+# sim_mips_topk, the corpus pack/sample trio, the mm_* pair) — plus the
+# 2 round-14 additions (oracle-bearing, guaranteed slots). Oldest live
+# cert moves r7 → r8. tests/test_etl_invariants.py pins this tuple to
+# the derivation.
+ROUND14_FRONT: tuple[str, ...] = (
+    "sim_recall_report",
+    "txt_tokens",
+    "txt_quality",
+    "txt_langid",
+    "txt_fingerprint",
+    "txt_corpus_ngrams",
+    "txt_tokens_bpe",
+    "txt_repetition",
+    "txt_pii_scrub",
+    "txt_boilerplate_frac",
+    "txt_lm_perplexity",
+    "txt_ngram_novelty",
+    "txt_idf_topterms",
+    "txt_search_conjunctive",
+    "txt_search_bm25",
+    "corpus_split_hash",
+    "corpus_contamination",
+    "corpus_pack_shards",
+    "corpus_quality_funnel",
+    "corpus_sample_stratified",
+    "corpus_budget_mix",
+    "corpus_dedup_chunks",
+    "ep6_curation_e2e",
+    "corpus_split_leakage_safe",
+    "evt_dedup_stream",
+    "evt_sessionize_stream",
+    "evt_tumbling_stream",
+    "evt_join_stream",
+    "evt_mart_refresh_stream",
+    "evt_scd2_refresh_stream",
+    "ep2_risk_radar",
+    "ep2_trend_3yr",
+    "ep4_corpus_e2e",
+    "ep7_retrieval_e2e",
+    "ep8_hybrid_retrieval",
+    "evt_sessionize",
+    "sim_ivf_train",
+    "txt_compress_ratio",
+    "ep3_forecast_e2e",
+    "src_schema_evolution",
+    "snk_mart_diff",
+    "txt_containment_prefix",
+    "sim_mips_topk",
+    "corpus_shuffle_epoch",
+    "corpus_pack_sequences",
+    "corpus_sample_weighted",
+    "mm_blob_meta",
+    "mm_frame_sample",
+    "sim_pq_trained_recall_contract",
+    "ep16_sales_management",
+)
+
 # The front the driver samples THIS round — rehearsal script and the
 # front-invariants test both read this alias, so a rotation is one
 # tuple + one alias change.
-CURRENT_FRONT: tuple[str, ...] = ROUND13_FRONT
+CURRENT_FRONT: tuple[str, ...] = ROUND14_FRONT

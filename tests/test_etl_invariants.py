@@ -149,6 +149,67 @@ def test_sampling_front_equals_the_derived_plan():
     )
 
 
+def test_memoized_bench_extras_appear_in_the_cold_map():
+    """r13 verdict ask #7: an EXTRA op whose query path rides a session
+    memo (result-row replay, parquet-path memo, or a memoized
+    model/fixture build) must carry a reasoned MEMOIZED entry — else
+    the official bench publishes replay-only numbers for it with no
+    cold cost on record. Detection is a static reachability fixpoint:
+    a function is memo-touching if its source references
+    rows_replay_memo or a *_MEMO dict, or (transitively) calls a
+    memo-touching function anywhere in the package."""
+    import ast
+    import pathlib
+    import re
+
+    import bench
+    import claim_analysis_engine_spark as pkg
+    from claim_analysis_engine_spark.registry import registry
+
+    pkg_dir = pathlib.Path(pkg.__file__).parent
+    token = re.compile(r"rows_replay_memo|_[A-Z][A-Z0-9_]*_MEMO\b")
+    marked: set[str] = set()
+    calls: dict[str, set[str]] = {}
+    for p in pkg_dir.rglob("*.py"):
+        tree = ast.parse(p.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                src = ast.unparse(node)
+                callees = {
+                    c.func.id
+                    for c in ast.walk(node)
+                    if isinstance(c, ast.Call) and isinstance(c.func, ast.Name)
+                }
+                calls.setdefault(node.name, set()).update(callees)
+                if token.search(src):
+                    marked.add(node.name)
+    changed = True
+    while changed:
+        changed = False
+        for name, callees in calls.items():
+            if name not in marked and callees & marked:
+                marked.add(name)
+                changed = True
+
+    reg = registry()
+    uncovered = [
+        op_id
+        for op_id in bench.EXTRA
+        if reg[op_id].query.__name__ in marked and op_id not in bench.MEMOIZED
+    ]
+    assert not uncovered, (
+        f"EXTRA ops with memo-riding query paths missing from the bench "
+        f"cold map (add a reasoned MEMOIZED entry): {uncovered}"
+    )
+    # and the map itself stays honest: every entry is a timed op with a
+    # non-empty reason (membership beyond the static scan is fine —
+    # some cold costs are Spark-side caches or staged layouts the
+    # Python token scan can't see, e.g. rs_wrapper's series CTE)
+    for op_id, why in bench.MEMOIZED.items():
+        assert op_id in bench.EXTRA, f"{op_id!r} memoized but not timed"
+        assert why.strip(), f"{op_id!r} has an empty cold-map reason"
+
+
 def test_bench_exclusion_ledger_is_consistent_with_the_registry():
     """The BENCH_DETAIL `excluded` map (r11 verdict ask) must stay
     honest: every excluded id is a real registered op, no excluded op
