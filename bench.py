@@ -458,6 +458,9 @@ WARMUP_EXTRA = [
     "ep15_plant_analysis",
     "ml_warning_contract",
     "sim_pq_adc_trained",
+    # round-14: ep16 builds its result-row memo (two full DAG passes +
+    # the parquet save) on first run
+    "ep16_sales_management",
 ]
 
 # Every timed op whose query path rides a session memo / staged layout
@@ -525,6 +528,8 @@ MEMOIZED = {
     "sim_pq_trained_recall_contract": "memo: rides the pooled-"
     "embedding parquet + trained-PQ result rows (cold carried by "
     "ep12_embed_retrieval_e2e / sim_pq_adc_trained)",
+    "ep16_sales_management": "memo: sync/upsert/gap-fill DAG + "
+    "fixed-order parquet save (result rows session-memoized)",
 }
 
 
