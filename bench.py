@@ -459,8 +459,10 @@ WARMUP_EXTRA = [
     "ml_warning_contract",
     "sim_pq_adc_trained",
     # round-14: ep16 builds its result-row memo (two full DAG passes +
-    # the parquet save) on first run
+    # the parquet save) on first run; the trained-PQ recall contract
+    # pays the brute-force exact truth once
     "ep16_sales_management",
+    "sim_pq_trained_recall_contract",
 ]
 
 # Every timed op whose query path rides a session memo / staged layout
@@ -525,9 +527,9 @@ MEMOIZED = {
     "models (cold carried by their train ops)",
     "ml_als_contract": "memo: rides the ALS fit + recs parquet "
     "(cold carried by ml_als_recs)",
-    "sim_pq_trained_recall_contract": "memo: rides the pooled-"
-    "embedding parquet + trained-PQ result rows (cold carried by "
-    "ep12_embed_retrieval_e2e / sim_pq_adc_trained)",
+    "sim_pq_trained_recall_contract": "memo: brute-force exact-truth "
+    "measurement + rides the pooled-embedding/trained-PQ memos "
+    "(contract row session-memoized)",
     "ep16_sales_management": "memo: sync/upsert/gap-fill DAG + "
     "fixed-order parquet save (result rows session-memoized)",
 }

@@ -214,9 +214,11 @@ def test_pq_trained_contract_flips_on_a_collapsed_quantizer(spark, monkeypatch):
     must flip."""
     import claim_analysis_engine_spark.operators.similarity as sim
 
-    # fresh memo dicts: the trained-PQ rows memo must not replay the
-    # GOOD session's results under the monkeypatched quantizer
+    # fresh memo dicts: neither the trained-PQ rows memo nor the
+    # contract's own row memo may replay the GOOD session's results
+    # under the monkeypatched quantizer
     monkeypatch.setattr(sim, "_PQT_ROWS_MEMO", {})
+    monkeypatch.setattr(sim, "_PQT_CONTRACT_MEMO", {})
 
     def collapsed(sample, subs=sim.PQ_SUBS, subdim=sim.PQ_SUBDIM):
         return [[[0.0] * subdim for _ in range(sim.PQ_K)] for _ in range(subs)]
