@@ -810,6 +810,7 @@ def propagate_min_labels(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
+        # bounded: 1-row convergence aggregate per fixpoint round
         prev_sum = labels.agg(F.sum("label")).collect()[0][0]
         for _ in range(max_iters + 1):
             nbr = (
@@ -825,6 +826,7 @@ def propagate_min_labels(
                 )
                 .localCheckpoint()
             )
+            # bounded: 1-row convergence aggregate
             cur_sum = labels.agg(F.sum("label")).collect()[0][0]
             if cur_sum == prev_sum:
                 return labels, True
@@ -1206,7 +1208,7 @@ def star_components(
                     F.lit(0).cast("decimal(38,0)"),
                 ).alias("h"),
                 F.count(F.lit(1)).alias("n"),
-            ).collect()[0]
+            ).collect()[0]  # bounded: 1-row (hash, count) witness
             return (row.h, row.n)
 
         prev = checksum(e)
@@ -1796,6 +1798,8 @@ def _high_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(_jaccard("sa", "sb") >= LSH_HIGH_T)
             .select("doc_a", "doc_b")
         )
+        # bounded: threshold-verified truth pairs — the contract
+        # instrument's result rows (gate-scale fixture)
         rows, schema = truth.collect(), truth.schema
         if len(_HIGH_TRUTH_MEMO) >= _HIGH_TRUTH_MEMO_MAX:
             _HIGH_TRUTH_MEMO.pop(next(iter(_HIGH_TRUTH_MEMO)))

@@ -276,7 +276,7 @@ def _train_and_forecast(spark: SparkSession, sf_dir: str):
         # collects) so the cache can be released here; a production run
         # forecasting millions of series would write `result` to a sink
         # instead and unpersist after the write
-        return result.collect(), result.schema
+        return result.collect(), result.schema  # bounded: keys × HORIZON
     finally:
         s.unpersist()
 

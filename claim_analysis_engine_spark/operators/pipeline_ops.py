@@ -864,7 +864,7 @@ def corpus_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = (
         d.orderBy(F.xxhash64(F.col("doc_id")), F.col("doc_id"))
         .limit(LR_TRAIN_CAP)
-        .collect()
+        .collect()  # bounded: count-capped training sample
     )
     w = _train_lr(train)
     train_ids = F.broadcast(
@@ -1351,7 +1351,7 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
                 .agg(F.sum("freq").alias("c"))
                 .orderBy(F.col("c").desc(), "a", "b")
-                .limit(BPE_CAND_WINDOW)  # TakeOrdered; candidate window
+                .limit(BPE_CAND_WINDOW)  # TakeOrdered; bounded window
                 .collect()
             )
             # fill the round's batch: accept ranked pairs whose symbols

@@ -372,6 +372,7 @@ def ep5_alerts_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_orderkey", F.col("o_orderkey") + _BATCH_KEY_OFFSET)
     )
     merged = o.unionByName(batch)
+    # bounded: batch is limit(20); distinct statuses are fewer still
     touched = [r[0] for r in batch.select("o_orderstatus").distinct().collect()]
 
     settings = _staged_settings(spark)

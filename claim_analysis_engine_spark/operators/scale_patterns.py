@@ -856,6 +856,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         build, schema=T.StructType([T.StructField("bitmap", T.BinaryType())])
     )
     merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    # bounded: one m_bits/8-byte bitmap per input partition
     for row in partials.collect():
         merged |= np.frombuffer(row["bitmap"], dtype=np.uint8)
     bc = spark.sparkContext.broadcast(merged.tobytes())
@@ -1184,7 +1185,7 @@ def prune_zorder_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("by").alias("mny"),
                 F.max("by").alias("mxy"),
             )
-            .collect()
+            .collect()  # bounded: 1-row min/max bounds
         )
         if len(_ZORDER_MEMO) >= _ZORDER_MEMO_MAX:
             evicted_dir, _ = _ZORDER_MEMO.pop(next(iter(_ZORDER_MEMO)))

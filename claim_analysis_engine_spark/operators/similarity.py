@@ -484,7 +484,7 @@ def _train_ivf(
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in emb.where(F.col("vec_id") < N_CELLS)
         .select("vec_id", "embedding")
-        .collect()
+        .collect()  # bounded: N_CELLS seed centroids
     )
 
     def cent_frame(cent_rows: list[tuple[int, list[float]]]) -> DataFrame:
@@ -547,7 +547,7 @@ def _train_ivf(
                 F.sum("cos").alias("_cos_sum"),
                 *[F.avg(f"d{d}").alias(f"d{d}") for d in range(EMB_DIM)],
             )
-            .collect()
+            .collect()  # bounded: one row per cell (N_CELLS)
         )
         # this round's objective (mean winner cosine under the CURRENT
         # centroids) falls out of the same pass that computes the means
@@ -1019,7 +1019,7 @@ def _pq_adc_search(
         r.v
         for r in emb.where(F.col("vec_id") % PQ_SAMPLE_MOD == 0)
         .orderBy("vec_id")
-        .limit(PQ_SAMPLE_MAX)
+        .limit(PQ_SAMPLE_MAX)  # bounded: count-capped sample
         .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
         .collect()
     ]
@@ -2577,6 +2577,8 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos") >= SEM_DUP_T)
         .select("doc_a", "doc_b", F.round("cos", 4).alias("cosine"))
     )
+    # bounded: the op's emitted result rows (the frame the driver
+    # gate collects anyway), memoized for gate stability
     rows, schema = out.collect(), out.schema
     if len(_SEM_PAIRS_MEMO) >= _SEM_PAIRS_MEMO_MAX:
         _SEM_PAIRS_MEMO.pop(next(iter(_SEM_PAIRS_MEMO)))

@@ -468,5 +468,6 @@ def write_excel(df: DataFrame, path: str) -> None:
     """Excel export (reference app.py:509-516 download cards):
     driver-side, small result sets only — the reference exports
     filtered alert cards, never raw facts."""
+    # bounded: panel-sized export frames only (see docstring)
     rows = [tuple(r) for r in df.collect()]
     xlsx_write_rows(path, list(df.columns), rows)

@@ -128,6 +128,7 @@ def rows_replay_memo(memo: dict, spark, sf_dir: str, build, max_entries: int = 2
     key = session_memo_key(spark, sf_dir)
     if key not in memo:
         out = build()
+        # bounded: callers guarantee k-result-sized frames (docstring)
         rows, schema = out.collect(), out.schema
         if len(memo) >= max_entries:
             memo.pop(next(iter(memo)))

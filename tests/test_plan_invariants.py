@@ -69,3 +69,35 @@ def test_no_unbroadcast_cartesian(spark, op_id):
     assert _CARTESIAN_FORBIDDEN not in plan, (
         f"{op_id} plans a non-broadcast cartesian product:\n{plan}"
     )
+
+
+def test_every_collect_site_is_annotated_bounded():
+    """The per-round manual audit, machine-enforced (r14): a
+    ``.collect()`` in the package is only legitimate when the collected
+    frame is provably NOT corpus-proportional — model/vocab/k-result/
+    1-row-sized, or count-capped. Every site must say so in place: the
+    line itself or the 4 lines above must carry a boundedness
+    annotation. A new unannotated collect fails here, so a
+    rate-proportional driver pull (the r13 PQ-sample flag's class)
+    can't land silently."""
+    import pathlib
+    import re
+
+    import claim_analysis_engine_spark as pkg
+
+    marker = re.compile(
+        r"bounded|[a-z_]+-sized|-grain|keys ×|1-row|count-capped", re.I
+    )
+    offenders = []
+    for p in pathlib.Path(pkg.__file__).parent.rglob("*.py"):
+        lines = p.read_text().splitlines()
+        for i, ln in enumerate(lines):
+            if ".collect()" not in ln or ln.lstrip().startswith("#"):
+                continue
+            window = lines[max(0, i - 4) : i + 1]
+            if not any(marker.search(w) for w in window):
+                offenders.append(f"{p.name}:{i + 1}")
+    assert not offenders, (
+        f"unannotated .collect() sites (document the size bound in "
+        f"place or restructure): {offenders}"
+    )
