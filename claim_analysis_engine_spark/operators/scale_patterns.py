@@ -1243,6 +1243,7 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.where(F.col("y") == 1996).select("o_custkey")
     b = o.where(F.col("y") == 1997).select("o_custkey")
     sk = (
+        # two 1-row sketch frames — the stats-crossJoin pattern
         a.agg(F.hll_sketch_agg("o_custkey").alias("sk_a"))
         .crossJoin(b.agg(F.hll_sketch_agg("o_custkey").alias("sk_b")))
         .select(

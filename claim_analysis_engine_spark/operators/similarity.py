@@ -2500,6 +2500,7 @@ def _sem_band_sigs(spark: SparkSession, emb: DataFrame) -> DataFrame:
             for r in range(SEM_BITS)
         ]
     )
+    # pl is the 1-row hyperplane-bits frame (model state as DATA)
     return emb.crossJoin(pl).select("doc_id", "band", sig.alias("sig"))
 
 
@@ -2756,6 +2757,7 @@ def _lloyd_euclid_cost(spark: SparkSession, sf_dir: str) -> float:
             lambda acc, v: acc + v,
         )
     )
+    # cent_df is the k-centroid broadcast frame (model state as DATA)
     scored = emb.crossJoin(cent_df).select(
         "vec_id",
         "cell_id",

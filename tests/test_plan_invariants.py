@@ -101,3 +101,40 @@ def test_every_collect_site_is_annotated_bounded():
         f"unannotated .collect() sites (document the size bound in "
         f"place or restructure): {offenders}"
     )
+
+
+def test_every_crossjoin_is_a_documented_tiny_frame_and_no_topandas():
+    """Companion audits, machine-enforced (r14): (1) a crossJoin is
+    only legitimate against a broadcast-small frame — 1-row stats,
+    plane bits, centroids, bounded model state — and must show that on
+    the line or within the 3 lines above (the AQE-off plan check in
+    PLANS.md separately proves no CartesianProduct survives); (2) the
+    package ships zero toPandas() — corpus-to-driver conversions are
+    banned outright, not annotated."""
+    import pathlib
+    import re
+
+    import claim_analysis_engine_spark as pkg
+
+    marker = re.compile(
+        r"broadcast|1-row|stats|plane|centroid|bounded|tiny|vocab|model",
+        re.I,
+    )
+    offenders, topandas = [], []
+    for p in pathlib.Path(pkg.__file__).parent.rglob("*.py"):
+        lines = p.read_text().splitlines()
+        for i, ln in enumerate(lines):
+            if "toPandas()" in ln:
+                topandas.append(f"{p.name}:{i + 1}")
+            if "crossJoin" not in ln or ln.lstrip().startswith("#"):
+                continue
+            # +1 below: a multi-line crossJoin(...) often carries its
+            # F.broadcast on the continuation line
+            window = lines[max(0, i - 3) : i + 2]
+            if not any(marker.search(w) for w in window):
+                offenders.append(f"{p.name}:{i + 1}")
+    assert not topandas, f"toPandas() in the package: {topandas}"
+    assert not offenders, (
+        f"crossJoin sites without a documented tiny-frame rationale: "
+        f"{offenders}"
+    )
