@@ -161,6 +161,11 @@ SINK_OPS = [
     "evt_span_dedup_stream",
     # round-12: the Python DataSource WRITE path (two-phase commit)
     "snk_pydatasource_jsonl",
+    # round-14: the sales-page capstone persists its long frame through
+    # a fixed-column-order parquet save and certifies the READ-BACK
+    # schema on the Total row — the save/read half must hold on a
+    # default-conf session before its first driver window
+    "ep16_sales_management",
 ]
 
 
