@@ -34,13 +34,26 @@ REG = OpRegistry()
 def agg_monthly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly group count — the substrate of every reference dashboard
     (groupby([...,'접수월_str']).size(); app.py:281,
-    core/storage.py:558-560)."""
+    core/storage.py:558-560).
+
+    r14 (guide §2.3, narrower types / per-group not per-row work):
+    group on the TRUNCATED month timestamp (8-byte long key, integer
+    math per row) and render the formatter string once per GROUP
+    (~hundreds) instead of once per ROW (~150k date_format calls in
+    the single-task scan stage). date_format(date_trunc(month, d)) ≡
+    date_format(d) for 'yyyy-MM', so values are unchanged."""
     return (
         load(spark, sf_dir, "orders")
         .groupBy(
-            "o_orderstatus", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+            "o_orderstatus",
+            F.date_trunc("month", "o_orderdate").alias("_month_d"),
         )
         .agg(F.count(F.lit(1)).alias("n_claims"))
+        .select(
+            "o_orderstatus",
+            F.date_format("_month_d", "yyyy-MM").alias("month"),
+            "n_claims",
+        )
     )
 
 
@@ -379,14 +392,24 @@ def agg_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = lag.groupBy("lag_days").agg(F.count(F.lit(1)).alias("cnt"))
     w = W.orderBy("lag_days").rowsBetween(W.unboundedPreceding, 0)
-    h = hist.withColumn("cum", F.sum("cnt").over(w))
-    n = F.sum("cnt")
+    # r14 (guide §2.4/§7.2): the grand total used to come from a
+    # separate `h.agg(...)` branch crossJoined back — a second full
+    # subtree that AQE did NOT dedupe (the before-plan shows TWO
+    # lineitem⋈orders passes: operators (1)-(10) and (14)-(23) in
+    # plans/r14/agg_lag_stats_before.txt). A second frame over the SAME
+    # single-partition window computes n_all in the one Window node the
+    # cumulative sum already pays for — the join+histogram now executes
+    # once. The window moves ≤|lag domain| (~120) rows, not 600k.
+    w_all = W.orderBy("lag_days").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    h2 = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n_all", F.sum("cnt").over(w_all)
+    )
     sum1 = F.sum(F.col("cnt") * F.col("lag_days"))
     sum2 = F.sum(F.col("cnt") * F.col("lag_days") * F.col("lag_days"))
     # exact median from the cumulative histogram: the two middle ranks
     # (equal for odd n) are floor((n+1)/2) and floor(n/2)+1
-    total = h.agg(n.alias("n_all"))
-    h2 = h.crossJoin(F.broadcast(total))
     m1 = F.min(
         F.when(F.col("cum") >= F.floor((F.col("n_all") + 1) / 2), F.col("lag_days"))
     )

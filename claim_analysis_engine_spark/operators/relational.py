@@ -459,24 +459,43 @@ def dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit load_seq (reference hub merge concat+dedup,
     core/storage.py:102-127). 1997 rows overlap both sides, so the
     incoming copy must win. At scale this is storage.merge_upsert with
-    dynamic partition overwrite instead of a full rewrite."""
+    dynamic partition overwrite instead of a full rewrite.
+
+    r14 (guide §2.3/§2.4): the union of two filters of the SAME table
+    scanned orders twice and fed a window (sort + row_number) — the
+    before-plan (plans/r14/dedup_merge_before.txt) shows 2 scans, a
+    sort on both sides of the exchange, and WindowGroupLimit passes.
+    One scan now materializes both branch memberships per row
+    (explode of the compacted [existing?0, incoming?1] array — the
+    same union multiset), and keep-last-by-seq becomes max_by, a hash
+    aggregate that partial-aggregates map-side instead of sorting.
+    row_number ties cannot occur (load_seq is unique per key within
+    each branch), so max_by is exactly the rn=1 row."""
     orders = load(spark, sf_dir, "orders")
-    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
-    existing = orders.where(F.year("o_orderdate") <= 1997).select(*cols).withColumn(
-        "load_seq", F.lit(0)
+    y = F.year("o_orderdate")
+    seqs = F.array_compact(
+        F.array(
+            F.when(y <= 1997, F.lit(0)),
+            F.when(y >= 1997, F.lit(1)),
+        )
     )
-    incoming = orders.where(F.year("o_orderdate") >= 1997).select(*cols).withColumn(
-        "load_seq", F.lit(1)
+    unioned = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.explode(seqs).alias("load_seq"),
     )
-    unioned = existing.unionByName(incoming)
-    w = W.partitionBy("o_orderkey").orderBy(F.col("load_seq").desc())
     return (
-        unioned.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        unioned.groupBy("o_orderkey")
+        .agg(
+            F.max_by(
+                F.struct("o_orderstatus", "o_totalprice"), "load_seq"
+            ).alias("_last")
+        )
         .select(
             "o_orderkey",
-            "o_orderstatus",
-            F.col("o_totalprice").alias("total_price"),
+            F.col("_last.o_orderstatus").alias("o_orderstatus"),
+            F.col("_last.o_totalprice").alias("total_price"),
         )
     )
 
