@@ -77,12 +77,41 @@ def _cos(ea: str, eb: str) -> F.Column:
     return _dot(ea, eb) / (F.sqrt(_dot(ea, ea)) * F.sqrt(_dot(eb, eb)))
 
 
+def _cos_n(ea: str, eb: str, na: str, nb: str) -> F.Column:
+    """Cosine with the two vector norms PRE-ATTACHED per vector row
+    (r14, guide §1.2 step 2 / §2.3): `_cos` re-derived sqrt(dot(v,v))
+    for both sides inside every PAIR expression — three zip_with
+    allocations + folds per scored pair, two of which recompute a
+    per-vector constant (the corpus side repeats per query, the query
+    side per candidate). Computing the norm once per vector row and
+    multiplying the columns is the SAME double (same array, same fold
+    order, sqrt of the same dot), so every cos value — and therefore
+    every round(·, 6) rank and round(·, 4) output the oracles hash —
+    is bit-identical; only the per-pair work drops 3× ."""
+    return _dot(ea, eb) / (F.col(na) * F.col(nb))
+
+
+def _with_norm(df: DataFrame, arr: str, out: str) -> DataFrame:
+    """Attach sqrt(dot(arr, arr)) once per vector row (see _cos_n)."""
+    return df.withColumn(out, F.sqrt(_dot(arr, arr)))
+
+
 def _queries_and_corpus(spark: SparkSession, sf_dir: str):
     emb = _emb(spark, sf_dir)
-    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    q = _with_norm(
+        emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+        ),
+        "eq",
+        "nq",
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"))
+    c = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec")
+        ),
+        "ec",
+        "nc",
+    )
     return q, c
 
 
@@ -116,7 +145,7 @@ def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _cos("eq", "ec").alias("cos"))
+        .select("query_id", "neighbor_id", _cos_n("eq", "ec", "nq", "nc").alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(
         F.round("cos", 6).desc(), F.col("neighbor_id")
@@ -182,10 +211,20 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    x = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
-    y = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"))
+    x = _with_norm(
+        emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")),
+        "eq",
+        "nq",
+    )
+    y = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec")
+        ),
+        "ec",
+        "nc",
+    )
     scored = cand.join(x, "query_id").join(y, "neighbor_id").select(
-        "query_id", "neighbor_id", _cos("eq", "ec").alias("cos")
+        "query_id", "neighbor_id", _cos_n("eq", "ec", "nq", "nc").alias("cos")
     )
     w = W.partitionBy("query_id").orderBy(
         F.round("cos", 6).desc(), F.col("neighbor_id")
@@ -264,8 +303,14 @@ def _ivf_search(
     if n_probe is None:
         n_probe = N_PROBE
     assign0 = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cell_id", _cos("embedding", "ecent").alias("cos"))
+        _with_norm(emb, "embedding", "ne")
+        .crossJoin(F.broadcast(_with_norm(cent, "ecent", "ncent")))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell_id",
+            _cos_n("embedding", "ecent", "ne", "ncent").alias("cos"),
+        )
         .withColumn(
             "rk",
             F.row_number().over(
@@ -282,10 +327,20 @@ def _ivf_search(
     cand = probes.join(
         assigned.withColumnRenamed("vec_id", "neighbor_id"), "cell_id"
     ).where(F.col("neighbor_id") != F.col("query_id"))
-    x = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
-    y = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"))
+    x = _with_norm(
+        emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")),
+        "eq",
+        "nq",
+    )
+    y = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec")
+        ),
+        "ec",
+        "nc",
+    )
     scored = cand.join(x, "query_id").join(y, "neighbor_id").select(
-        "query_id", "neighbor_id", "cell_id", _cos("eq", "ec").alias("cos")
+        "query_id", "neighbor_id", "cell_id", _cos_n("eq", "ec", "nq", "nc").alias("cos")
     )
     w = W.partitionBy("query_id").orderBy(
         F.round("cos", 6).desc(), F.col("neighbor_id")
@@ -323,11 +378,19 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     (LSH-bucketed), and exact all-pairs ground truth lives only in the
     recall TESTS (tests/test_similarity_recall.py), not the registry."""
     emb = _emb(spark, sf_dir)
-    x = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    x = _with_norm(
+        emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        ),
+        "ea",
+        "na",
     )
-    y = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = _cos("ea", "eb")
+    y = _with_norm(
+        emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")),
+        "eb",
+        "nb",
+    )
+    cos = _cos_n("ea", "eb", "na", "nb")
     return (
         F.broadcast(x)
         .join(y, F.col("vec_b") != F.col("vec_a"))
@@ -653,7 +716,7 @@ def sim_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _cos("eq", "ec").alias("cos"))
+        .select("query_id", "neighbor_id", _cos_n("eq", "ec", "nq", "nc").alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(
         F.round("cos", 6).desc(), F.col("neighbor_id")
@@ -897,10 +960,20 @@ def sim_ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("qrank") <= RERANK_POOL)
         .select("query_id", "neighbor_id")
     )
-    x = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
-    y = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"))
+    x = _with_norm(
+        emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")),
+        "eq",
+        "nq",
+    )
+    y = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec")
+        ),
+        "ec",
+        "nc",
+    )
     exact = pool.join(x, "query_id").join(y, "neighbor_id").select(
-        "query_id", "neighbor_id", _cos("eq", "ec").alias("cos")
+        "query_id", "neighbor_id", _cos_n("eq", "ec", "nq", "nc").alias("cos")
     )
     w = W.partitionBy("query_id").orderBy(
         F.round("cos", 6).desc(), F.col("neighbor_id")
@@ -1076,10 +1149,20 @@ def _pq_adc_search(
         .where(F.col("qrank") <= PQ_POOL)
         .select("query_id", "neighbor_id")
     )
-    x = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
-    y = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"))
+    x = _with_norm(
+        emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")),
+        "eq",
+        "nq",
+    )
+    y = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec")
+        ),
+        "ec",
+        "nc",
+    )
     exact = pool.join(x, "query_id").join(y, "neighbor_id").select(
-        "query_id", "neighbor_id", _cos("eq", "ec").alias("cos")
+        "query_id", "neighbor_id", _cos_n("eq", "ec", "nq", "nc").alias("cos")
     )
     w = W.partitionBy("query_id").orderBy(F.round("cos", 6).desc(), "neighbor_id")
     return (
@@ -1346,15 +1429,23 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with broadcast anchors (never all-pairs)."""
     emb = _emb(spark, sf_dir)
     pop = 1.0 + (F.col("vec_id") % MIPS_POP_MOD) / float(MIPS_POP_MOD)
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ec"),
-        pop.alias("pop"),
+    c = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ec"),
+            pop.alias("pop"),
+        ),
+        "ec",
+        "nc",
     )
-    q = emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    q = _with_norm(
+        emb.where(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+        ),
+        "eq",
+        "nq",
     )
-    cos = _cos("eq", "ec")
+    cos = _cos_n("eq", "ec", "nq", "nc")
     scored = (
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
@@ -1491,8 +1582,13 @@ def sim_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT the post-top-k result rows (those are capped at k and say
     # nothing about cost)
     assign0 = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cell_id", _cos("embedding", "ecent").alias("cos"))
+        _with_norm(emb, "embedding", "ne")
+        .crossJoin(F.broadcast(_with_norm(cent, "ecent", "ncent")))
+        .select(
+            "vec_id",
+            "cell_id",
+            _cos_n("embedding", "ecent", "ne", "ncent").alias("cos"),
+        )
         .withColumn(
             "rk",
             F.row_number().over(
@@ -2357,16 +2453,24 @@ def _pqt_contract_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _doc_embeddings(spark, sf_dir).select(
         F.col("doc_id").alias("vec_id"), F.col("emb").alias("embedding")
     )
-    qs = emb.where(
-        F.col("vec_id") % EP12_QUERY_MOD == PQ_TRAINED_QUERY_REM
-    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec")
+    qs = _with_norm(
+        emb.where(F.col("vec_id") % EP12_QUERY_MOD == PQ_TRAINED_QUERY_REM).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+        ),
+        "eq",
+        "nq",
+    )
+    corpus = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec")
+        ),
+        "ec",
+        "nc",
     )
     scored = (
         F.broadcast(qs)
         .join(corpus, F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", _cos("eq", "ec").alias("cos"))
+        .select("query_id", "neighbor_id", _cos_n("eq", "ec", "nq", "nc").alias("cos"))
     )
     wq = W.partitionBy("query_id").orderBy(
         F.round("cos", 6).desc(), F.col("neighbor_id")
