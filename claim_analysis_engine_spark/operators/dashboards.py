@@ -610,18 +610,32 @@ def ep7_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") % QUERY_MOD == 0)
         .select("vec_id", "label")
     )
-    exact3 = exact.where(F.col("rank") <= ANN_K).select("query_id", "neighbor_id")
-    hits = (
-        ann.select("query_id", "neighbor_id")
-        .join(exact3, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    # r14 (guide §7.2, duplicated subtrees): `exact` used to feed TWO
+    # consumers (the rank<=k id set and the rank==1 cosine), so the
+    # whole brute-force scoring plan executed twice per pass. One
+    # left join of the ANN hits onto the rank<=k rows, then ONE
+    # aggregate per query, derives both from a single brute pass:
+    # n_hit = count of matched ann pairs (0 when none, exactly the
+    # old coalesce(left-join, 0)), top-1 cosine = max over the
+    # rank==1 row (every query has ranks 1..k, so the old inner top1
+    # join kept the same queries).
+    exact3 = exact.where(F.col("rank") <= ANN_K).select(
+        "query_id", "neighbor_id", "cosine", "rank"
     )
-    top1 = exact.where(F.col("rank") == 1).select("query_id", "cosine")
+    per_query = (
+        exact3.join(
+            ann.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("n_hit"),
+            F.max(F.when(F.col("rank") == 1, F.col("cosine"))).alias("cosine"),
+        )
+    )
     joined = (
-        q.join(hits, q.vec_id == hits.query_id, "left")
-        .drop("query_id")
-        .join(top1, q.vec_id == top1.query_id)
+        q.join(per_query, q.vec_id == per_query.query_id)
         .drop("query_id")
         .join(qz.select("vec_id", "mse_e6"), "vec_id")
     )
