@@ -463,6 +463,13 @@ WARMUP_EXTRA = [
     # pays the brute-force exact truth once
     "ep16_sales_management",
     "sim_pq_trained_recall_contract",
+    # round-14 optimization pass: the norm-precompute rewrite made
+    # sim_mips_topk's generated fold code diverge from sim_topk_brute's
+    # (they used to share a janino-compiled class), so its first run
+    # now pays its own ~5 s whole-stage compile — the round-10
+    # JIT-warm-up criterion; one timed warm-up pass keeps its median
+    # steady-state like every other compile-heavy extra
+    "sim_mips_topk",
 ]
 
 # Every timed op whose query path rides a session memo / staged layout

@@ -208,20 +208,29 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts_s").alias("fp"))
     )
 
-    def stage_row(df: DataFrame, ord_: int, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(ord_).alias("stage_ord"),
-            F.lit(name).alias("stage"),
-            "n_users",
-        )
-
-    counts = (
-        stage_row(v, 1, "view")
-        .unionAll(stage_row(c, 2, "click"))
-        .unionAll(stage_row(p, 3, "purchase"))
+    # r14 (guide §7.2, duplicated subtrees): the summary used to build
+    # each stage row from its own aggregate branch plus a separate
+    # entry-count branch — v's subtree planned 4× (c's input, its own
+    # stage row, the entry denominator, and p via c) and events scanned
+    # 7×. One per-user left-join frame derives all three stage counts
+    # (count(*) = |v|, count(fc) = |c|, count(fp) = |p| — the left
+    # joins keep every viewer, and fc/fp are non-null exactly for
+    # stage completers) in ONE aggregate; the 3-row shape comes from
+    # an inline stack over that single row. v now plans 2×, p 1×,
+    # events scans 7 → 4.
+    u = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    tot = u.agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("fc").alias("n_click"),
+        F.count("fp").alias("n_purchase"),
     )
-    entry = v.agg(F.count(F.lit(1)).alias("entry_n"))
-    return counts.crossJoin(F.broadcast(entry)).select(
+    return tot.select(
+        F.expr(
+            "stack(3, 1, 'view', n_view, 2, 'click', n_click, "
+            "3, 'purchase', n_purchase) AS (stage_ord, stage, n_users)"
+        ),
+        F.col("n_view").alias("entry_n"),
+    ).select(
         "stage_ord",
         "stage",
         "n_users",

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from claim_analysis_engine_spark.registry import OpRegistry
-from claim_analysis_engine_spark.tables import load
+from claim_analysis_engine_spark.tables import load, spread_scan
 
 REG = OpRegistry()
 
@@ -358,7 +358,12 @@ def mm_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     perfectly partitionable); group size and canonical id come from
     the same window pass, and per-doc keep decisions stay linear —
     never a pairwise plan."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # r14: the 16 per-class character scans are compute-heavy per row
+    # and the one-row-group layout serializes them onto a single task —
+    # spread_scan (no-op on a real multi-split corpus) parallelizes the
+    # projection; sig values and the window result are partition-
+    # independent
+    d = spread_scan(load(spark, sf_dir, "documents").select("doc_id", "text"))
     cnts = [
         (
             F.length("text") - F.length(F.replace(F.col("text"), F.lit(ch)))
