@@ -472,11 +472,19 @@ def ep4_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)
         & F.col("avg_len").between(MIN_AVG_TOKLEN, MAX_AVG_TOKLEN),
     )
-    wmd5 = W.partitionBy(F.md5("text")).orderBy("doc_id")
-    ex = flagged.where("pass_quality").withColumn(
-        "copy_rank", F.row_number().over(wmd5)
+    # r14 (guide §2.4/§7.2, the evt_funnel collapse): the funnel used
+    # to be a 4-branch union re-deriving flagged/ex per branch — the
+    # before plan scans documents 3× and ends in a SortMergeJoin anti
+    # (plans/r14/ep4_corpus_e2e_before.txt). Now ONE window labels
+    # every doc (partitioning by (pass_quality, md5) leaves the ranks
+    # of pass rows untouched — the window was previously computed on
+    # the pass-only subset), the labeled frame is cached once, and the
+    # whole funnel is ONE hash aggregate over a CASE stage label.
+    wmd5 = W.partitionBy("pass_quality", F.md5("text")).orderBy("doc_id")
+    labeled = flagged.withColumn("copy_rank", F.row_number().over(wmd5)).cache()
+    exk = labeled.where(F.col("pass_quality") & (F.col("copy_rank") == 1)).select(
+        "doc_id", "text", "n_tokens"
     )
-    exk = ex.where(F.col("copy_rank") == 1).select("doc_id", "text", "n_tokens").cache()
 
     toks2 = F.array_distinct(F.array_remove(F.split("text", " "), ""))
     hashed = exk.select("doc_id", F.transform(toks2, F.md5).alias("hashes"))
@@ -516,28 +524,38 @@ def ep4_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    survivors = exk.join(near_dup, "doc_id", "left_anti").select(
-        "doc_id", "n_tokens", _split_col("doc_id").alias("stage")
+    # Stage label per doc — the four union branches were mutually
+    # exclusive and exhaustive by construction (near_dup ⊆ pass∧rank1),
+    # so a CASE reproduces them exactly. near_dup membership attaches
+    # with one small left join; rows are never duplicated (near_dup is
+    # distinct doc_ids).
+    stage = (
+        F.when(~F.col("pass_quality"), F.lit("dropped_quality"))
+        .when(F.col("copy_rank") > 1, F.lit("dropped_exact"))
+        .when(F.col("is_near"), F.lit("dropped_near"))
+        .otherwise(_split_col("doc_id"))
     )
-
-    def row(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
-        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
-
-    funnel = (
-        row("dropped_quality", flagged.where(~F.col("pass_quality")))
-        .unionByName(row("dropped_exact", ex.where(F.col("copy_rank") > 1)))
-        .unionByName(row("dropped_near", exk.join(near_dup, "doc_id")))
-        .unionByName(
-            survivors.groupBy("stage").agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-            )
+    lab2 = labeled.join(
+        near_dup.withColumn("is_near", F.lit(True)), "doc_id", "left"
+    ).select(stage.alias("stage"), F.lit(1).alias("w"), "n_tokens")
+    # The three drop stages must appear even when empty (the union
+    # branches were GROUP-BY-less aggregates, the oracle emits them
+    # unconditionally): zero-weight seed rows keep the groups present
+    # without a second pass over the aggregate.
+    seed = spark.createDataFrame(
+        [(s, 0, 0) for s in ("dropped_quality", "dropped_exact", "dropped_near")],
+        "stage string, w int, n_tokens int",
+    )
+    return (
+        lab2.unionByName(seed)
+        .groupBy("stage")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(F.col("w") * F.col("n_tokens")), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
         )
     )
-    return funnel
 
 
 # --------------------------------------------------- ep7_retrieval_e2e

@@ -2472,35 +2472,47 @@ def corpus_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_start",
         "span_end",
     )
+    # r14 (guide §2.4): one exploded pass carries the doc's token count
+    # alongside each token and the removal decision becomes a left-join
+    # FLAG folded into the per-doc aggregate — the before plan scanned
+    # documents a second time for `size(toks)` and re-attached the
+    # accounting through a final broadcast join
+    # (plans/r14/corpus_remove_dup_spans_before.txt: Scan (1) +
+    # Exchange (2) + BroadcastHashJoin (46), all gone after).
+    # posexplode_outer keeps zero-token docs as a (null, null) row so
+    # every doc still aggregates (md5('') / 0 kept, as before). The
+    # left join cannot duplicate rows: islands are disjoint within a
+    # doc, so a position falls in at most one removed span. The join
+    # stays KEYED on doc_id (rem is corpus-proportional at 100 TB —
+    # broadcasting it would not scale; the doc_id partitioning feeds
+    # the aggregate with no further exchange).
     tokw = docs.select(
-        "doc_id", F.posexplode("toks").alias("pos0", "w")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
-    kept = tokw.join(
+        "doc_id",
+        F.size("toks").alias("n0"),
+        F.posexplode_outer("toks").alias("pos0", "w"),
+    ).select("doc_id", "n0", (F.col("pos0") + 1).alias("pos"), "w")
+    flagged = tokw.join(
         rem,
         (F.col("doc_id") == F.col("r_doc"))
         & F.col("pos").between(F.col("span_start"), F.col("span_end")),
-        "left_anti",
+        "left",
     )
-    agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens_kept"),
+    keep = F.col("r_doc").isNull() & F.col("w").isNotNull()
+    return flagged.groupBy("doc_id").agg(
+        F.max("n0").cast("bigint").alias("n_tokens_before"),
+        F.count(F.when(keep, 1)).cast("bigint").alias("n_tokens_kept"),
         F.md5(
             F.concat_ws(
                 " ",
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("pos", "w")))
+                    ),
                     lambda s: s["w"],
                 ),
             )
         ).alias("clean_md5"),
-    )
-    return docs.join(agg, "doc_id", "left").select(
-        "doc_id",
-        F.size("toks").cast("bigint").alias("n_tokens_before"),
-        F.coalesce(F.col("n_tokens_kept"), F.lit(0).cast("bigint")).alias(
-            "n_tokens_kept"
-        ),
-        F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
-    )
+    ).select("doc_id", "n_tokens_before", "n_tokens_kept", "clean_md5")
 
 
 # ------------------------------------------- ep13_span_curation_e2e
