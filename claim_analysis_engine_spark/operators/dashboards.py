@@ -965,15 +965,15 @@ def ep10_ops_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     sla_col = F.expr(SLA_DAYS_SQL)
-    cyc = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
-        .agg(F.max("l_shipdate").alias("last_ship"))
-        .select(
-            "o_orderpriority",
-            F.datediff("last_ship", "o_orderdate").alias("cycle_d"),
-            sla_col.alias("sla_days"),
-        )
+    # r14: same pre-aggregation as agg_cycle_time — lineitem reduces to
+    # its orderkey grain before the join, so the exchange moves narrow
+    # (key, max-date) rows; o_orderkey is the orders PK, so the
+    # join-then-group form grouped exactly one order per key.
+    last = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    cyc = last.join(o, last.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("last_ship", "o_orderdate").alias("cycle_d"),
+        sla_col.alias("sla_days"),
     )
     sla = cyc.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).alias("n_orders"),
