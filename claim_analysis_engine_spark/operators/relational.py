@@ -1036,14 +1036,24 @@ def cdc_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = s1.select(F.col("k"), F.col("cents").alias("old_cents"))
     new = s2.select(F.col("k"), F.col("cents").alias("new_cents"))
     diff = old.join(new, "k", "full_outer")
-    changes = diff.select(
-        "k",
-        F.when(F.col("old_cents").isNull(), "I")
-        .when(F.col("new_cents").isNull(), "D")
-        .when(F.col("old_cents") != F.col("new_cents"), "U")
-        .alias("op"),
-        F.col("new_cents"),
-    ).where(F.col("op").isNotNull())
+    # r14 (guide §2.4): the changefeed feeds THREE consumers (the
+    # apply anti-join, the non-delete re-insert union, and the change
+    # counts) — without a cache each consumer re-executes the
+    # full-outer snapshot diff. |changes| is change-proportional,
+    # never table-proportional, so caching it is the scale-correct
+    # choice at 100 TB (the snapshots themselves stay uncached).
+    changes = (
+        diff.select(
+            "k",
+            F.when(F.col("old_cents").isNull(), "I")
+            .when(F.col("new_cents").isNull(), "D")
+            .when(F.col("old_cents") != F.col("new_cents"), "U")
+            .alias("op"),
+            F.col("new_cents"),
+        )
+        .where(F.col("op").isNotNull())
+        .cache()
+    )
 
     # ------------------------------------- apply back onto snapshot 1
     touched = changes.select("k", "op")

@@ -364,20 +364,23 @@ def agg_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    cur, prev = m.alias("cur"), m.alias("prev")
+    # r14 (guide §2.4): the self-join planned m's whole subtree twice —
+    # the orders⋈customer join + aggregate each ran two times. A range
+    # window over (segment, serial) with frame [-12, -12] reads the
+    # cents at EXACTLY serial−12 (serials are unique per segment — the
+    # group key — so max() over the singleton frame IS that row, null
+    # when the month is absent), which keeps the calendar-exact
+    # sparsity semantics of the join while running the fact subtree
+    # once. Inner-join semantics preserved by the isNotNull filter;
+    # all arithmetic stays integer so no float boundary can move.
+    wm = W.partitionBy("segment").orderBy("serial").rangeBetween(-12, -12)
     bt = (
-        cur.join(
-            prev,
-            (F.col("prev.segment") == F.col("cur.segment"))
-            & (F.col("prev.serial") == F.col("cur.serial") - 12),
-        )
-        .where(F.col("cur.cents") > 0)
+        m.withColumn("prev_cents", F.max("cents").over(wm))
+        .where(F.col("prev_cents").isNotNull() & (F.col("cents") > 0))
         .select(
-            F.col("cur.segment").alias("segment"),
-            F.expr(
-                "abs(cur.cents - prev.cents) * 10000 div cur.cents"
-            ).alias("ape_bp"),
-            F.when(F.col("prev.cents") > F.col("cur.cents"), 1)
+            "segment",
+            F.expr("abs(cents - prev_cents) * 10000 div cents").alias("ape_bp"),
+            F.when(F.col("prev_cents") > F.col("cents"), 1)
             .otherwise(0)
             .alias("over"),
         )
