@@ -845,48 +845,62 @@ def ep9_growth_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines by construction (the lesson agg_cohort_ltv's
     first attempt paid for).
 
-    Scale: one custkey shuffle (first-order + the join back), then
-    every panel statistic groups on the tiny (cohort[, age]) grids;
-    the per-cohort concentration window sorts the CUSTOMER dimension
-    within cohort, not the fact table."""
+    Scale: one custkey shuffle (the first-order month comes from a
+    min-over-window on the same exchange the per-customer rollup then
+    reuses — hashpartitioning(custkey) satisfies the (m0, custkey)
+    grouping because custkey ⊆ the grouping key), then one m0 shuffle
+    shared by the concentration window AND the final cohort aggregate.
+    Every cohort statistic folds into that per-customer grain first:
+    n_customers = count of per-customer rows, m3_buyers = sum of a
+    0/1 any-purchase-in-months-1..3 flag, rev3 = exact decimal sums
+    re-summed per cohort (decimal addition is associative, so the
+    two-level sum is bit-identical to the flat sum the oracle takes).
+    One orders scan, two exchanges — the first cut joined a separate
+    first-order aggregate back and fanned j into four aggregate
+    branches, planning the orders subtree 8x."""
     o = load(spark, sf_dir, "orders").select(
         "o_custkey",
         (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ms"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
     )
-    f = o.groupBy("o_custkey").agg(F.min("ms").alias("m0"))
-    j = o.join(f, "o_custkey").select(
-        "m0", "o_custkey", (F.col("ms") - F.col("m0")).alias("age_m"), "rev"
+    m0 = F.min("ms").over(W.partitionBy("o_custkey"))
+    j = o.select(
+        "o_custkey", "rev", m0.alias("m0"), (F.col("ms") - m0).alias("age_m")
     )
-    cohort = j.groupBy("m0").agg(F.countDistinct("o_custkey").alias("n_customers"))
-    ret = (
-        j.where(F.col("age_m").between(1, 3))
-        .groupBy("m0")
-        .agg(F.countDistinct("o_custkey").alias("m3_buyers"))
+    per_cust = j.groupBy("m0", "o_custkey").agg(
+        F.sum("rev").alias("x"),
+        F.max(
+            F.when(F.col("age_m").between(1, 3), F.lit(1)).otherwise(F.lit(0))
+        ).alias("is_m3"),
+        F.sum(F.when(F.col("age_m") <= 3, F.col("rev"))).alias("rev3"),
     )
-    ltv = (
-        j.where(F.col("age_m") <= 3)
-        .groupBy("m0")
-        .agg((F.sum("rev") * 100).cast("long").alias("rev3_cents"))
-    )
-    spend = j.groupBy("m0", "o_custkey").agg(F.sum("rev").alias("x"))
     wm = W.partitionBy("m0")
-    ranked = spend.select(
+    ranked = per_cust.select(
         "m0",
         "x",
+        "is_m3",
+        "rev3",
         F.row_number().over(wm.orderBy(F.desc("x"), "o_custkey")).alias("rk"),
         F.count(F.lit(1)).over(wm).alias("n"),
     )
-    conc = ranked.groupBy("m0").agg(
-        (F.sum(F.when(F.col("rk") * 10 <= F.col("n"), F.col("x")).otherwise(F.lit(0).cast("decimal(18,2)"))) * 100)
-        .cast("long")
-        .alias("top_cents"),
-        (F.sum("x") * 100).cast("long").alias("total_cents"),
-    )
     return (
-        cohort.join(ret, "m0", "left")
-        .join(ltv, "m0")
-        .join(conc, "m0")
+        ranked.groupBy("m0")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("is_m3").alias("m3_buyers"),
+            (F.sum("rev3") * 100).cast("long").alias("rev3_cents"),
+            (
+                F.sum(
+                    F.when(F.col("rk") * 10 <= F.col("n"), F.col("x")).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("top_cents"),
+            (F.sum("x") * 100).cast("long").alias("total_cents"),
+        )
         .select(
             F.concat(
                 ((F.col("m0") - 1) / 12).cast("int").cast("string"),
@@ -1081,11 +1095,20 @@ def ep11_rag_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula the doc-level op certified, so the whole passage pipeline
     sits under one hash.
 
-    Scale: chunking is shuffle-free; postings prune to the query
-    terms before any exchange; chunk stats are broadcast-sized; the
+    Scale: chunking is shuffle-free; ONE exploded pass computes the
+    chunk length and every query term's tf in the same chunk-grain
+    aggregate (the per-term counts are conditional counts, so the
+    posting prune happens inside the aggregate instead of as a second
+    explode); chunk stats are broadcast-sized; the per-(chunk,term)
+    posting frame is a stack() over that cached chunk-grain table, so
+    df, the idf join and the score rollup all reuse its
+    (doc, chunk) partitioning with no further corpus pass; the
     best-chunk window partitions by doc_id; the final top-k is
     TakeOrderedAndProject. Nothing in the plan holds more than the
-    postings of three terms."""
+    postings of three terms. (The first cut exploded the corpus three
+    times — clen pass, tf pass, and the stats re-plan — and re-joined
+    clen onto tf by key; folding them into one aggregate removed two
+    corpus explodes and that join.)"""
     from claim_analysis_engine_spark.operators.pipeline_ops import chunk_frame
     from claim_analysis_engine_spark.operators.textops import (
         BM25_B,
@@ -1097,18 +1120,27 @@ def ep11_rag_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctoks = chunks.select(
         "doc_id", "chunk_idx", F.explode("ctoks").alias("tok")
     )
-    cl = ctoks.groupBy("doc_id", "chunk_idx").agg(
-        F.count(F.lit(1)).alias("clen")
-    )
-    stats = cl.agg(
+    # chunk-grain: clen + one conditional tf per query term, one pass
+    per_chunk = ctoks.groupBy("doc_id", "chunk_idx").agg(
+        F.count(F.lit(1)).alias("clen"),
+        *[
+            F.count(F.when(F.col("tok") == t, True)).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    ).cache()
+    stats = per_chunk.agg(
         F.count(F.lit(1)).cast("double").alias("n_chunks"),
         F.avg("clen").alias("avgcl"),
     )
-    tf = (
-        ctoks.where(F.col("tok").isin(*BM25_TERMS))
-        .groupBy("doc_id", "chunk_idx", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stack_args = ", ".join(
+        f"'{t}', tf_{i}" for i, t in enumerate(BM25_TERMS)
     )
+    tf = per_chunk.select(
+        "doc_id",
+        "chunk_idx",
+        "clen",
+        F.expr(f"stack({len(BM25_TERMS)}, {stack_args}) AS (tok, tf)"),
+    ).where(F.col("tf") > 0)
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log(
         (F.col("n_chunks") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
@@ -1118,7 +1150,6 @@ def ep11_rag_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(df), "tok")
-        .join(cl, ["doc_id", "chunk_idx"])
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id", "chunk_idx")
         .agg(F.round(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / norm), 6).alias("score"))
