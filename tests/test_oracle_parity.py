@@ -44,9 +44,19 @@ def test_oracle_parity(spark, duck, op_id):
     elapsed = time.perf_counter() - t0
     ok, msg = compare(left, duck, op.oracle)
     assert ok, f"{op_id}: {msg}"
+    if elapsed >= OP_WALL_TIME_CAP_S:
+        # One retry before failing: the cap hunts plan pathologies
+        # (O(n²) joins, lost broadcasts), which are slow EVERY run —
+        # a first-run-of-boot JIT/page-cache blip or a contended
+        # neighbour JVM is not, and has tripped this guard spuriously
+        # on value-green ops (r14 round close adjudicated three).
+        t0 = time.perf_counter()
+        op.query(spark, SF_ORACLE).toPandas()
+        elapsed = time.perf_counter() - t0
     assert elapsed < OP_WALL_TIME_CAP_S, (
         f"{op_id}: {elapsed:.1f}s at sf0.01 exceeds the {OP_WALL_TIME_CAP_S}s "
-        "per-op guard — driver rotation needs every op cheap at this SF"
+        "per-op guard on a retry — driver rotation needs every op cheap "
+        "at this SF"
     )
 
 
@@ -60,7 +70,13 @@ def test_runs_rows_only(spark, op_id):
     assert df.columns, f"{op_id}: no columns"
     df.limit(5).collect()  # must execute without error
     elapsed = time.perf_counter() - t0
+    if elapsed >= OP_WALL_TIME_CAP_S:
+        # same retry-once rationale as test_oracle_parity above
+        t0 = time.perf_counter()
+        op.query(spark, SF_ORACLE).limit(5).collect()
+        elapsed = time.perf_counter() - t0
     assert elapsed < OP_WALL_TIME_CAP_S, (
         f"{op_id}: {elapsed:.1f}s at sf0.01 exceeds the {OP_WALL_TIME_CAP_S}s "
-        "per-op guard — driver rotation needs every op cheap at this SF"
+        "per-op guard on a retry — driver rotation needs every op cheap "
+        "at this SF"
     )
