@@ -539,6 +539,37 @@ MEMOIZED = {
     "(contract row session-memoized)",
     "ep16_sales_management": "memo: sync/upsert/gap-fill DAG + "
     "fixed-order parquet save (result rows session-memoized)",
+    # round-15 (the enforcement test's second sweep — `.cache()`
+    # sites, not just dict-memos): Spark's CacheManager matches
+    # cached relations by CANONICALIZED PLAN, so an op whose query
+    # path calls .cache() on a deterministic frame replays run 1's
+    # materialized blocks on every repeat in-session run — its median
+    # is partially a cache read exactly like a dict-memo replay, and
+    # run 1 of the spread is the cold number the map surfaces. Caches
+    # that provably die with the op (localCheckpoint — no CacheManager
+    # registration) are exempt; cdc_extract_roundtrip moved to that
+    # form this round.
+    "rs_stl_z": "cache: the per-series target substrate "
+    "(risk._with_target) — both STL branches reuse it",
+    "dedup_simhash": "cache: md5 simhash signature relation (block "
+    "join probes it per pigeonhole table)",
+    "dedup_simhash_fast": "cache: xxhash64 simhash signature relation "
+    "(same shape, production geometry)",
+    "dedup_minhash_lsh_fast": "cache: hashed-shingle + band-signature "
+    "frames (candidate join reuses both)",
+    "corpus_contamination": "cache: corpus shingle frame (both "
+    "contamination sides reuse it)",
+    "ep4_corpus_e2e": "cache: labeled/flagged doc frames feeding the "
+    "one-pass funnel aggregate",
+    "ep7_retrieval_e2e": "cache: embedding/candidate substrate frames "
+    "(brute + ANN branches reuse them)",
+    "ep11_rag_e2e": "cache: chunk table + chunk-grain tf/clen "
+    "aggregate (df/idf/score reuse its partitioning)",
+    "txt_lm_perplexity": "cache: bigram pair stream (three consumers)",
+    "txt_ngram_novelty": "cache: gram frame (first-owner aggregate "
+    "input)",
+    "txt_idf_topterms": "cache: per-doc tf frame (df/idf/top-k reuse "
+    "it)",
 }
 
 
@@ -675,6 +706,17 @@ def main() -> None:
         if name in spread
     }
 
+    # Parallel COLD-sum beside the median extras total (r14 verdict
+    # ask: extras_total mixes replay and real numbers — a memoised op
+    # could silently improve the headline extras figure). Per op: the
+    # timed warm-up pass where one ran (it pays the memo/fit/stage
+    # cost), else run 1 of the spread (the only run that built any
+    # session cache). A round-over-round rise here with a flat median
+    # total is the signature of cost moving INTO the memos.
+    extras_cold_total = round(
+        sum(warm_first.get(name, spread[name][0]) for name in extra), 3
+    )
+
     methodology = (
         "one unrecorded warm-up pass of the full headline set precedes "
         "timing (since round 9 — steady-state reading; removes the "
@@ -710,10 +752,27 @@ def main() -> None:
                 "bench_stderr_flagged.log",
             ),
         )
+    # pin the tree the artifact measured (r14 ADVICE: the committed
+    # detail once lagged final HEAD by one commit with no machine-
+    # checkable trace) — best-effort, blank outside a git checkout
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        head = ""
     detail = {
+        "git_head": head,
         "stderr_stack_frames": stderr_frames,
         "spread": spread,
         "extra_queries": extra,
+        "extras_cold_total_sec": extras_cold_total,
         "warmup_first_run": warm_first,
         "queries": queries,
         "runs_per_query": {"headline": N_RUNS_HEADLINE, "extra": N_RUNS_EXTRA},
@@ -755,6 +814,7 @@ def main() -> None:
             "queries": queries,
             "n_extra_queries": len(extra),
             "extras_total_sec": round(sum(extra.values()), 3),
+            "extras_cold_total_sec": extras_cold_total,
             "detail": "BENCH_DETAIL.json (committed: per-run spreads, "
             "extras, cold map, warm-up timings, methodology)",
             "methodology": "steady-state medians after warm-up passes "

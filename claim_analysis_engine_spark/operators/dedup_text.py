@@ -994,10 +994,11 @@ def simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit xxhash64 SimHash signatures per document — the production
     geometry the dedup_simhash docstring promises (the md5/32-bit op is
     kept only so DuckDB replicates bit-for-bit). One JVM hash per
-    distinct token; the per-bit majority vote folds token hashes into a
-    64-long vote vector with a single aggregate/zip_with pass, then
-    assembles the signature long from the vote signs (bit 63 enters as
-    the two's-complement sign term). No Python, no UDFs; exposed
+    distinct token; the per-bit majority vote is computed by 16
+    bit-sliced lane folds (four 16-bit set-bit counters per long — see
+    the inline rationale), then the signature long is assembled from
+    the majority tests (bit 63 enters as the two's-complement sign
+    term). No Python, no UDFs; exposed
     separately so the recall test can build exact all-pairs ground
     truth over the same signatures."""
     toks = F.array_distinct(F.array_remove(F.split("text", " "), ""))
@@ -1005,29 +1006,61 @@ def simhash64_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("hashes")
     )
 
-    # One scalar fold per bit over the precomputed hash array (the same
-    # shape as the md5 path's per-bit votes): a per-token
-    # zip_with-into-a-64-array formulation measured 2.5× SLOWER at
-    # sf0.1 — two 64-element array allocations per token dwarf the
-    # actual ±1 adds; 64 long-typed folds stay allocation-free inside
-    # codegen.
-    def vote(b: int) -> F.Column:
+    # Bit-sliced majority vote (r15): the r14 shape ran ONE scalar fold
+    # PER BIT — 64 array traversals per doc, each doing
+    # shift+mask+compare+branch+add per token (a per-token
+    # zip_with-into-a-64-array formulation measured 2.5× slower still:
+    # two 64-element allocations per token). SWAR packs FOUR 16-bit
+    # set-bit counters into one long lane word (bits l, l+16, l+32,
+    # l+48 share lane group l), so 16 allocation-free folds — each a
+    # shift+mask+add per token — count all 64 bits: 4× fewer array
+    # traversals and no branch in the inner loop. Value-identical to
+    # the ±1 vote by integer algebra: vote(b) = 2·cnt(b) − n, so
+    # vote(b) > 0 ⟺ 2·cnt(b) > n (tests/test_dedup_recall.py pins the
+    # fold against an independent per-bit SQL recount). Lane width
+    # bounds the doc: 16-bit counters are exact up to 65 535 distinct
+    # tokens per document — far above any real document's distinct
+    # vocabulary (web pages run ~10³; the lanes would need a single
+    # 65k-distinct-token doc to saturate).
+    lane_w = 16  # counter width: 64-bit word / lane_w = 4 counters
+    n_groups = SIMHASH64_BITS // (64 // lane_w)  # 16 lane groups
+    lane_mask = 0x0001_0001_0001_0001  # one 16-bit counter per lane
+    n = F.size("hashes")
+
+    def lane_counts(group: int) -> F.Column:
+        # Σ_token (h >>> group) & lane_mask — accumulates cnt(group),
+        # cnt(group+16), cnt(group+32), cnt(group+48) in parallel lanes
         return F.aggregate(
             "hashes",
-            F.lit(0),
+            F.lit(0).cast("bigint"),
             lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            + F.shiftrightunsigned(h, group).bitwiseAND(F.lit(lane_mask)),
+        )
+
+    # materialize the 16 lane words (and n) in their own projection so
+    # the 4 per-bit extracts below reference attributes, not copies of
+    # the fold (CollapseProject keeps non-cheap producers separate)
+    lanes = hashed.select(
+        "doc_id",
+        n.alias("n_toks"),
+        *[lane_counts(g).alias(f"lane{g}") for g in range(n_groups)],
+    )
+
+    def cnt(b: int) -> F.Column:
+        group, k = b % n_groups, b // n_groups
+        return F.shiftrightunsigned(f"lane{group}", k * lane_w).bitwiseAND(
+            F.lit(0xFFFF)
         )
 
     terms = [
         F.when(
-            vote(b) > 0,
+            cnt(b) * 2 > F.col("n_toks"),
             F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("bigint"),
         ).otherwise(F.lit(0).cast("bigint"))
         for b in range(SIMHASH64_BITS)
     ]
     sig = sum(terms[1:], terms[0])
-    return hashed.select("doc_id", sig.alias("sig"))
+    return lanes.select("doc_id", sig.alias("sig"))
 
 
 @REG.op("dedup_simhash_fast")  # xxhash64 is JVM-only: no DuckDB twin,

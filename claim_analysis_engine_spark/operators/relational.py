@@ -1038,10 +1038,18 @@ def cdc_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = old.join(new, "k", "full_outer")
     # r14 (guide §2.4): the changefeed feeds THREE consumers (the
     # apply anti-join, the non-delete re-insert union, and the change
-    # counts) — without a cache each consumer re-executes the
+    # counts) — without reuse each consumer re-executes the
     # full-outer snapshot diff. |changes| is change-proportional,
-    # never table-proportional, so caching it is the scale-correct
-    # choice at 100 TB (the snapshots themselves stay uncached).
+    # never table-proportional, so materializing it is the
+    # scale-correct choice at 100 TB (the snapshots themselves stay
+    # unmaterialized). r15 hygiene (the r14 verdict flag): the r14
+    # `.cache()` was never unpersisted and Spark's CacheManager
+    # matches by canonicalized plan, so bench repeat runs replayed
+    # run 1's materialized diff. localCheckpoint gives the same
+    # single-execution sharing WITHIN one invocation (all three
+    # consumers read the persisted RDD blocks) but registers nothing
+    # in the CacheManager — every fresh invocation recomputes the
+    # diff, and the blocks die with the DataFrame via ContextCleaner.
     changes = (
         diff.select(
             "k",
@@ -1052,7 +1060,7 @@ def cdc_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("new_cents"),
         )
         .where(F.col("op").isNotNull())
-        .cache()
+        .localCheckpoint(eager=False)
     )
 
     # ------------------------------------- apply back onto snapshot 1

@@ -49,7 +49,9 @@ def main() -> None:
     )
     reg = registry()
     plans_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
     )
     os.makedirs(plans_dir, exist_ok=True)
 

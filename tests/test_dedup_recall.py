@@ -549,3 +549,54 @@ def test_containment_candidate_scaling_curve(spark):
         "the fixed-vocab density effect vanished — the fixture premise "
         "changed; re-derive both goldens"
     )
+
+
+def test_simhash64_bitsliced_fold_matches_per_bit_recount(spark):
+    """r15 optimization guard: simhash64_sigs computes the per-bit
+    majority votes with 16 SWAR lane folds (four 16-bit set-bit
+    counters per long). Pin it byte-identical to an INDEPENDENT
+    per-bit recount — the r14 formulation, one ±1 fold per bit —
+    over the same token hashes, so a future fold/lane/shift bug
+    cannot move signatures silently (the recall test alone would not
+    catch it: op and ground truth share the signatures)."""
+    from pyspark.sql import functions as F
+
+    from claim_analysis_engine_spark.operators.dedup_text import (
+        SIMHASH64_BITS,
+        simhash64_sigs,
+    )
+    from claim_analysis_engine_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    new = {(r.doc_id, r.sig) for r in simhash64_sigs(spark, SF_SMALL).collect()}
+
+    toks = F.array_distinct(F.array_remove(F.split("text", " "), ""))
+    hashed = load(spark, SF_SMALL, "documents").select(
+        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("hashes")
+    )
+
+    def vote(b: int) -> F.Column:
+        return F.aggregate(
+            "hashes",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    terms = [
+        F.when(
+            vote(b) > 0,
+            F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for b in range(SIMHASH64_BITS)
+    ]
+    ref = {
+        (r.doc_id, r.sig)
+        for r in hashed.select(
+            "doc_id", sum(terms[1:], terms[0]).alias("sig")
+        ).collect()
+    }
+    assert new == ref, (
+        f"bit-sliced signatures drifted from the per-bit recount: "
+        f"{len(ref - new)} missing, {len(new - ref)} spurious"
+    )

@@ -150,14 +150,22 @@ def test_sampling_front_equals_the_derived_plan():
 
 
 def test_memoized_bench_extras_appear_in_the_cold_map():
-    """r13 verdict ask #7: an EXTRA op whose query path rides a session
-    memo (result-row replay, parquet-path memo, or a memoized
-    model/fixture build) must carry a reasoned MEMOIZED entry — else
-    the official bench publishes replay-only numbers for it with no
-    cold cost on record. Detection is a static reachability fixpoint:
-    a function is memo-touching if its source references
-    rows_replay_memo or a *_MEMO dict, or (transitively) calls a
-    memo-touching function anywhere in the package."""
+    """r13 verdict ask #7, widened in r15 (r14 verdict ask #3): an
+    EXTRA op whose query path rides a session memo (result-row replay,
+    parquet-path memo, or a memoized model/fixture build) OR calls
+    `.cache()`/`.persist()` on a frame must carry a reasoned MEMOIZED
+    entry — else the official bench publishes replay-only numbers for
+    it with no cold cost on record. The cache clause exists because
+    Spark's CacheManager matches cached relations by CANONICALIZED
+    PLAN: a deterministic frame cached inside query() is rebuilt as
+    the same plan on the next in-session invocation and replays run
+    1's materialized blocks exactly like a dict-memo. localCheckpoint
+    is exempt (no CacheManager registration — the blocks die with the
+    DataFrame). Detection is a static reachability fixpoint: a
+    function is memo-touching if its source references
+    rows_replay_memo, a *_MEMO dict, `.cache()` or `.persist(`, or
+    (transitively) calls a memo-touching function anywhere in the
+    package."""
     import ast
     import pathlib
     import re
@@ -167,7 +175,9 @@ def test_memoized_bench_extras_appear_in_the_cold_map():
     from claim_analysis_engine_spark.registry import registry
 
     pkg_dir = pathlib.Path(pkg.__file__).parent
-    token = re.compile(r"rows_replay_memo|_[A-Z][A-Z0-9_]*_MEMO\b")
+    token = re.compile(
+        r"rows_replay_memo|_[A-Z][A-Z0-9_]*_MEMO\b|\.cache\(\)|\.persist\("
+    )
     marked: set[str] = set()
     calls: dict[str, set[str]] = {}
     for p in pkg_dir.rglob("*.py"):

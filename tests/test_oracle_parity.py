@@ -50,9 +50,21 @@ def test_oracle_parity(spark, duck, op_id):
         # a first-run-of-boot JIT/page-cache blip or a contended
         # neighbour JVM is not, and has tripped this guard spuriously
         # on value-green ops (r14 round close adjudicated three).
+        # r15 (ADVICE): warn loudly so chronic near-cap ops stay
+        # observable, and re-compare the retry result — a free
+        # determinism check on the re-execution.
+        import warnings
+
+        warnings.warn(
+            f"{op_id}: first run {elapsed:.1f}s exceeded the "
+            f"{OP_WALL_TIME_CAP_S}s cap, retrying once",
+            stacklevel=1,
+        )
         t0 = time.perf_counter()
-        op.query(spark, SF_ORACLE).toPandas()
+        retry = op.query(spark, SF_ORACLE).toPandas()
         elapsed = time.perf_counter() - t0
+        ok, msg = compare(retry, duck, op.oracle)
+        assert ok, f"{op_id} (retry run drifted — nondeterministic op): {msg}"
     assert elapsed < OP_WALL_TIME_CAP_S, (
         f"{op_id}: {elapsed:.1f}s at sf0.01 exceeds the {OP_WALL_TIME_CAP_S}s "
         "per-op guard on a retry — driver rotation needs every op cheap "
@@ -71,7 +83,14 @@ def test_runs_rows_only(spark, op_id):
     df.limit(5).collect()  # must execute without error
     elapsed = time.perf_counter() - t0
     if elapsed >= OP_WALL_TIME_CAP_S:
-        # same retry-once rationale as test_oracle_parity above
+        # same retry-once rationale (and r15 warning) as above
+        import warnings
+
+        warnings.warn(
+            f"{op_id}: first run {elapsed:.1f}s exceeded the "
+            f"{OP_WALL_TIME_CAP_S}s cap, retrying once",
+            stacklevel=1,
+        )
         t0 = time.perf_counter()
         op.query(spark, SF_ORACLE).limit(5).collect()
         elapsed = time.perf_counter() - t0
