@@ -138,3 +138,52 @@ def test_every_crossjoin_is_a_documented_tiny_frame_and_no_topandas():
         f"crossJoin sites without a documented tiny-frame rationale: "
         f"{offenders}"
     )
+
+
+# r15 (r14 verdict ask #5): machine-guard the r14 one-pass rewrites.
+# Each entry pins the MAXIMUM parquet-scan references per named table
+# and Generate (explode) nodes the op's formatted plan may contain —
+# the counts the rewrites achieved. A future edit that re-introduces a
+# duplicated corpus subtree (the batch-5/6/9 pathology class) fails
+# here before it can ship silently. Ceilings equal the counts measured
+# at sf0.001 on the shipped tree; cached substrates show
+# InMemoryTableScan (not Scan parquet) for repeat references, so these
+# counts track REAL re-reads.
+_SCAN_CEILINGS: dict[str, tuple[dict[str, int], int]] = {
+    # op: ({table: max scan refs}, max Generate nodes)
+    "dedup_merge": ({"orders": 1}, 1),
+    "agg_lag_stats": ({"lineitem": 1, "orders": 1}, 0),
+    "agg_backtest_snaive": ({"orders": 1, "customer": 1}, 0),
+    "ep4_corpus_e2e": ({"documents": 1}, 1),
+    "corpus_remove_dup_spans": ({"documents": 3}, 2),
+    "ep13_span_curation_e2e": ({"documents": 3}, 2),
+    "ep9_growth_e2e": ({"orders": 1}, 0),
+    "ep11_rag_e2e": ({"documents": 1}, 4),
+    "agg_cycle_time": ({"lineitem": 1, "orders": 1}, 0),
+    "ep10_ops_e2e": ({"lineitem": 1, "orders": 2}, 0),
+    "agg_hll_error_contract": ({"orders": 2}, 0),
+}
+
+
+@pytest.mark.parametrize("op_id", sorted(_SCAN_CEILINGS))
+def test_one_pass_rewrites_keep_their_scan_counts(spark, op_id):
+    import re
+
+    plan = _plan(spark, op_id)
+    max_refs, max_generates = _SCAN_CEILINGS[op_id]
+    refs: dict[str, int] = {}
+    for m in re.finditer(
+        r"Location: [A-Za-z]*FileIndex[^\n]*/(\w+)\.parquet", plan
+    ):
+        refs[m.group(1)] = refs.get(m.group(1), 0) + 1
+    for tbl, ceiling in max_refs.items():
+        assert refs.get(tbl, 0) <= ceiling, (
+            f"{op_id}: {refs.get(tbl, 0)} parquet scans of {tbl} exceed "
+            f"the rewrite's ceiling {ceiling} — a duplicated subtree "
+            f"crept back in (refs: {refs})"
+        )
+    n_gen = len(re.findall(r"\(\d+\) Generate(?:\s|$)", plan, re.M))
+    assert n_gen <= max_generates, (
+        f"{op_id}: {n_gen} Generate (explode) nodes exceed the "
+        f"rewrite's ceiling {max_generates}"
+    )
