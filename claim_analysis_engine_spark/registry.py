@@ -699,7 +699,69 @@ ROUND14_FRONT: tuple[str, ...] = (
     "ep16_sales_management",
 )
 
+# Round-15 window, generated by scripts/plan_front.py from the
+# CORRECTNESS_r01..r14 union: 50 recycled slots, 0 additions (no new
+# ops this optimization round) — the oldest live certification moves
+# r8 onward: the mm_* profile pair, the layout/sort/skew scale
+# patterns, the join/dim temporal family, the event funnel/retention
+# scalars, the dq_* gates, the r8 sketch/rollup aggregates and
+# manifest/partition-evolution storage ops, closing with
+# agg_discount_elasticity + agg_cycle_time.
+# tests/test_etl_invariants.py pins this tuple to the derivation.
+ROUND15_FRONT: tuple[str, ...] = (
+    "mm_assembly_profile",
+    "mm_bytes_histogram",
+    "mm_phash_groups",
+    "join_bucketed",
+    "agg_salted",
+    "prune_partition",
+    "sort_global_shards",
+    "sort_zorder",
+    "snk_compaction",
+    "join_skew_salted",
+    "join_dpp",
+    "ep3_forecast_contract",
+    "ep1_ingest_e2e",
+    "join_asof",
+    "join_range_bucketed",
+    "dim_scd2",
+    "join_pit_scd2",
+    "evt_funnel",
+    "evt_retention",
+    "evt_error_burst",
+    "evt_sessionize_native",
+    "evt_transitions",
+    "evt_attribution",
+    "f_str_sanitize",
+    "f_str_parse_label",
+    "f_math",
+    "f_polyfit_slope",
+    "agg_kanon_suppress",
+    "dq_expectations",
+    "dq_referential",
+    "dq_psi_drift",
+    "agg_decay_recency",
+    "pvt_cube",
+    "sim_ivf_search_trained",
+    "sim_pq_adc",
+    "corpus_quality_lr",
+    "corpus_bpe_train",
+    "mm_decode_stub",
+    "agg_approx_distinct",
+    "agg_sketch_quantiles",
+    "agg_hll_union_rollup",
+    "src_jsonl_roundtrip",
+    "snk_csv_roundtrip",
+    "dedup_audit_hub",
+    "src_logs_parse",
+    "snk_manifest_publish",
+    "snk_manifest_timetravel",
+    "src_partition_evolution",
+    "agg_discount_elasticity",
+    "agg_cycle_time",
+)
+
 # The front the driver samples THIS round — rehearsal script and the
 # front-invariants test both read this alias, so a rotation is one
 # tuple + one alias change.
-CURRENT_FRONT: tuple[str, ...] = ROUND14_FRONT
+CURRENT_FRONT: tuple[str, ...] = ROUND15_FRONT
